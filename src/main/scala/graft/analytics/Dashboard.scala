@@ -1,0 +1,145 @@
+package graft.analytics
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** The reference's analytical query surface — the Power BI dashboard
+  * aggregates (SURVEY.md §2.4 A5–A10, `Dashboard/Dashboard.jpg`) —
+  * re-expressed over the driver's `events` stream table: avg tiles,
+  * status donut, hourly time series, binned counts, totals-by-measure,
+  * share-by-location. Plus the validation-status derivation chain
+  * (§2.2 P4/P6/P8, `Lambda/lamda.py:97-150`) as a batch classifier.
+  *
+  * All are single-shuffle groupBy plans on pruned scans; the share
+  * query's global window runs over the tiny post-aggregation result,
+  * not the raw events.
+  */
+object Dashboard {
+
+  val all: Seq[Q] = Seq(
+    // A5: dashboard tiles — global averages.
+    Q(
+      "q20_avg_tiles",
+      """SELECT round(avg(value), 4) AS avg_value,
+        |       round(min(value), 2) AS min_value,
+        |       round(max(value), 2) AS max_value,
+        |       count(*) AS n_events
+        |FROM events""".stripMargin) { (s, d) =>
+      Tables.events(s, d).agg(
+        round(avg("value"), 4).as("avg_value"),
+        round(min("value"), 2).as("min_value"),
+        round(max("value"), 2).as("max_value"),
+        count(lit(1)).as("n_events"))
+    },
+
+    // A6: count by category (validation-status donut analog).
+    Q(
+      "q21_count_by_type",
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type") {
+      (s, d) =>
+        Tables.events(s, d).groupBy("event_type").agg(count(lit(1)).as("n"))
+    },
+
+    // A7: time-bucketed sums (hourly line chart; dim_time.hour analog).
+    Q(
+      "q22_hourly_series",
+      """SELECT hour(ts) AS hour_of_day,
+        |  round(sum(value), 2) AS sum_value,
+        |  count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(hour(col("ts")).as("hour_of_day"))
+        .agg(round(sum("value"), 2).as("sum_value"), count(lit(1)).as("n"))
+    },
+
+    // A7 streaming-shaped variant: tumbling 1-day event-time window.
+    Q(
+      "q23_daily_window",
+      """SELECT date_trunc('day', ts) AS day,
+        |  round(sum(value), 2) AS sum_value, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("sum_value"), count(lit(1)).as("n"))
+    },
+
+    // A8: binned counts (wind-direction compass buckets analog).
+    Q(
+      "q24_value_bins",
+      """SELECT CASE WHEN value < 50 THEN 'low'
+        |            WHEN value < 120 THEN 'mid'
+        |            ELSE 'high' END AS bucket,
+        |  count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          when(col("value") < 50, "low")
+            .when(col("value") < 120, "mid")
+            .otherwise("high").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // A9: totals by measure.
+    Q(
+      "q25_totals_by_type",
+      """SELECT event_type, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(round(sum("value"), 2).as("total_value"))
+    },
+
+    // A10: share by location (readings % per farm analog) + per-key avg.
+    Q(
+      "q26_share_by_user",
+      """SELECT user_id, n, round(n * 1.0 / sum(n) OVER (), 6) AS share,
+        |       avg_value
+        |FROM (SELECT user_id, count(*) AS n, round(avg(value), 4) AS avg_value
+        |      FROM events GROUP BY user_id)""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .withColumn("share",
+          round(col("n") * lit(1.0) / sum("n").over(Window.partitionBy()), 6))
+        .select("user_id", "n", "share", "avg_value")
+    },
+
+    // P4+P6+P8: sentinel detection → range check → status derivation,
+    // as the reference's when-chain (`Lambda/lamda.py:97-150`).
+    Q(
+      "q27_validation_status",
+      """SELECT CASE WHEN value IN (0, 9999, -9999) THEN 'INVALID'
+        |            WHEN value < 1 OR value > 170 THEN 'WARNING'
+        |            ELSE 'VALID' END AS validation_status,
+        |  count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          when(col("value").isin(0, 9999, -9999), "INVALID")
+            .when(col("value") < 1 || col("value") > 170, "WARNING")
+            .otherwise("VALID").as("validation_status"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // F7/P12: JSON property extraction from the props payload column.
+    Q(
+      "q28_json_extract",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events""".stripMargin) { (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+    },
+
+    // A3/ST6: exact dedup keep-first (event_id order) per (user, type).
+    Q(
+      "q29_dedup_keep_first",
+      """SELECT user_id, event_type, min(event_id) AS first_event_id
+        |FROM events GROUP BY user_id, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(min("event_id").as("first_event_id"))
+    })
+}

@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Relational operator inventory from SURVEY.md §2 (scans, filters,
+  * joins, aggregates, windows, scalar functions), exercised over the
+  * driver's TPC-H-ish star schema.
+  *
+  * Scale notes (100 TB stance): every query is a declarative plan over a
+  * pruned parquet scan — filters/projections push down; dims
+  * (region/nation/customer/supplier/part) are broadcast so the only
+  * shuffles are the aggregation exchanges on already-reduced data; no
+  * collect()-driven logic anywhere.
+  */
+object CoreQueries {
+
+  val all: Seq[Q] = Seq(
+    // ── A-series flagship: TPC-H Q1-shaped pricing summary ─────────────
+    // SURVEY §2.4 A2/A5/A9 (counts, avgs, sums) in one pass; partial
+    // aggregation map-side, one shuffle on (returnflag, linestatus).
+    Q(
+      "q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2)                                    AS sum_qty,
+        |  round(sum(l_extendedprice), 2)                               AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+        |  round(avg(l_quantity), 4)                                    AS avg_qty,
+        |  round(avg(l_extendedprice), 4)                               AS avg_price,
+        |  round(avg(l_discount), 6)                                    AS avg_disc,
+        |  count(*)                                                     AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // ── J3: multi-way star join resolving through broadcast dims ───────
+    Q(
+      "q02_star_join_revenue",
+      """SELECT r_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(DISTINCT o_orderkey)                        AS n_orders
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey  = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          countDistinct("o_orderkey").as("n_orders"))
+    },
+
+    // ── J1: single-column anti-join (NOT EXISTS ≡ left_anti) ───────────
+    Q(
+      "q03_anti_join_new_dims",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin) {
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+    },
+
+    // ── Semi join (EXISTS) ──────────────────────────────────────────────
+    Q(
+      "q04_semi_join_active",
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin) {
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(
+            Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_mktsegment")
+    },
+
+    // ── P9: incremental high-watermark filter ──────────────────────────
+    Q(
+      "q05_incremental_filter",
+      """SELECT l_returnflag, count(*) AS n
+        |FROM lineitem WHERE l_shipdate > TIMESTAMP '1995-06-01 00:00:00'
+        |GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1995-06-01").cast("timestamp"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    },
+
+    // ── A1: MAX scalar aggregate (watermark read) ──────────────────────
+    Q(
+      "q06_max_watermark",
+      "SELECT max(o_orderdate) AS max_full_date FROM orders") { (s, d) =>
+      Tables.orders(s, d).agg(max("o_orderdate").as("max_full_date"))
+    },
+
+    // ── A3: SELECT DISTINCT multi-column dedup ─────────────────────────
+    Q(
+      "q07_distinct_dims",
+      "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer") { (s, d) =>
+      Tables.customer(s, d).select("c_nationkey", "c_mktsegment").distinct()
+    },
+
+    // ── F1: dim_time attribute extraction ──────────────────────────────
+    Q(
+      "q08_dim_time",
+      """SELECT DISTINCT o_orderdate AS full_date,
+        |  year(o_orderdate) AS year, month(o_orderdate) AS month,
+        |  day(o_orderdate) AS day, hour(o_orderdate) AS hour,
+        |  minute(o_orderdate) AS minute
+        |FROM orders WHERE o_orderdate IS NOT NULL""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderdate").isNotNull)
+        .select(
+          col("o_orderdate").as("full_date"),
+          year(col("o_orderdate")).as("year"),
+          month(col("o_orderdate")).as("month"),
+          dayofmonth(col("o_orderdate")).as("day"),
+          hour(col("o_orderdate")).as("hour"),
+          minute(col("o_orderdate")).as("minute"))
+        .distinct()
+    },
+
+    // ── §2.5/§4: surrogate-key generation (IDENTITY → row_number) ──────
+    Q(
+      "q09_surrogate_keys",
+      """SELECT c_nationkey,
+        |  row_number() OVER (ORDER BY c_nationkey) AS surrogate_key
+        |FROM (SELECT DISTINCT c_nationkey FROM customer)""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select("c_nationkey").distinct()
+        .withColumn("surrogate_key",
+          row_number().over(Window.orderBy("c_nationkey")))
+    },
+
+    // ── A10: share-of-total window ─────────────────────────────────────
+    Q(
+      "q10_share_of_total",
+      """SELECT o_orderpriority, n, round(n * 1.0 / sum(n) OVER (), 6) AS share
+        |FROM (SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1)""".stripMargin) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+          .withColumn("share",
+            round(col("n") * lit(1.0) / sum("n").over(Window.partitionBy()), 6))
+    },
+
+    // ── §2.5: ORDER BY + LIMIT (top-k, deterministic tie-break) ────────
+    Q(
+      "q11_topk_orders",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+
+    // ── J2: multi-condition anti-join ──────────────────────────────────
+    Q(
+      "q12_multicol_anti_join",
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_orderkey = l_orderkey AND l_shipdate <= o_orderdate)
+        |GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      Tables.lineitem(s, d)
+        .join(o,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") <= col("o_orderdate"),
+          "left_anti")
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    },
+
+    // ── F2–F6: scalar function projection ──────────────────────────────
+    Q(
+      "q14_scalar_functions",
+      """SELECT o_orderkey,
+        |  round(o_totalprice, 1)                         AS price_r,
+        |  round(abs(o_totalprice - 100000.0), 2)         AS absdiff,
+        |  concat(o_orderstatus, '-', o_orderpriority)    AS tag,
+        |  substr(o_orderpriority, 1, 1)                  AS prio_code,
+        |  CAST(floor(o_totalprice) AS BIGINT)            AS price_floor
+        |FROM orders""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        round(col("o_totalprice"), 1).as("price_r"),
+        round(abs(col("o_totalprice") - lit(100000.0)), 2).as("absdiff"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        floor(col("o_totalprice")).cast("bigint").as("price_floor"))
+    })
+}

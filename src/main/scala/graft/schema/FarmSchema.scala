@@ -1,0 +1,95 @@
+package graft.schema
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Wire schema of the farm IoT event (SURVEY.md §1.2; record assembly at
+  * `Producer /producer.py:355-362`) and the schema-driven flatten that
+  * replaces the reference's per-record `flatten_record`
+  * (`Lambda/lamda.py:333-348`).
+  *
+  * Dirty-data stance (SURVEY §1.2): `sensor_data` values may arrive as
+  * numbers, numeric strings, sentinel strings ('NULL', 'NaN', 'FAIL') or
+  * be absent, so they are parsed as MAP<STRING,STRING> and coerced later
+  * with try_cast — a DOUBLE schema would silently null exactly the
+  * sentinels the validator must see.
+  */
+object FarmSchema {
+
+  val weatherFields: Seq[String] = Seq(
+    "temperature_2m", "relative_humidity_2m", "is_day", "wind_speed_10m",
+    "wind_direction_10m", "wind_gusts_10m", "rain", "precipitation",
+    "surface_pressure", "apparent_temperature")
+
+  /** Ingest schema for `from_json` over the raw payload. */
+  val wire: StructType = StructType(Seq(
+    StructField("event_id", StringType),
+    StructField("timestamp", StringType),
+    StructField("loc_id", StringType),
+    StructField("location", StructType(Seq(
+      StructField("latitude", DoubleType),
+      StructField("longitude", DoubleType)))),
+    StructField("sensor_data", MapType(StringType, StringType)),
+    StructField("weather_data",
+      StructType(weatherFields.map(StructField(_, DoubleType))))))
+
+  /** Top-level keys the validator requires (lamda.py:82). */
+  val requiredKeys: Seq[String] =
+    Seq("event_id", "timestamp", "sensor_data", "weather_data", "location")
+
+  /** JSON-text presence test for a top-level key. Needed because
+    * `from_json` cannot distinguish an absent key from an explicit null
+    * value, but the reference's missing_top_level_key error can
+    * (lamda.py:84: `if key not in data`).
+    */
+  def keyPresent(raw: Column, key: String): Column =
+    raw.rlike("\"" + key + "\"\\s*:")
+
+  /** True when the sensor value arrived as a *quoted* JSON string — the
+    * condition for the reference's type-converted warning
+    * (lamda.py:109-114: `not isinstance(val, (int, float))`). The parsed
+    * MAP<STRING,STRING> loses quotedness, so test the raw text.
+    */
+  def wasQuoted(raw: Column, sensor: String): Column =
+    raw.rlike("\"" + sensor + "\"\\s*:\\s*\"")
+
+  /** Raw JSON token text of a sensor/weather field, as the reference's
+    * f-strings would render the parsed value (ints stay ints). Used for
+    * the temperature_mismatch message (lamda.py:137).
+    */
+  def rawToken(raw: Column, path: String, field: String): Column = {
+    // match `"field": <token>` with optional quotes, token = up to , } "
+    regexp_extract(raw, "\"" + field + "\"\\s*:\\s*\"?([^,\"}\\]]+)", 1)
+  }
+
+  /** Parse the raw payload column into the wire columns. Malformed JSON
+    * yields null structs → the caller routes those to the error sink
+    * (the reference's json.JSONDecodeError branch, lamda.py:488-503).
+    */
+  def parse(df: DataFrame, rawCol: String): DataFrame = {
+    val parsed = from_json(col(rawCol), wire)
+    df.withColumn("_parsed", parsed)
+      .select(col(rawCol) +: wire.fieldNames.map(f => col(s"_parsed.$f")): _*)
+  }
+
+  /** Schema-recursive flatten with `_` separator: structs recurse,
+    * arrays serialize to JSON strings, scalars pass through — exactly
+    * `flatten_record`'s semantics (lamda.py:333-348) but compiled from
+    * the schema once instead of per record.
+    */
+  def flattenColumns(schema: StructType, path: String = "", prefix: String = ""): Seq[Column] =
+    schema.fields.toSeq.flatMap { f =>
+      val p = if (path.isEmpty) s"`${f.name}`" else s"$path.`${f.name}`"
+      val name = if (prefix.isEmpty) f.name else s"${prefix}_${f.name}"
+      f.dataType match {
+        case s: StructType => flattenColumns(s, p, name)
+        case _: ArrayType => Seq(to_json(col(p)).as(name))
+        case _: MapType => Seq(to_json(col(p)).as(name))
+        case _ => Seq(col(p).as(name))
+      }
+    }
+
+  def flatten(df: DataFrame): DataFrame =
+    df.select(flattenColumns(df.schema): _*)
+}

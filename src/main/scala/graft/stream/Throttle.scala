@@ -1,0 +1,117 @@
+package graft.stream
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-key stateful alert throttling — the reference's
+  * `check_and_send_alert` (`Lambda/lamda.py:246-283`, SURVEY.md §2.7
+  * ST2/ST3), the one genuinely stateful operator in the pipeline.
+  *
+  * Key = (loc_id, alert_type); state = {lastSent, consecutiveCount}.
+  * Semantics per the reference:
+  *  - CRITICAL priority bypasses throttling entirely and stamps
+  *    lastSent (the consecutive count is NOT reset — lamda.py:257-261).
+  *  - otherwise, an occurrence within ALERT_INTERVAL of lastSent is
+  *    suppressed without touching the count (lamda.py:264-269).
+  *  - otherwise the count increments; at CONSECUTIVE_RECORDS_THRESHOLD
+  *    the alert sends, lastSent stamps, count resets (lamda.py:271-283).
+  *
+  * DIVERGENCES (documented, SURVEY §7.4):
+  *  - "now" is the occurrence's event time, not wall clock
+  *    (datetime.utcnow, lamda.py:250) — deterministic and replayable;
+  *    occurrences are processed in event-time order per key.
+  *  - state TTL is a deterministic 1h GroupStateTimeout instead of the
+  *    reference's probabilistic 10%-per-batch sweep (lamda.py:401-416).
+  *
+  * At 100 TB the state is bounded by key cardinality × fixed state size
+  * and Spark shards it by key across executors; the TTL keeps it from
+  * accumulating dead keys.
+  */
+object Throttle {
+
+  val AlertIntervalMs: Long = 5 * 60 * 1000L // lamda.py:20
+  val ConsecutiveThreshold: Int = 1 // lamda.py:21
+  val StateTtlMs: Long = 60 * 60 * 1000L // lamda.py:408
+
+  case class Occurrence(
+      locId: String,
+      alertType: String,
+      priority: String,
+      description: String,
+      eventId: String,
+      eventTime: Timestamp)
+
+  case class ThrottleState(lastSentMs: Long, consecutive: Int)
+
+  case class Sent(
+      locId: String,
+      alertType: String,
+      priority: String,
+      description: String,
+      eventId: String,
+      eventTime: Timestamp,
+      sentTime: Timestamp)
+
+  /** Pure state machine for one occurrence: (state, sent?). */
+  def step(
+      st: ThrottleState,
+      priority: String,
+      nowMs: Long,
+      interval: Long = AlertIntervalMs,
+      threshold: Int = ConsecutiveThreshold): (ThrottleState, Boolean) = {
+    if (priority == "CRITICAL") {
+      (st.copy(lastSentMs = nowMs), true)
+    } else if (st.lastSentMs >= 0 && nowMs - st.lastSentMs < interval) {
+      (st, false)
+    } else {
+      val count = st.consecutive + 1
+      if (count >= threshold)
+        (ThrottleState(nowMs, 0), true)
+      else
+        (st.copy(consecutive = count), false)
+    }
+  }
+
+  def processGroup(
+      key: (String, String),
+      occurrences: Iterator[Occurrence],
+      state: GroupState[ThrottleState]): Iterator[Sent] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      var st = state.getOption.getOrElse(ThrottleState(-1L, 0))
+      val sent = occurrences.toSeq.sortBy(_.eventTime.getTime).flatMap { occ =>
+        val nowMs = occ.eventTime.getTime
+        val (next, fire) = step(st, occ.priority, nowMs)
+        st = next
+        if (fire)
+          Some(Sent(occ.locId, occ.alertType, occ.priority, occ.description,
+            occ.eventId, occ.eventTime, new Timestamp(nowMs)))
+        else None
+      }
+      state.update(st)
+      if (state.getOption.isDefined) {
+        // deterministic TTL replacing the reference's random sweep
+        try state.setTimeoutDuration(StateTtlMs)
+        catch { case _: UnsupportedOperationException => () } // batch mode
+      }
+      sent.iterator
+    }
+  }
+
+  /** Apply the throttle to an occurrence stream (or batch Dataset —
+    * same code path, timeouts inert).
+    */
+  def apply(ds: Dataset[Occurrence]): Dataset[Sent] = {
+    implicit val stEnc = Encoders.product[ThrottleState]
+    implicit val outEnc = Encoders.product[Sent]
+    implicit val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    ds.groupByKey(o => (o.locId, o.alertType))
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(
+        processGroup)
+  }
+}

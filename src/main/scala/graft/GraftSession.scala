@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build the engine's SparkSession so every entry point
+  * (Verify, Bench, Smoke, tests) runs with identical semantics.
+  *
+  * Session-wide flags set here rather than inside loaders (keeps loader
+  * behavior call-order independent):
+  *  - `spark.sql.legacy.parquet.nanosAsLong`: the driver's
+  *    `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet
+  *    reader has no timestamp type for; this public flag reads the
+  *    nanos as a plain long (truncated to µs in [[Tables.events]]).
+  *  - UTC session time zone: all reference timestamps are UTC
+  *    (ISO-8601 + "Z", `Producer /producer.py:357`), and the DuckDB
+  *    oracle compares in UTC.
+  *  - AQE on with a 32 MB advisory partition size: at bench scale it
+  *    coalesces the fixed shuffle-partition count down to the data; on
+  *    a real cluster it re-plans skew joins at runtime.
+  */
+object GraftSession {
+  def local(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

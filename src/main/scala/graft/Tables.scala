@@ -25,16 +25,18 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized
-    * parquet reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as a long
-    * (public legacy flag) and truncate to a microsecond timestamp — the
-    * same truncation DuckDB applies (its TIMESTAMP is µs), so oracle
-    * comparisons stay exact.
+    * parquet reader rejects (PARQUET_TYPE_ILLEGAL). The session reads
+    * the nanos as a plain long (`spark.sql.legacy.parquet.nanosAsLong`,
+    * set at session construction — [[GraftSession]]); truncate to a
+    * microsecond timestamp with *integral* division (`div`, not `/` —
+    * long `/` is double division and epoch-nanos exceed a double's
+    * 53-bit mantissa). This matches DuckDB's µs truncation exactly, so
+    * oracle comparisons on raw ts values stay exact.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -17,10 +17,8 @@ object Ranges {
 
   /** Sensor names in the reference's dict-insertion order — error and
     * warning arrays are order-sensitive (lamda.py:94 iterates this).
-    */
-  val sensors: Seq[String] = Seq(
-    "temperature", "humidity", "water_level",
-    "nitrogen", "phosphorus", "potassium", "ph")
+    * Canonical list lives with the wire schema. */
+  val sensors: Seq[String] = graft.schema.FarmSchema.sensorFields
 
   val perLocation: Map[String, Map[String, Range]] = Map(
     "loc_1" -> Map(

@@ -60,10 +60,17 @@ object Validation {
     // Per-sensor machinery (P4–P6)
     def rawVal(s: String): Column = element_at(col("sensor_data"), s)
     def castVal(s: String): Column = rawVal(s).try_cast("double")
+    // Sentinel matching replicates Python `val in [0, 9999, -9999, '0',
+    // '9999', '-9999', 'null', 'NULL', 'NaN', None]` (lamda.py:98):
+    // numeric JSON tokens compare by value (0.0 == 0 in Python), quoted
+    // strings compare by *exact text* — a quoted "0.0" is NOT a sentinel
+    // there (it would be type-converted then range-checked), so the
+    // numeric-value branch is gated on the token being unquoted.
     def isSentinel(s: String): Column =
       rawVal(s).isNull ||
         rawVal(s).isin(StringSentinels: _*) ||
-        coalesce(castVal(s).isin(NumericSentinels: _*), lit(false))
+        when(FarmSchema.wasQuoted(raw, s), rawVal(s).isin("0", "9999", "-9999"))
+          .otherwise(coalesce(castVal(s).isin(NumericSentinels: _*), lit(false)))
     def inRange(v: Column, lo: Column, hi: Column): Column = v >= lo && v <= hi
     def locConst(f: Ranges.Range => Double, s: String): Column =
       Ranges.locations.foldLeft(lit(null).cast("double")) { (acc, loc) =>

@@ -17,6 +17,15 @@ import org.apache.spark.sql.types._
   */
 object FarmSchema {
 
+  /** Sensor names in the reference's dict-insertion order (the producer
+    * assembles sensor_data in this order, `Producer /producer.py:50-58`,
+    * and the Lambda iterates it, `Lambda/lamda.py:94`) — error/warning
+    * arrays and flattened column order are both order-sensitive.
+    */
+  val sensorFields: Seq[String] = Seq(
+    "temperature", "humidity", "water_level",
+    "nitrogen", "phosphorus", "potassium", "ph")
+
   val weatherFields: Seq[String] = Seq(
     "temperature_2m", "relative_humidity_2m", "is_day", "wind_speed_10m",
     "wind_direction_10m", "wind_gusts_10m", "rain", "precipitation",
@@ -73,10 +82,22 @@ object FarmSchema {
       .select(col(rawCol) +: wire.fieldNames.map(f => col(s"_parsed.$f")): _*)
   }
 
-  /** Schema-recursive flatten with `_` separator: structs recurse,
-    * arrays serialize to JSON strings, scalars pass through — exactly
-    * `flatten_record`'s semantics (lamda.py:333-348) but compiled from
-    * the schema once instead of per record.
+  /** Map-typed fields whose key domain is fixed by the wire contract —
+    * flatten expands these into one column per key, like the
+    * reference's dict recursion does (`flatten_record` recurses into
+    * *any* dict, `Lambda/lamda.py:337-339`; the only map-typed field is
+    * sensor_data and its keys are the producer's sensor names).
+    */
+  val knownMapKeys: Map[String, Seq[String]] = Map("sensor_data" -> sensorFields)
+
+  /** Schema-recursive flatten with `_` separator: structs recurse, maps
+    * with a known key domain expand per key, arrays serialize to JSON
+    * strings, scalars pass through — `flatten_record`'s semantics
+    * (lamda.py:333-348) but compiled from the schema once instead of
+    * per record. A map key absent in a record flattens to NULL (the
+    * reference simply omits the column for that record; landing as a
+    * uniform schema with NULLs is the columnar equivalent). Maps with
+    * an open key domain fall back to a JSON string.
     */
   def flattenColumns(schema: StructType, path: String = "", prefix: String = ""): Seq[Column] =
     schema.fields.toSeq.flatMap { f =>
@@ -85,6 +106,8 @@ object FarmSchema {
       f.dataType match {
         case s: StructType => flattenColumns(s, p, name)
         case _: ArrayType => Seq(to_json(col(p)).as(name))
+        case _: MapType if knownMapKeys.contains(f.name) =>
+          knownMapKeys(f.name).map(k => element_at(col(p), k).as(s"${name}_$k"))
         case _: MapType => Seq(to_json(col(p)).as(name))
         case _ => Seq(col(p).as(name))
       }

@@ -22,8 +22,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *  - "now" is the occurrence's event time, not wall clock
   *    (datetime.utcnow, lamda.py:250) — deterministic and replayable;
   *    occurrences are processed in event-time order per key.
-  *  - state TTL is a deterministic 1h GroupStateTimeout instead of the
-  *    reference's probabilistic 10%-per-batch sweep (lamda.py:401-416).
+  *  - state TTL is an *event-time* timeout: a key's state expires once
+  *    the stream's watermark passes 1h beyond its last occurrence —
+  *    deterministic/replayable (timeout depends only on data times),
+  *    unlike the reference's probabilistic wall-clock sweep
+  *    (lamda.py:401-416). Streaming callers must therefore set
+  *    `withWatermark` on the event-time column before [[apply]].
   *
   * At 100 TB the state is bounded by key cardinality × fixed state size
   * and Spark shards it by key across executors; the TTL keeps it from
@@ -82,8 +86,9 @@ object Throttle {
       state.remove()
       Iterator.empty
     } else {
+      val occs = occurrences.toSeq.sortBy(_.eventTime.getTime)
       var st = state.getOption.getOrElse(ThrottleState(-1L, 0))
-      val sent = occurrences.toSeq.sortBy(_.eventTime.getTime).flatMap { occ =>
+      val sent = occs.flatMap { occ =>
         val nowMs = occ.eventTime.getTime
         val (next, fire) = step(st, occ.priority, nowMs)
         st = next
@@ -93,17 +98,19 @@ object Throttle {
         else None
       }
       state.update(st)
-      if (state.getOption.isDefined) {
-        // deterministic TTL replacing the reference's random sweep
-        try state.setTimeoutDuration(StateTtlMs)
-        catch { case _: UnsupportedOperationException => () } // batch mode
-      }
+      // Deterministic event-time TTL: expire when the watermark passes
+      // 1h beyond this key's newest occurrence. Inert in batch mode
+      // (no watermark — setTimeoutTimestamp throws there).
+      try state.setTimeoutTimestamp(occs.last.eventTime.getTime + StateTtlMs)
+      catch { case _: UnsupportedOperationException => () }
       sent.iterator
     }
   }
 
   /** Apply the throttle to an occurrence stream (or batch Dataset —
-    * same code path, timeouts inert).
+    * same code path, timeouts inert). Streaming callers set
+    * `withWatermark("eventTime", …)` upstream so the event-time TTL
+    * can fire.
     */
   def apply(ds: Dataset[Occurrence]): Dataset[Sent] = {
     implicit val stEnc = Encoders.product[ThrottleState]
@@ -111,7 +118,7 @@ object Throttle {
     implicit val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
     ds.groupByKey(o => (o.locId, o.alertType))
       .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         processGroup)
   }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.stream.Throttle
+import graft.stream.Throttle.{Occurrence, ThrottleState}
+
+/** Throttle state machine (`Lambda/lamda.py:246-283`): 5-min interval
+  * suppression, CRITICAL bypass, consecutive-count threshold — unit
+  * (pure step), batch Dataset, and Structured Streaming (MemoryStream,
+  * state across micro-batches with event-time TTL).
+  */
+class ThrottleSpec extends AnyFunSuite {
+
+  private val t0 = Timestamp.valueOf("2025-08-09 12:00:00").getTime
+  private def min(n: Int): Long = n * 60 * 1000L
+
+  test("first occurrence sends (threshold = 1, lamda.py:271-283)") {
+    val (st, fire) = Throttle.step(ThrottleState(-1L, 0), "HIGH", t0)
+    assert(fire && st === ThrottleState(t0, 0))
+  }
+
+  test("re-fire within 5 min is suppressed without touching count (lamda.py:264-269)") {
+    val (st, fire) = Throttle.step(ThrottleState(t0, 0), "HIGH", t0 + min(1))
+    assert(!fire && st === ThrottleState(t0, 0))
+  }
+
+  test("re-fire after the interval sends again") {
+    val (st, fire) = Throttle.step(ThrottleState(t0, 0), "HIGH", t0 + min(6))
+    assert(fire && st === ThrottleState(t0 + min(6), 0))
+  }
+
+  test("CRITICAL bypasses throttling and stamps lastSent without resetting count (lamda.py:257-261)") {
+    val (st, fire) = Throttle.step(ThrottleState(t0, 3), "CRITICAL", t0 + min(1))
+    assert(fire && st === ThrottleState(t0 + min(1), 3))
+  }
+
+  test("higher threshold requires consecutive occurrences") {
+    val s0 = ThrottleState(-1L, 0)
+    val (s1, f1) = Throttle.step(s0, "HIGH", t0, threshold = 3)
+    val (s2, f2) = Throttle.step(s1, "HIGH", t0 + min(6), threshold = 3)
+    val (s3, f3) = Throttle.step(s2, "HIGH", t0 + min(12), threshold = 3)
+    assert(!f1 && !f2 && f3 && s3 === ThrottleState(t0 + min(12), 0))
+  }
+
+  private def occ(atMs: Long, key: String = "loc_1|High Temperature",
+      priority: String = "HIGH"): Occurrence = {
+    val Array(loc, tpe) = key.split('|')
+    Occurrence(loc, tpe, priority, "d", s"evt_$atMs", new Timestamp(atMs))
+  }
+
+  test("batch Dataset: t, t+1min, t+6min → sent at t and t+6min (FIXTURES throttle_sequence)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val sent = Throttle(Seq(
+      occ(t0), occ(t0 + min(1)), occ(t0 + min(6)),
+      occ(t0 + min(1), key = "loc_2|High Temperature") // independent key
+    ).toDS()).collect().map(s => (s.locId, s.sentTime.getTime)).sortBy(_._2)
+    assert(sent.toList === List(
+      ("loc_1", t0), ("loc_2", t0 + min(1)), ("loc_1", t0 + min(6))))
+  }
+
+  test("streaming: state persists across micro-batches with event-time watermark") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Occurrence]
+    val q = Throttle(input.toDS().withWatermark("eventTime", "10 minutes"))
+      .writeStream.format("memory").queryName("throttle_sent")
+      .outputMode("append").start()
+    try {
+      input.addData(occ(t0))
+      q.processAllAvailable()
+      input.addData(occ(t0 + min(1))) // suppressed by state from batch 1
+      q.processAllAvailable()
+      input.addData(occ(t0 + min(6))) // past the interval → sends
+      q.processAllAvailable()
+      val sent = spark.table("throttle_sent")
+        .collect().map(_.getAs[Timestamp]("sentTime").getTime).sorted.toList
+      assert(sent === List(t0, t0 + min(6)))
+    } finally q.stop()
+  }
+}

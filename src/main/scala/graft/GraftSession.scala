@@ -29,6 +29,7 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorExpressions.register(spark)
     spark
   }
 }

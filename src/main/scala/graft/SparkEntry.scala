@@ -13,7 +13,10 @@ object SparkEntry {
   /** Full capability registry, assembled per module. */
   def registry: Seq[Q] =
     _root_.graft.queries.CoreQueries.all ++
-      _root_.graft.analytics.Dashboard.all
+      _root_.graft.analytics.Dashboard.all ++
+      _root_.graft.ext.TextAnalysis.all ++
+      _root_.graft.ext.Dedup.all ++
+      _root_.graft.ext.Similarity.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,206 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Deduplication operators for a training-data pipeline, over the
+  * `documents` table: exact (hash groupBy), n-gram Jaccard similarity
+  * join, MinHash+LSH near-dup, and SimHash with pigeonhole banding.
+  *
+  * All hash math goes through [[Portable]] (md5-derived 60-bit ints) so
+  * every stage — signatures, bands, candidate pairs — is reproduced
+  * bit-for-bit by the DuckDB oracle: even the *approximate* operators
+  * are verified exactly, not rows-only.
+  *
+  * Scale design (100 TB): the expensive primitive is the shingle
+  * self-join. Exact Jaccard (q35) is quadratic in group fan-out and is
+  * kept as the ground-truth baseline; MinHash-LSH (q36) is the scale
+  * path — candidate generation touches only (doc × k) signature rows,
+  * shuffles on (i, minhash) buckets, and verifies exact Jaccard on the
+  * (tiny) candidate set. SimHash (q37) banding is the pigeonhole-exact
+  * variant: 13 bands over 60 bits guarantee every pair within hamming
+  * distance 12 collides in ≥1 band, so blocking loses nothing. Skewed
+  * buckets (a band value shared by many docs) would be salted or
+  * length-partitioned at cluster scale; AQE skew-join handles moderate
+  * cases.
+  */
+object Dedup {
+
+  /** Distinct word 5-gram shingles per doc: (doc_id, sh).
+    * Precondition: every doc has ≥5 tokens (TESTDATA min is 10) —
+    * `sequence(1, n)` with n < 1 would generate a *descending* sequence
+    * in Spark, not an empty one.
+    */
+  private def shingles5(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr("split(text, ' ')").as("ts"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(ts) - 4), i -> array_join(slice(ts, i, 5), ' ')))"))
+        .as("sh"))
+
+  /** DuckDB mirror of [[shingles5]] as a CTE body. */
+  private val shingles5Duck =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts) - 3),
+      |         i -> array_to_string(ts[i:i+4], ' ')))) AS sh FROM tok)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    // ── Exact dedup: content-hash groupBy, keep-first survivor ─────────
+    // One shuffle on the content hash; at 100 TB this is the standard
+    // hash-partitioned exact dedup (no sort, no window over raw text —
+    // the window here is per text group, which Spark runs after the
+    // same single exchange).
+    Q(
+      "q34_exact_dedup",
+      """SELECT doc_id, md5(text) AS content_hash, n_copies
+        |FROM (SELECT doc_id, text,
+        |        count(*) OVER (PARTITION BY text) AS n_copies,
+        |        min(doc_id) OVER (PARTITION BY text) AS keep_id
+        |      FROM documents)
+        |WHERE doc_id = keep_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("text")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          count(lit(1)).over(w).as("n_copies"),
+          min("doc_id").over(w).as("keep_id"))
+        .filter(col("doc_id") === col("keep_id"))
+        .select(col("doc_id"), md5(col("text")).as("content_hash"), col("n_copies"))
+    },
+
+    // ── Exact n-gram Jaccard similarity join (ground truth) ────────────
+    Q(
+      "q35_ngram_jaccard",
+      s"""WITH $shingles5Duck,
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |  floor((c * 1.0 / (sa.n + sb.n - c)) * 1000000.0) / 1000000.0 AS jaccard
+         |FROM pairs
+         |JOIN sz sa ON sa.doc_id = a_id
+         |JOIN sz sb ON sb.doc_id = b_id
+         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5""".stripMargin) { (s, d) =>
+      val sh = shingles5(s, d)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("c"))
+      pairs
+        .join(broadcast(sz.as("sa")), col("sa.doc_id") === col("a_id"))
+        .join(broadcast(sz.as("sb")), col("sb.doc_id") === col("b_id"))
+        .filter(expr("c * 1.0D / (sa.n + sb.n - c) >= 0.5D"))
+        .select(col("a_id"), col("b_id"),
+          expr("floor((c * 1.0D / (sa.n + sb.n - c)) * 1000000.0D) / 1000000.0D").as("jaccard"))
+    },
+
+    // ── MinHash + LSH near-dup (the scale path) ────────────────────────
+    // k=16 min-hashes, bands of 1 row (candidate = any signature
+    // collision), exact-Jaccard verification on candidates only. On this
+    // corpus recall vs q35 is 100% (measured at sf0.01 and sf0.1); at
+    // 100 TB the candidate join shuffles (i, minhash) buckets instead of
+    // raw shingles.
+    Q(
+      "q36_minhash_lsh",
+      s"""WITH $shingles5Duck,
+         |hh AS (SELECT doc_id, ${Portable.h60Duck("sh")} AS h FROM sh),
+         |sig AS (SELECT doc_id, i, min(${Portable.permDuck("h", "i")}) AS mh
+         |        FROM hh, generate_series(0, 15) g(i) GROUP BY doc_id, i),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |         FROM sig a JOIN sig b
+         |           ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.a_id, c.b_id, count(*) AS c
+         |           FROM cand c
+         |           JOIN sh a ON a.doc_id = c.a_id
+         |           JOIN sh b ON b.doc_id = c.b_id AND b.sh = a.sh
+         |           GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |  floor((c * 1.0 / (sa.n + sb.n - c)) * 1000000.0) / 1000000.0 AS jaccard
+         |FROM common
+         |JOIN sz sa ON sa.doc_id = a_id
+         |JOIN sz sb ON sb.doc_id = b_id
+         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5""".stripMargin) { (s, d) =>
+      val sh = shingles5(s, d)
+      val hh = sh.select(col("doc_id"), expr(Portable.h60Spark("sh")).as("h"))
+      val sig = hh
+        .select(col("doc_id"), col("h"), explode(expr("sequence(0, 15)")).as("i"))
+        .groupBy("doc_id", "i")
+        .agg(min(expr(Portable.permSpark("h", "i"))).as("mh"))
+      val cand = sig.as("a")
+        .join(sig.as("b"),
+          col("a.i") === col("b.i") && col("a.mh") === col("b.mh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val common = cand
+        .join(sh.as("sa2"), col("sa2.doc_id") === col("a_id"))
+        .join(sh.as("sb2"),
+          col("sb2.doc_id") === col("b_id") && col("sb2.sh") === col("sa2.sh"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+      common
+        .join(broadcast(sz.as("sa")), col("sa.doc_id") === col("a_id"))
+        .join(broadcast(sz.as("sb")), col("sb.doc_id") === col("b_id"))
+        .filter(expr("c * 1.0D / (sa.n + sb.n - c) >= 0.5D"))
+        .select(col("a_id"), col("b_id"),
+          expr("floor((c * 1.0D / (sa.n + sb.n - c)) * 1000000.0D) / 1000000.0D").as("jaccard"))
+    },
+
+    // ── SimHash near-dup with pigeonhole banding ───────────────────────
+    // 60-bit fingerprint over word 3-gram features (frequency-weighted);
+    // 13 bands (8×5 bits + 5×4 bits) guarantee any pair with hamming
+    // ≤ 12 shares a full band, so the blocked join is exactly equivalent
+    // to the quadratic scan. Bit sums are integers — no fp-order issues.
+    Q(
+      "q37_simhash",
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+         |         i -> array_to_string(ts[i:i+2], ' '))) AS sh FROM tok),
+         |th AS (SELECT doc_id, ${Portable.h60Duck("sh")} AS h FROM sh),
+         |bits AS (SELECT doc_id, i AS j,
+         |           SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+         |         FROM th, generate_series(0, 59) g(i) GROUP BY doc_id, i),
+         |fp AS (SELECT doc_id, SUM(CASE WHEN sgn >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS fp
+         |       FROM bits GROUP BY doc_id),
+         |bands AS (SELECT doc_id, fp, b,
+         |            CASE WHEN b < 8 THEN (fp >> (5 * b)) & 31
+         |                 ELSE (fp >> (40 + 4 * (b - 8))) & 15 END AS bv
+         |          FROM fp, generate_series(0, 12) g(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |                a.fp AS afp, b.fp AS bfp
+         |         FROM bands a JOIN bands b
+         |           ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, bit_count(xor(afp, bfp)) AS hamming
+         |FROM cand WHERE bit_count(xor(afp, bfp)) <= 12""".stripMargin) { (s, d) =>
+      val sh3 = Tables.documents(s, d)
+        .select(col("doc_id"), expr("split(text, ' ')").as("ts"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ts) - 2), i -> array_join(slice(ts, i, 3), ' '))"))
+          .as("sh"))
+      val th = sh3.select(col("doc_id"), expr(Portable.h60Spark("sh")).as("h"))
+      val bits = th
+        .select(col("doc_id"), col("h"), explode(expr("sequence(0, 59)")).as("j"))
+        .groupBy("doc_id", "j")
+        .agg(sum(expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END")).as("sgn"))
+      val fp = bits.groupBy("doc_id")
+        .agg(sum(expr("CASE WHEN sgn >= 0 THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END")).as("fp"))
+      val bands = fp
+        .select(col("doc_id"), col("fp"), explode(expr("sequence(0, 12)")).as("b"))
+        .withColumn("bv", expr(
+          "CASE WHEN b < 8 THEN shiftright(fp, 5 * b) & 31 ELSE shiftright(fp, 40 + 4 * (b - 8)) & 15 END"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.fp").as("afp"), col("b.fp").as("bfp"))
+        .distinct()
+        .filter(expr("bit_count(afp ^ bfp) <= 12"))
+        .select(col("a_id"), col("b_id"), expr("bit_count(afp ^ bfp)").as("hamming"))
+    })
+}

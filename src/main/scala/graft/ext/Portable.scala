@@ -1,0 +1,31 @@
+package graft.ext
+
+/** Hash/expression fragments computable bit-identically in Spark SQL and
+  * in the DuckDB oracle, so hash-based operators (MinHash, SimHash,
+  * fingerprinting) can be verified exactly rather than rows-only.
+  *
+  * The base primitive is a 60-bit integer hash derived from md5 — both
+  * engines produce the same md5 hex string, and 15 hex chars (60 bits)
+  * fit a signed 64-bit integer:
+  *   Spark:  cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint)
+  *   DuckDB: ('0x' || substr(md5(x), 1, 15))::BIGINT
+  */
+object Portable {
+  /** Spark-side 60-bit hash of a string SQL expression. */
+  def h60Spark(x: String): String =
+    s"cast(conv(substr(md5($x), 1, 15), 16, 10) as bigint)"
+
+  /** DuckDB-side 60-bit hash of a string SQL expression. */
+  def h60Duck(x: String): String =
+    s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+
+  /** MinHash permutation family over a base hash `h`, reduced mod a
+    * 31-bit prime: (a_i * (h % P) + b_i) % P with a_i = 37 i + 11,
+    * b_i = 17 i + 7. Products stay < 2^63 for i < ~2000. Same text in
+    * both dialects.
+    */
+  val P = 2147483647L
+  def permSpark(h: String, i: String): String =
+    s"(((37 * $i + 11) * ($h % $P) + (17 * $i + 7)) % $P)"
+  def permDuck(h: String, i: String): String = permSpark(h, i)
+}

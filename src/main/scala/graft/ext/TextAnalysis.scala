@@ -1,0 +1,149 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Text-analysis operators for a large-scale training-data pipeline,
+  * over the `documents` table: token counting, n-gram/stopword language
+  * identification, quality scoring, and content fingerprinting.
+  *
+  * All four are embarrassingly parallel per-document projections — no
+  * shuffle at all (narrow map over the parquet scan), so they scale
+  * linearly with input splits at 100 TB. Expressions stay inside
+  * whole-stage codegen (built-in string/array functions, no UDFs).
+  */
+object TextAnalysis {
+
+  private val stopEn = "'the','a','of','to','and','is'"
+  private val stopDe = "'der','die','das','und','ist','ein'"
+  private val stopFr = "'le','la','les','et','est','un'"
+  private val stopEs = "'el','los','las','es','y','un'"
+  private val stopZh = "'的','是','了','在','我','有'"
+
+  val all: Seq[Q] = Seq(
+    // ── Token counting: whitespace tokens + a BPE-ish regex pass ───────
+    Q(
+      "q30_token_stats",
+      """SELECT doc_id,
+        |  len(string_split(text, ' '))                     AS n_tokens,
+        |  len(list_distinct(string_split(text, ' ')))      AS n_distinct,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+        |  n_chars,
+        |  round(length(text) * 1.0 / len(string_split(text, ' ')), 4) AS avg_token_span
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"),
+        expr("cast(size(array_distinct(split(text, ' '))) as bigint)").as("n_distinct"),
+        expr("cast(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) as bigint)").as("n_bpe_tokens"),
+        col("n_chars"),
+        expr("round(length(text) * 1.0 / size(split(text, ' ')), 4)").as("avg_token_span"))
+    },
+
+    // ── Language ID: stopword-evidence scores + deterministic argmax ───
+    // Heuristic langID as in CCNet/fastText-lite pipelines: score each
+    // candidate language by stopword hits, argmax with a fixed tiebreak
+    // order. Pure projection; the stopword sets are tiny literals.
+    Q(
+      "q31_lang_id",
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+         |       WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+         |       WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+         |       WHEN s_es >= s_zh THEN 'es'
+         |       ELSE 'zh' END AS predicted_lang,
+         |  round(greatest(s_en, s_de, s_fr, s_es, s_zh) * 1.0 / n_tokens, 4) AS confidence
+         |FROM (SELECT doc_id, lang,
+         |        len(string_split(text, ' ')) AS n_tokens,
+         |        len(list_filter(string_split(text, ' '), t -> t IN ($stopEn))) AS s_en,
+         |        len(list_filter(string_split(text, ' '), t -> t IN ($stopDe))) AS s_de,
+         |        len(list_filter(string_split(text, ' '), t -> t IN ($stopFr))) AS s_fr,
+         |        len(list_filter(string_split(text, ' '), t -> t IN ($stopEs))) AS s_es,
+         |        len(list_filter(string_split(text, ' '), t -> t IN ($stopZh))) AS s_zh
+         |      FROM documents)""".stripMargin) { (s, d) =>
+      def score(set: String) = s"size(filter(split(text, ' '), t -> t IN ($set)))"
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"), col("lang"),
+          expr("size(split(text, ' '))").as("n_tokens"),
+          expr(score(stopEn)).as("s_en"),
+          expr(score(stopDe)).as("s_de"),
+          expr(score(stopFr)).as("s_fr"),
+          expr(score(stopEs)).as("s_es"),
+          expr(score(stopZh)).as("s_zh"))
+        .select(
+          col("doc_id"), col("lang"),
+          expr("""CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+                 |     WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+                 |     WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+                 |     WHEN s_es >= s_zh THEN 'es'
+                 |     ELSE 'zh' END""".stripMargin).as("predicted_lang"),
+          expr("round(greatest(s_en, s_de, s_fr, s_es, s_zh) * 1.0 / n_tokens, 4)").as("confidence"))
+    },
+
+    // ── Quality scoring: length / punctuation / stopword ratios ────────
+    // Scores are floor-truncated, not round()ed: the doubles are
+    // bit-identical across engines (same op order), but round()'s
+    // half-tie rule differs (Spark half-up vs DuckDB half-even) and the
+    // small-rational scores here do land on exact ties. floor has no tie
+    // rule, so truncation is exactly portable.
+    Q(
+      "q32_quality_score",
+      s"""SELECT doc_id, n_tokens,
+         |  floor(punct * 1000000.0 / n_chars) / 1000000.0  AS punct_ratio,
+         |  floor(stops * 1000000.0 / n_tokens) / 1000000.0 AS stop_ratio,
+         |  floor((0.5 * least(n_chars / 200.0, 1.0)
+         |      + 0.25 * (1.0 - punct * 1.0 / n_chars)
+         |      + 0.25 * least(stops * 5.0 / n_tokens, 1.0)) * 10000.0) / 10000.0 AS quality,
+         |  CASE WHEN 0.5 * least(n_chars / 200.0, 1.0)
+         |          + 0.25 * (1.0 - punct * 1.0 / n_chars)
+         |          + 0.25 * least(stops * 5.0 / n_tokens, 1.0) >= 0.8 THEN 'high'
+         |       WHEN 0.5 * least(n_chars / 200.0, 1.0)
+         |          + 0.25 * (1.0 - punct * 1.0 / n_chars)
+         |          + 0.25 * least(stops * 5.0 / n_tokens, 1.0) >= 0.5 THEN 'medium'
+         |       ELSE 'low' END AS quality_bucket
+         |FROM (SELECT doc_id, n_chars,
+         |        len(string_split(text, ' ')) AS n_tokens,
+         |        length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS punct,
+         |        len(list_filter(string_split(text, ' '), t -> t IN ($stopEn))) AS stops
+         |      FROM documents)""".stripMargin) { (s, d) =>
+      // D-suffixed literals force DOUBLE: Spark would otherwise parse
+      // `200.0` as DECIMAL and do exact decimal arithmetic where DuckDB
+      // does IEEE double — same formula, different last-ulp results.
+      val q = "0.5D * least(n_chars / 200.0D, 1.0D)" +
+        " + 0.25D * (1.0D - punct * 1.0D / n_chars)" +
+        " + 0.25D * least(stops * 5.0D / n_tokens, 1.0D)"
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"), col("n_chars"),
+          expr("size(split(text, ' '))").as("n_tokens"),
+          expr("length(text) - length(regexp_replace(text, '[^a-z0-9 ]', ''))").as("punct"),
+          expr(s"size(filter(split(text, ' '), t -> t IN ($stopEn)))").as("stops"))
+        .select(
+          col("doc_id"), col("n_tokens"),
+          expr("floor(punct * 1000000.0D / n_chars) / 1000000.0D").as("punct_ratio"),
+          expr("floor(stops * 1000000.0D / n_tokens) / 1000000.0D").as("stop_ratio"),
+          expr(s"floor(($q) * 10000.0D) / 10000.0D").as("quality"),
+          expr(s"CASE WHEN $q >= 0.8D THEN 'high' WHEN $q >= 0.5D THEN 'medium' ELSE 'low' END")
+            .as("quality_bucket"))
+    },
+
+    // ── Content fingerprinting: md5 + min 8-gram rolling fingerprint ───
+    // The 60-bit min-shingle fingerprint is the winnowing-style signature
+    // used for fuzzy containment; n_copies counts exact duplicates.
+    Q(
+      "q33_fingerprint",
+      s"""SELECT doc_id, md5(text) AS content_md5,
+         |  list_min(list_transform(range(1, length(text) - 6),
+         |           i -> ${Portable.h60Duck("substr(text, i::INT, 8)")})) AS fp_min8,
+         |  count(*) OVER (PARTITION BY text) AS n_copies
+         |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(col("text")).as("content_md5"),
+        expr(s"array_min(transform(sequence(1, length(text) - 7), i -> ${Portable.h60Spark("substr(text, i, 8)")}))")
+          .as("fp_min8"),
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("text")).as("n_copies"))
+    })
+}

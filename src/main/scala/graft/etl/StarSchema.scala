@@ -1,0 +1,159 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch star-schema ETL — the reference's Glue job + Redshift
+  * transform (`ETL job - Glue/s3-to-redshift.py:76-190`,
+  * `DWH - Redshift/Transforming Tables.sql`, SURVEY.md §2 J1–J3/A3,
+  * §3 E2): candidate dim rows are DISTINCT projections of the new
+  * readings, upserted idempotently via anti-join against the existing
+  * dim, and the fact resolves surrogate keys through natural-key
+  * equality joins.
+  *
+  * Semantics preserved from the reference:
+  *  - dim_location dedups on loc_id ONLY; dim_time on full_date ONLY;
+  *    dim_soil/dim_weather on their full column tuples (NOT EXISTS) —
+  *    `s3-to-redshift.py:80-148`.
+  *  - `NOT IN` null-sensitivity never bites because of the IS NOT NULL
+  *    pre-filters, so `left_anti` is exactly equivalent (SURVEY §7.4).
+  *  - fact↔dim joins compare DOUBLEs for equality — intentional and
+  *    correct because dims are projections of the same rows; never
+  *    round (SURVEY §7.4).
+  *  - IDENTITY surrogate keys become `maxExisting + row_number()` over
+  *    the natural key — deterministic, gap-free per batch, and stable
+  *    under re-runs of the same input (unlike
+  *    monotonically_increasing_id).
+  *
+  * Scale notes: dims are tiny (3 locations; minutes-cardinality time;
+  * sensor-tuple cardinality ≪ fact) → every fact join is a broadcast
+  * hash join, no fact shuffle at all. The dim-side DISTINCT +
+  * row_number over a small dedup'd set is the only exchange, on
+  * already-reduced data. The anti-join reads only the dim's natural-key
+  * columns (column pruning).
+  */
+object StarSchema {
+
+  /** DISTINCT + NOT-NULL candidates, minus rows already in `existing`
+    * (anti-join on `matchCols`), with surrogate keys continuing from
+    * the existing max.
+    */
+  private def upsertRows(
+      candidates: DataFrame,
+      existing: Option[DataFrame],
+      matchCols: Seq[String],
+      keyName: String,
+      orderCols: Seq[String]): DataFrame = {
+    val fresh = existing match {
+      case Some(dim) => candidates.join(dim.select(matchCols.map(col): _*),
+        matchCols, "left_anti")
+      case None => candidates
+    }
+    val base = existing
+      .map(_.agg(coalesce(max(col(keyName)), lit(0L))).head.getLong(0))
+      .getOrElse(0L)
+    fresh.withColumn(keyName,
+      row_number().over(Window.orderBy(orderCols.map(col): _*)).cast("long") + base)
+  }
+
+  /** dim_location(location_key, loc_id, latitude, longitude) — new
+    * loc_ids only (`s3-to-redshift.py:80-86`).
+    */
+  def dimLocation(readings: DataFrame, existing: Option[DataFrame] = None): DataFrame =
+    upsertRows(
+      readings.filter(col("loc_id").isNotNull)
+        .select("loc_id", "latitude", "longitude").distinct(),
+      existing, Seq("loc_id"), "location_key", Seq("loc_id"))
+
+  /** dim_time(full_date, year, month, day, hour, minute) — natural PK,
+    * no surrogate (`Creating Tables.sql:9-16`, `s3-to-redshift.py:89-101`).
+    */
+  def dimTime(readings: DataFrame, existing: Option[DataFrame] = None): DataFrame = {
+    val candidates = readings.filter(col("timestamp").isNotNull)
+      .select(
+        col("timestamp").as("full_date"),
+        year(col("timestamp")).as("year"),
+        month(col("timestamp")).as("month"),
+        dayofmonth(col("timestamp")).as("day"),
+        hour(col("timestamp")).as("hour"),
+        minute(col("timestamp")).as("minute"))
+      .distinct()
+    existing match {
+      case Some(dim) => candidates.join(dim.select("full_date"), Seq("full_date"), "left_anti")
+      case None => candidates
+    }
+  }
+
+  /** dim_soil(soil_key, ph, nitrogen, phosphorus, potassium)
+    * (`s3-to-redshift.py:104-119`).
+    */
+  def dimSoil(readings: DataFrame, existing: Option[DataFrame] = None): DataFrame = {
+    val cols = Seq("ph", "nitrogen", "phosphorus", "potassium")
+    upsertRows(
+      readings.na.drop(cols).select(cols.map(col): _*).distinct(),
+      existing, cols, "soil_key", cols)
+  }
+
+  /** dim_weather(weather_key, weather_temperature, weather_humidity,
+    * wind_speed, wind_direction, rain, surface_pressure)
+    * (`s3-to-redshift.py:122-148`; note only temperature_2m is
+    * null-filtered, as written there).
+    */
+  def dimWeather(readings: DataFrame, existing: Option[DataFrame] = None): DataFrame = {
+    val out = Seq("weather_temperature", "weather_humidity", "wind_speed",
+      "wind_direction", "rain", "surface_pressure")
+    upsertRows(
+      readings.filter(col("weather_temperature_2m").isNotNull)
+        .select(
+          col("weather_temperature_2m").as("weather_temperature"),
+          col("weather_relative_humidity_2m").as("weather_humidity"),
+          col("weather_wind_speed_10m").as("wind_speed"),
+          col("weather_wind_direction_10m").as("wind_direction"),
+          col("weather_rain").as("rain"),
+          col("weather_surface_pressure").as("surface_pressure"))
+        .distinct(),
+      existing, out, "weather_key", out)
+  }
+
+  /** fact_sensor_readings — 4-way broadcast equi-join resolving
+    * surrogate keys through natural keys (`s3-to-redshift.py:153-190`,
+    * `Transforming Tables.sql:48-102`). Inner joins: readings whose dim
+    * row was filtered (nulls) drop out, as in the reference.
+    */
+  def fact(
+      readings: DataFrame,
+      dimLocation: DataFrame,
+      dimTime: DataFrame,
+      dimSoil: DataFrame,
+      dimWeather: DataFrame): DataFrame = {
+    readings.as("v")
+      .join(broadcast(dimLocation.as("l")),
+        col("v.loc_id") === col("l.loc_id") &&
+          col("v.latitude") === col("l.latitude") &&
+          col("v.longitude") === col("l.longitude"))
+      .join(broadcast(dimWeather.as("w")),
+        col("v.weather_temperature_2m") === col("w.weather_temperature") &&
+          col("v.weather_relative_humidity_2m") === col("w.weather_humidity") &&
+          col("v.weather_wind_speed_10m") === col("w.wind_speed") &&
+          col("v.weather_wind_direction_10m") === col("w.wind_direction") &&
+          col("v.weather_rain") === col("w.rain") &&
+          col("v.weather_surface_pressure") === col("w.surface_pressure"))
+      .join(broadcast(dimSoil.as("s")),
+        col("v.ph") === col("s.ph") &&
+          col("v.nitrogen") === col("s.nitrogen") &&
+          col("v.phosphorus") === col("s.phosphorus") &&
+          col("v.potassium") === col("s.potassium"))
+      .join(broadcast(dimTime.as("t")), col("v.timestamp") === col("t.full_date"))
+      .select(
+        col("v.event_id").as("evt_id"),
+        col("l.location_key"),
+        col("w.weather_key"),
+        col("s.soil_key"),
+        col("t.full_date"),
+        col("v.temperature").as("soil_temperature"),
+        col("v.humidity").as("soil_humidity"),
+        col("v.water_level"),
+        col("v.validation_status"))
+  }
+}

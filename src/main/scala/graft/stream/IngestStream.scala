@@ -1,0 +1,127 @@
+package graft.stream
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.rules.{Alerts, Validation}
+import graft.schema.FarmSchema
+
+/** The streaming event path (SURVEY.md §3 E1): raw JSON payloads →
+  * parse → validate → alert-derive → status-routed lake sink, plus the
+  * throttled alert stream — the reference's Kinesis→Lambda→S3/SNS
+  * pipeline (`Lambda/lamda.py:395-530`) as one Structured Streaming
+  * topology.
+  *
+  * The record path is stateless column work (micro-batch or
+  * `availableNow`, identical in batch — [[process]] is reused by batch
+  * callers and tests). The only stateful hop is the alert throttle
+  * ([[Throttle]], flatMapGroupsWithState) keyed by (loc_id,
+  * alert_type) — at scale, state shards by key and the event-time TTL
+  * bounds it; everything else scales embarrassingly with source
+  * partitions.
+  *
+  * Sink layout mirrors the reference's status routing
+  * (`lamda.py:474-479`, key layout `:367`): VALID → `valid`, WARNING →
+  * `valid/warnings`, INVALID → `invalid`, unparseable JSON →
+  * `errors/json_decode`; we partition by (route, loc_id) which makes
+  * status/location slices partition-pruned scans downstream. The
+  * reference's `errors/processing` route (arbitrary Python exceptions)
+  * has no analog: the column pipeline is total on its input.
+  */
+object IngestStream {
+
+  /** Stateless record path: parse + validate + alerts + route. Input
+    * needs one string column `raw` (the decoded payload — Kinesis'
+    * base64 would be `unbase64` upstream; SURVEY §2.1 S4).
+    */
+  def process(raw: DataFrame): DataFrame = {
+    val parsed = FarmSchema.parse(raw, "raw")
+    val withAlerts = Alerts.derive(Validation.annotate(parsed))
+    // Malformed JSON → PERMISSIVE from_json fills _corrupt_record with
+    // the raw text (a malformed row parses to all-null fields, NOT a
+    // null struct) — the reference's json.JSONDecodeError branch
+    // (lamda.py:488-503).
+    val corrupt = from_json(col("raw"),
+      FarmSchema.wire.add("_corrupt_record", org.apache.spark.sql.types.StringType),
+      Map("columnNameOfCorruptRecord" -> "_corrupt_record").asJava)
+      .getField("_corrupt_record")
+    withAlerts.withColumn("route",
+      when(corrupt.isNotNull, "errors/json_decode")
+        .when(col("validation_status") === "INVALID", "invalid")
+        .when(col("validation_status") === "WARNING", "valid/warnings")
+        .otherwise("valid"))
+  }
+
+  /** Flatten for the lake sink — drops the raw payload and nested
+    * structs, mirroring `flatten_record` before upload (lamda.py:360).
+    */
+  def flattened(processed: DataFrame): DataFrame =
+    FarmSchema.flatten(processed.drop("raw"))
+      .withColumn("processing_timestamp", date_format(current_timestamp(),
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
+      .withColumn("processor_version", lit("1.0"))
+
+  /** Alert occurrences for the throttle: one row per (record, alert). */
+  def occurrences(processed: DataFrame): Dataset[Throttle.Occurrence] = {
+    val spark = processed.sparkSession
+    import spark.implicits._
+    processed
+      .select(col("event_id"), col("loc_id"), col("timestamp"),
+        explode(col("alerts")).as("alert"))
+      .select(
+        coalesce(col("loc_id"), lit("unknown")).as("locId"),
+        col("alert.type").as("alertType"),
+        col("alert.priority").as("priority"),
+        col("alert.description").as("description"),
+        coalesce(col("event_id"), lit("unknown")).as("eventId"),
+        to_timestamp(col("timestamp")).as("eventTime"))
+      .filter(col("eventTime").isNotNull)
+      .as[Throttle.Occurrence]
+  }
+
+  /** Wire the full topology on a streaming `raw` DataFrame: the routed
+    * lake sink (foreachBatch, partitioned by route/loc_id) and the
+    * throttled alert sink. Returns both queries; callers await/stop.
+    */
+  def start(
+      rawStream: DataFrame,
+      lakePath: String,
+      alertPath: String,
+      checkpointRoot: String,
+      watermarkDelay: String = "10 minutes"): (StreamingQuery, StreamingQuery) = {
+    val lake = process(rawStream)
+    val lakeQuery = lake.writeStream
+      .queryName("graft-ingest-lake")
+      .option("checkpointLocation", s"$checkpointRoot/lake")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        flattened(batch)
+          .write.mode("append")
+          .partitionBy("route", "loc_id")
+          .json(lakePath)
+      }
+      .start()
+
+    val occ = occurrences(process(rawStream))
+    val sent = Throttle(occ.withWatermark("eventTime", watermarkDelay))
+    val alertQuery = sent.toDF()
+      .writeStream
+      .queryName("graft-ingest-alerts")
+      .option("checkpointLocation", s"$checkpointRoot/alerts")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", alertPath)
+      .start()
+
+    (lakeQuery, alertQuery)
+  }
+
+  /** Convenience source for tests/fixtures: a directory of JSONL files
+    * read as a text stream (the file-source analog of the Kinesis
+    * batches, SURVEY §2.1 S1/S3).
+    */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.text(dir).withColumnRenamed("value", "raw")
+}

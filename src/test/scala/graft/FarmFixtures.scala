@@ -20,7 +20,8 @@ object FarmFixtures {
       locId: Option[String] = Some("loc_1"),
       sensors: Seq[(String, String)] = defaultSensors,
       weatherTemp: Option[String] = Some("31.0"),
-      eventId: String = "evt_000000000001"): String = {
+      eventId: String = "evt_000000000001",
+      timestamp: String = "2025-08-09T12:00:00.000000Z"): String = {
     val loc = locId.map(l => s""""loc_id": "$l", """).getOrElse("")
     val sensorJson = sensors.map { case (k, v) => s""""$k": $v""" }.mkString(", ")
     val weather = weatherTemp.map { t =>
@@ -30,7 +31,7 @@ object FarmFixtures {
          | "surface_pressure": 1009.0, "apparent_temperature": 33.0}""".stripMargin
         .replace("\n", "")
     }.getOrElse("")
-    s"""{"event_id": "$eventId", "timestamp": "2025-08-09T12:00:00.000000Z", """ +
+    s"""{"event_id": "$eventId", "timestamp": "$timestamp", """ +
       loc +
       s""""location": {"latitude": 23.4219, "longitude": 30.5978}, """ +
       s""""sensor_data": {$sensorJson}""" + weather + "}"

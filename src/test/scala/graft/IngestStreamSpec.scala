@@ -70,11 +70,22 @@ class IngestStreamSpec extends AnyFunSuite {
     assert(landed.columns.contains("sensor_data_temperature"))
 
     val sent = spark.read.parquet(alerts)
-    // evt_b fires High Temperature (38 > 35); evt_c fires CRITICAL
+    // evt_b fires High Temperature (52 > 35); evt_c fires CRITICAL
     // sensor_failure (extreme_value) which bypasses the throttle
     val types = sent.select("alertType").collect().map(_.getString(0)).toSet
     assert(types.contains("High Temperature"))
     assert(types.contains("Sensor Failure"))
+    // SNS-shaped formatting with recommended-action lookup
+    val msg = sent.filter(col("alertType") === "High Temperature")
+      .select("message").head.getString(0)
+    assert(msg.contains("Recommended Action: Increase irrigation frequency"))
+
+    // batch summary metrics observed on the lake query (A4)
+    val observed = lakeQ.recentProgress
+      .flatMap(p => Option(p.observedMetrics.get("graft_ingest")))
+    assert(observed.nonEmpty)
+    assert(observed.map(_.getLong(0)).sum === 3) // n_records
+    assert(observed.map(_.getLong(1)).sum === 1) // n_invalid
   }
 
   test("warning route is a subdirectory of valid (reference key layout)") {

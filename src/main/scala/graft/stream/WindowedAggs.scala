@@ -1,0 +1,43 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed aggregation with watermarking (SURVEY.md §2.7
+  * ST5, §2.4 A7): the dashboard's hourly series as a *streaming*
+  * query — tumbling windows over the event-time column, append-mode
+  * emission once the watermark passes the window end.
+  *
+  * Scale notes: state is one row per (window, key) — bounded by the
+  * watermark horizon, not stream history; partial aggregation runs
+  * map-side before the keyed exchange, so the shuffle carries
+  * already-reduced rows. The same plan runs in batch (watermark is a
+  * no-op there), which is how the oracle-checked q22/q23 verify the
+  * aggregation semantics this operator streams.
+  */
+object WindowedAggs {
+
+  /** Tumbling event-time windows of `width` over `tsCol`, summing and
+    * counting `valueCol` per (window × keyCols). Works on streaming and
+    * batch frames alike.
+    */
+  def tumbling(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      width: String = "1 hour",
+      delay: String = "10 minutes",
+      keyCols: Seq[String] = Nil): DataFrame = {
+    val base = if (df.isStreaming) df.withWatermark(tsCol, delay) else df
+    base
+      .groupBy(window(col(tsCol), width) +: keyCols.map(col): _*)
+      .agg(
+        sum(valueCol).as("sum_value"),
+        avg(valueCol).as("avg_value"),
+        count(lit(1)).as("n"))
+      .select(Seq(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end")) ++ keyCols.map(col) ++ Seq(
+        col("sum_value"), col("avg_value"), col("n")): _*)
+  }
+}

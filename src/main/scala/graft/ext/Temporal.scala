@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Temporal operators Spark has no native verb for, composed from
+  * window functions (preference (a) of the custom-operator ladder:
+  * compose existing ops when semantics allow — no custom plan needed):
+  *
+  *  - AS-OF join: attach the most recent *prior* observation of one
+  *    series to each row of another (the time-series/IoT staple —
+  *    "latest purchase before this click", "latest calibration before
+  *    this reading"). One sort-window pass per partition key instead of
+  *    a per-row range probe: scales as a single keyed exchange + sort,
+  *    no O(n·m) range join.
+  *  - Sessionization: split each user's event stream on >30 min gaps
+  *    and aggregate per session — integer cumulative-sum windows, one
+  *    exchange.
+  *
+  * Both output raw parquet values or integer counts (no derived float
+  * arithmetic), so oracle rows match exactly; q45 also round-trips raw
+  * `ts` values, pinning the nanos→µs truncation contract in
+  * [[graft.Tables.events]].
+  */
+object Temporal {
+
+  val all: Seq[Q] = Seq(
+    // ── AS-OF join via IGNORE NULLS last-value window ──────────────────
+    Q(
+      "q45_asof_join",
+      """SELECT event_id, user_id, ts, value, last_purchase
+        |FROM (SELECT event_id, user_id, ts, value, event_type,
+        |        last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase
+        |      FROM events)
+        |WHERE event_type = 'click'""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("last_purchase",
+          last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value", "last_purchase")
+    },
+
+    // ── Sessionization on 30-minute inactivity gaps ────────────────────
+    Q(
+      "q46_sessionize",
+      """SELECT user_id, session_idx,
+        |  count(*) AS n_events,
+        |  min(ts) AS session_start,
+        |  round(sum(value), 2) AS session_value
+        |FROM (SELECT user_id, ts, value,
+        |        (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT AS session_idx
+        |      FROM (SELECT user_id, ts, event_id, value,
+        |              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |                   THEN 1 ELSE 0 END AS new_session
+        |            FROM events))
+        |GROUP BY user_id, session_idx""".stripMargin) { (s, d) =>
+      val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("new_session",
+          when(lag(col("ts"), 1).over(byTime).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byTime)) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_idx", sum("new_session").over(byTime))
+        .groupBy("user_id", "session_idx")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min("ts").as("session_start"),
+          round(sum("value"), 2).as("session_value"))
+    })
+}

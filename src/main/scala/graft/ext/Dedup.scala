@@ -47,10 +47,12 @@ object Dedup {
 
   val all: Seq[Q] = Seq(
     // ── Exact dedup: content-hash groupBy, keep-first survivor ─────────
-    // One shuffle on the content hash; at 100 TB this is the standard
-    // hash-partitioned exact dedup (no sort, no window over raw text —
-    // the window here is per text group, which Spark runs after the
-    // same single exchange).
+    // The exchange carries (16-byte hash, id), never the document text
+    // — at 100 TB that is the difference between shuffling hashes and
+    // shuffling the corpus. Map-side partial aggregation reduces
+    // duplicates before the exchange. (The oracle states the same
+    // result as a window over text; md5 collisions are the usual
+    // 2^-64-scale non-concern.)
     Q(
       "q34_exact_dedup",
       """SELECT doc_id, md5(text) AS content_hash, n_copies
@@ -59,14 +61,11 @@ object Dedup {
         |        min(doc_id) OVER (PARTITION BY text) AS keep_id
         |      FROM documents)
         |WHERE doc_id = keep_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("text")
       Tables.documents(s, d)
-        .select(col("doc_id"), col("text"),
-          count(lit(1)).over(w).as("n_copies"),
-          min("doc_id").over(w).as("keep_id"))
-        .filter(col("doc_id") === col("keep_id"))
-        .select(col("doc_id"), md5(col("text")).as("content_hash"), col("n_copies"))
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+        .groupBy("content_hash")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "content_hash", "n_copies")
     },
 
     // ── Exact n-gram Jaccard similarity join (ground truth) ────────────

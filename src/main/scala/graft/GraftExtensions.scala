@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.FloatDot
+
+/** Library packaging of the engine's Catalyst surface: register with
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (or `.withExtensions(new GraftExtensions)`), which injects the
+  * custom functions into every session built from that config —
+  * including Spark Connect and thrift-server sessions where imperative
+  * registration isn't reachable. [[functions.VectorExpressions.register]]
+  * remains as the imperative fallback for externally-built sessions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatDot].getName, "vec_dot"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FloatDot(args(0), args(1))))
+  }
+}

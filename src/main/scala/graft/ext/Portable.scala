@@ -28,4 +28,14 @@ object Portable {
   def permSpark(h: String, i: String): String =
     s"(((37 * $i + 11) * ($h % $P) + (17 * $i + 7)) % $P)"
   def permDuck(h: String, i: String): String = permSpark(h, i)
+
+  /** The same 60-bit hash computed in Scala (standard md5 → first 15
+    * hex chars) — for deriving constants (e.g. LSH hyperplanes) on the
+    * driver that the DuckDB oracle re-derives with [[h60Duck]].
+    */
+  def h60Scala(x: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
 }

@@ -165,5 +165,72 @@ object Similarity {
         .filter(col("rank") <= 5)
         .select(col("qid"), col("neighbor_id"), col("rank"),
           expr("floor(cos * 1000000.0) / 1000000.0").as("cosine"))
+    },
+
+    // ── Random-hyperplane LSH ANN (the other scale path) ───────────────
+    // 6 deterministic hyperplanes (md5-derived components in [-1,1],
+    // identical in both engines) → 64 sign buckets; each query probes
+    // its own bucket plus the 6 hamming-1 neighbors (multi-probe LSH),
+    // then ranks candidates by exact cosine. Corpus side is one narrow
+    // pass computing a 6-bit bucket per vector; the candidate join
+    // touches ~probes/buckets of the corpus instead of all of it.
+    Q(
+      "q47_lsh_ann",
+      s"""WITH planes AS (
+         |  SELECT j, list((('0x' || substr(md5(concat('plane|', j, '|', i)), 1, 15))::BIGINT % 2001 - 1000) / 1000.0 ORDER BY i) AS pvec
+         |  FROM generate_series(0, 5) g(j), generate_series(1, 64) gi(i)
+         |  GROUP BY j),
+         |$nvDuck,
+         |bkt AS (SELECT v.vec_id,
+         |          (SUM(CASE WHEN ${dotD("v.embedding", "p.pvec")} >= 0
+         |                    THEN (1::BIGINT << p.j) ELSE 0 END))::BIGINT AS bucket
+         |        FROM embeddings v, planes p GROUP BY v.vec_id),
+         |q AS (SELECT nv.vec_id AS qid, nv.embedding AS qe, nv.nrm AS qnrm, b.bucket
+         |      FROM nv JOIN bkt b ON b.vec_id = nv.vec_id WHERE nv.vec_id < 10),
+         |probes AS (SELECT qid, qe, qnrm,
+         |             unnest(list_transform(range(0, 7),
+         |               t -> CASE WHEN t = 0 THEN bucket
+         |                         ELSE xor(bucket, (1::BIGINT << (t - 1))) END)) AS pb
+         |           FROM q),
+         |cand AS (SELECT p.qid, e.vec_id AS neighbor_id,
+         |           ${dotD("p.qe", "e.embedding")} / (p.qnrm * e.nrm) AS cos
+         |         FROM probes p
+         |         JOIN bkt eb ON eb.bucket = p.pb
+         |         JOIN nv e ON e.vec_id = eb.vec_id AND e.vec_id <> p.qid)
+         |SELECT qid, neighbor_id, rank,
+         |  floor(cos * 1000000.0) / 1000000.0 AS cosine
+         |FROM (SELECT qid, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM cand)
+         |WHERE rank <= 5""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      // hyperplane components derived with the same md5 the oracle uses;
+      // k/1000 is an exact 3-decimal value, so literal-parse == division
+      def planeArr(j: Int): String = "array(" + (1 to 64).map { i =>
+        val k = Portable.h60Scala(s"plane|$j|$i") % 2001
+        s"($k - 1000) / 1000.0D"
+      }.mkString(", ") + ")"
+      def dotPlane(j: Int): String =
+        s"aggregate(zip_with(embedding, ${planeArr(j)}, (x, y) -> cast(x as double) * y), cast(0 as double), (acc, v) -> acc + v)"
+      val bucketExpr = (0 until 6)
+        .map(j => s"CASE WHEN ${dotPlane(j)} >= 0 THEN ${1L << j}L ELSE 0L END")
+        .mkString(" + ")
+      val nb = nv(s, d).withColumn("bucket", expr(bucketExpr))
+      val q = nb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qnrm"), col("bucket"))
+      val probes = q.select(col("qid"), col("qe"), col("qnrm"),
+        explode(expr(
+          "transform(sequence(0, 6), t -> CASE WHEN t = 0 THEN bucket ELSE bucket ^ shiftleft(cast(1 as bigint), t - 1) END)"))
+          .as("pb"))
+      broadcast(probes).join(nb.as("e"),
+          col("e.bucket") === col("pb") && col("e.vec_id") =!= col("qid"))
+        .select(col("qid"), col("e.vec_id").as("neighbor_id"),
+          expr("vec_dot(qe, e.embedding) / (qnrm * e.nrm)").as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("neighbor_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("neighbor_id"), col("rank"),
+          expr("floor(cos * 1000000.0) / 1000000.0").as("cosine"))
     })
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.FloatDot
+import graft.functions.{FloatDot, FloatQDot}
 
 /** Library packaging of the engine's Catalyst surface: register with
   *
@@ -22,5 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatDot].getName, "vec_dot"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FloatDot(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_qdot"),
+      new ExpressionInfo(classOf[FloatQDot].getName, "vec_qdot"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FloatQDot(args(0), args(1))))
   }
 }

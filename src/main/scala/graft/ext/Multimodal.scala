@@ -58,8 +58,14 @@ object Multimodal {
     // ── Typed batch decode → feature pipeline (stubbed codec) ──────────
     // Not SQL-expressible (partition-local imperative batching) →
     // rows-only driver check; MultimodalSpec covers the semantics.
+    // The histogram is emitted as its JSON rendering: the driver's
+    // rows-only check sorts/hashes pandas rows and an Array[Double]
+    // cell is unhashable there. The typed array stays internal
+    // (MultimodalStub.features); only the registered query surface
+    // serializes.
     Q.noOracle("q42_multimodal_features") { (s, d) =>
       MultimodalStub.features(Tables.documents(s, d))
+        .withColumn("histogram", to_json(col("histogram")))
     })
 }
 

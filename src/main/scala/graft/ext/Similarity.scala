@@ -5,46 +5,70 @@ import graft.{Q, Tables}
 import graft.functions.VectorExpressions
 
 /** Similarity search over the `embeddings` table (`Array[Float]`, 64-d):
-  * brute-force cosine near-dup + top-k as the exact baseline, and an
-  * IVF-style probed search as the scale path.
+  * brute-force cosine near-dup + top-k as the exact baseline, an
+  * IVF-style probed search and a multi-probe LSH search as the two
+  * scale paths.
   *
-  * The per-pair kernel is [[graft.functions.FloatDot]] (`vec_dot`), a
-  * native codegen'd Catalyst expression — the interpreted
-  * `aggregate(zip_with(...))` baseline computes the same doubles but is
-  * ~30× slower at millions of pairs. Norms are computed once per vector
-  * on each join side, not per pair.
+  * The per-pair kernel is [[graft.functions.FloatQDot]] (`vec_qdot`), a
+  * native codegen'd Catalyst expression computing the fixed-point dot
+  * product Σ floor(aᵢ·2²⁰)·floor(bᵢ·2²⁰) as a BIGINT.
   *
-  * Floating-point determinism: dot products fold left-to-right from
-  * +0.0 with floats widened to double before multiplying — the same op
-  * order as DuckDB's `list_sum(list_transform(...))`, so both engines
-  * produce bit-identical doubles, identical rankings, and exact oracle
-  * matches. Scores are floor-truncated (no round-half-tie rule).
+  * Numeric contract (what makes the DuckDB oracle exact): float
+  * accumulation order is NOT portable across engines — DuckDB's
+  * `list_sum` does not fold in the same order as a left fold, so two
+  * engines computing the "same" float dot product disagree in the last
+  * ulp, which flips floor-truncated digits. Integer addition is
+  * associative, so the quantized dot product is identical regardless of
+  * accumulation strategy; every downstream scalar op (int64→double
+  * conversion of a < 2⁵³ value, sqrt, one multiply, one divide) is a
+  * single correctly-rounded IEEE op. Cosine scores, thresholds and
+  * rankings derived from the quantized kernel are therefore
+  * bit-identical in both engines. (The float kernel `vec_dot` remains
+  * the production scoring path where no cross-engine identity is
+  * required.) Quantization at 2⁻²⁰ perturbs a unit-scale cosine by
+  * < 10⁻⁵ — well under any semantic threshold here.
   *
   * Scale design (100 TB): brute force is O(n·q) and broadcast-friendly
   * (queries ≪ corpus; the corpus streams once per query batch). The IVF
   * variant is the real ANN pattern: coarse partitions (`label`),
-  * centroid = deterministic running mean, probe the 2 nearest
-  * centroids, search only those partitions — with a layout partitioned
-  * by cluster id this becomes partition pruning at the source.
+  * integer-sum centroids, probe the 2 nearest, search only those
+  * partitions — with a layout partitioned by cluster id this becomes
+  * partition pruning at the source. The LSH variant buckets the corpus
+  * by 6 hyperplane signs and probes hamming-1 neighbors.
   */
 object Similarity {
 
-  /** DuckDB-side sequential-fold kernels (mirror vec_dot exactly). */
-  private def dotD(a: String, b: String): String =
-    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
-  private def normD(a: String): String =
-    s"list_sum(list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+  /** DuckDB-side quantization of one float scalar expression. */
+  private def qD(x: String): String =
+    s"CAST(floor(CAST($x AS DOUBLE) * 1048576.0) AS BIGINT)"
 
-  /** embeddings with per-vector norm — computed once, reused per pair. */
+  /** DuckDB-side `vec_qdot`: quantize two float lists inline, integer dot. */
+  private def qdotD(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), x -> ${qD("x[1]")} * ${qD("x[2]")})) AS BIGINT)"
+
+  /** DuckDB-side integer dot of two already-quantized BIGINT lists. */
+  private def idotD(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) AS BIGINT)"
+
+  /** embeddings with per-vector quantized norm — computed once, reused
+    * per pair. √(integer) is one correctly-rounded op: identical in
+    * both engines.
+    */
   private val nvDuck =
-    s"nv AS (SELECT vec_id, label, embedding, sqrt(${normD("embedding")}) AS nrm FROM embeddings)"
+    s"nv AS (SELECT vec_id, label, embedding, sqrt(CAST(${qdotD("embedding", "embedding")} AS DOUBLE)) AS nrm FROM embeddings)"
 
   private def nv(s: org.apache.spark.sql.SparkSession, d: String) = {
     VectorExpressions.register(s)
     Tables.embeddings(s, d).select(
       col("vec_id"), col("label"), col("embedding"),
-      expr("sqrt(vec_dot(embedding, embedding))").as("nrm"))
+      expr("sqrt(cast(vec_qdot(embedding, embedding) as double))").as("nrm"))
   }
+
+  /** Spark-side quantized vector column (for centroid/bucket math that
+    * runs outside the codegen kernel).
+    */
+  private val qeSpark =
+    "transform(embedding, x -> cast(floor(cast(x as double) * 1048576.0D) as bigint))"
 
   val all: Seq[Q] = Seq(
     // ── Embedding-cosine near-dup pairs (brute force baseline) ─────────
@@ -56,16 +80,16 @@ object Similarity {
       s"""WITH $nvDuck
          |SELECT a_id, b_id, floor(cos * 1000000.0) / 1000000.0 AS cosine
          |FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |        ${dotD("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+         |        CAST(${qdotD("a.embedding", "b.embedding")} AS DOUBLE) / (a.nrm * b.nrm) AS cos
          |      FROM nv a JOIN nv b ON a.vec_id < b.vec_id)
          |WHERE cos >= 0.4""".stripMargin) { (s, d) =>
       val e = nv(s, d)
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          expr("vec_dot(a.embedding, b.embedding) / (a.nrm * b.nrm)").as("cos"))
+          expr("cast(vec_qdot(a.embedding, b.embedding) as double) / (a.nrm * b.nrm)").as("cos"))
         .filter(col("cos") >= 0.4)
         .select(col("a_id"), col("b_id"),
-          expr("floor(cos * 1000000.0) / 1000000.0").as("cosine"))
+          expr("floor(cos * 1000000.0D) / 1000000.0D").as("cosine"))
     },
 
     // ── Brute-force cosine top-k (exact kNN baseline) ──────────────────
@@ -77,7 +101,7 @@ object Similarity {
          |FROM (SELECT qid, neighbor_id, cos,
          |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
          |      FROM (SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
-         |              ${dotD("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+         |              CAST(${qdotD("a.embedding", "b.embedding")} AS DOUBLE) / (a.nrm * b.nrm) AS cos
          |            FROM nv a JOIN nv b ON b.vec_id <> a.vec_id
          |            WHERE a.vec_id < 10))
          |WHERE rank <= 5""".stripMargin) { (s, d) =>
@@ -86,40 +110,44 @@ object Similarity {
       val q = e.filter(col("vec_id") < 10)
       broadcast(q.as("a")).join(e.as("b"), col("b.vec_id") =!= col("a.vec_id"))
         .select(col("a.vec_id").as("qid"), col("b.vec_id").as("neighbor_id"),
-          expr("vec_dot(a.embedding, b.embedding) / (a.nrm * b.nrm)").as("cos"))
+          expr("cast(vec_qdot(a.embedding, b.embedding) as double) / (a.nrm * b.nrm)").as("cos"))
         .withColumn("rank", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos").desc, col("neighbor_id"))))
         .filter(col("rank") <= 5)
         .select(col("qid"), col("neighbor_id"), col("rank"),
-          expr("floor(cos * 1000000.0) / 1000000.0").as("cosine"))
+          expr("floor(cos * 1000000.0D) / 1000000.0D").as("cosine"))
     },
 
     // ── IVF-probed ANN (the 100 TB scale path) ─────────────────────────
-    // Coarse partition = `label`; centroid = per-dimension mean summed
-    // in vec_id order (deterministic fold, so both engines agree to the
-    // last bit). Each query probes its 2 nearest centroids and searches
-    // only those partitions. Centroid math stays in (tiny) HOF space —
-    // centroids are double[], vec_dot is float[]-only by design so the
-    // widening is never hidden.
+    // Coarse partition = `label`; centroid = per-dimension quantized
+    // integer mean (sum then floor-divide — both exact). Cosine is
+    // scale-invariant, so the floor in the mean only perturbs the
+    // centroid direction by < 2⁻²⁰ per component. Each query probes its
+    // 2 nearest centroids and searches only those partitions.
     Q(
       "q40_ivf_ann",
-      s"""WITH pos AS (SELECT label, vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-         |             FROM embeddings, generate_series(1, 64) g(i)),
-         |cent AS (SELECT label, i, list_sum(list(v ORDER BY vec_id)) / count(*) AS cv
+      s"""WITH qv AS (SELECT vec_id, label, embedding,
+         |             list_transform(embedding, x -> ${qD("x")}) AS qe FROM embeddings),
+         |pos AS (SELECT label, vec_id, i, qe[i] AS v
+         |        FROM qv, generate_series(1, 64) g(i)),
+         |cent AS (SELECT label, i, CAST(sum(v) AS BIGINT) AS cs, count(*) AS n
          |         FROM pos GROUP BY label, i),
-         |cvec AS (SELECT label, list(cv ORDER BY i) AS cvec FROM cent GROUP BY label),
+         |cvec AS (SELECT label,
+         |           list(CAST(floor(CAST(cs AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cvec
+         |         FROM cent GROUP BY label),
          |$nvDuck,
-         |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qnrm FROM nv WHERE vec_id < 10),
+         |q AS (SELECT qv.vec_id AS qid, qv.embedding AS qemb, qv.qe AS qq, nv.nrm AS qnrm
+         |      FROM qv JOIN nv ON nv.vec_id = qv.vec_id WHERE qv.vec_id < 10),
          |qc AS (SELECT qid, label,
-         |         list_sum(list_transform(list_zip(qe, cvec), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-         |           / (qnrm * sqrt(list_sum(list_transform(cvec, v -> v * v)))) AS ccos
+         |         CAST(${idotD("qq", "cvec")} AS DOUBLE)
+         |           / (qnrm * sqrt(CAST(${idotD("cvec", "cvec")} AS DOUBLE))) AS ccos
          |       FROM q, cvec),
          |probe AS (SELECT qid, label
          |          FROM (SELECT qid, label,
          |                  row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, label) AS r
          |                FROM qc) WHERE r <= 2),
          |cand AS (SELECT q.qid, e.vec_id AS neighbor_id,
-         |           ${dotD("q.qe", "e.embedding")} / (q.qnrm * e.nrm) AS cos
+         |           CAST(${qdotD("q.qemb", "e.embedding")} AS DOUBLE) / (q.qnrm * e.nrm) AS cos
          |         FROM probe p
          |         JOIN q ON q.qid = p.qid
          |         JOIN nv e ON e.label = p.label AND e.vec_id <> q.qid)
@@ -130,70 +158,79 @@ object Similarity {
          |      FROM cand)
          |WHERE rank <= 5""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val e = nv(s, d)
-      // centroid per (label, dim): mean with a vec_id-ordered fold
-      val pos = Tables.embeddings(s, d)
+      VectorExpressions.register(s)
+      val qv = Tables.embeddings(s, d).select(
+        col("vec_id"), col("label"), col("embedding"),
+        expr(qeSpark).as("qe"),
+        expr("sqrt(cast(vec_qdot(embedding, embedding) as double))").as("nrm"))
+      // centroid per (label, dim): integer sum + floor-divide mean —
+      // order-independent, so no sequential-fold contortions needed
+      val pos = qv
         .select(col("label"), col("vec_id"),
-          posexplode(col("embedding")).as(Seq("p", "vf")))
-        .select(col("label"), col("vec_id"), (col("p") + 1).as("i"),
-          col("vf").cast("double").as("v"))
+          posexplode(col("qe")).as(Seq("p", "v")))
+        .select(col("label"), (col("p") + 1).as("i"), col("v"))
       val cent = pos.groupBy("label", "i")
-        .agg(expr(
-          "aggregate(transform(array_sort(collect_list(struct(vec_id, v))), x -> x.v), cast(0 as double), (acc, w) -> acc + w) / count(*)")
-          .as("cv"))
-      val cvec = cent.groupBy("label")
-        .agg(expr("transform(array_sort(collect_list(struct(i, cv))), x -> x.cv)").as("cvec"))
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qnrm"))
-      // probe: 2 nearest centroids per query (cvec is double[])
+        .agg(sum("v").as("cs"), count(lit(1)).as("n"))
+      val cvec = cent
+        .select(col("label"), col("i"),
+          expr("cast(floor(cast(cs as double) / n) as bigint)").as("cq"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(i, cq))), x -> x.cq)").as("cvec"))
+      val q = qv.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+          col("qe").as("qq"), col("nrm").as("qnrm"))
+      // probe: 2 nearest centroids per query (integer dots, tiny frames)
       val qc = broadcast(q).crossJoin(broadcast(cvec))
-        .select(col("qid"), col("label"), col("qe"), col("qnrm"), expr(
-          "aggregate(zip_with(qe, cvec, (x, y) -> cast(x as double) * y), cast(0 as double), (acc, v) -> acc + v)" +
-            " / (qnrm * sqrt(aggregate(cvec, cast(0 as double), (acc, v) -> acc + v * v)))")
+        .select(col("qid"), col("label"), col("qemb"), col("qnrm"), expr(
+          "cast(aggregate(zip_with(qq, cvec, (x, y) -> x * y), cast(0 as bigint), (a, v) -> a + v) as double)" +
+            " / (qnrm * sqrt(cast(aggregate(cvec, cast(0 as bigint), (a, v) -> a + v * v) as double)))")
           .as("ccos"))
       val probe = qc
         .withColumn("r", row_number().over(
           Window.partitionBy("qid").orderBy(col("ccos").desc, col("label"))))
         .filter(col("r") <= 2)
-        .select(col("qid"), col("label").as("plabel"), col("qe"), col("qnrm"))
-      probe.join(e.as("e"),
+        .select(col("qid"), col("label").as("plabel"), col("qemb"), col("qnrm"))
+      probe.join(qv.as("e"),
           col("e.label") === col("plabel") && col("e.vec_id") =!= col("qid"))
         .select(col("qid"), col("e.vec_id").as("neighbor_id"),
-          expr("vec_dot(qe, e.embedding) / (qnrm * e.nrm)").as("cos"))
+          expr("cast(vec_qdot(qemb, e.embedding) as double) / (qnrm * e.nrm)").as("cos"))
         .withColumn("rank", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos").desc, col("neighbor_id"))))
         .filter(col("rank") <= 5)
         .select(col("qid"), col("neighbor_id"), col("rank"),
-          expr("floor(cos * 1000000.0) / 1000000.0").as("cosine"))
+          expr("floor(cos * 1000000.0D) / 1000000.0D").as("cosine"))
     },
 
     // ── Random-hyperplane LSH ANN (the other scale path) ───────────────
-    // 6 deterministic hyperplanes (md5-derived components in [-1,1],
-    // identical in both engines) → 64 sign buckets; each query probes
-    // its own bucket plus the 6 hamming-1 neighbors (multi-probe LSH),
-    // then ranks candidates by exact cosine. Corpus side is one narrow
-    // pass computing a 6-bit bucket per vector; the candidate join
-    // touches ~probes/buckets of the corpus instead of all of it.
+    // 6 deterministic hyperplanes (md5-derived integer components in
+    // [-1000, 1000], identical in both engines) → 64 sign buckets; each
+    // query probes its own bucket plus the 6 hamming-1 neighbors
+    // (multi-probe LSH), then ranks candidates by exact quantized
+    // cosine. The sign test is an integer comparison — no float dot
+    // anywhere near a bucket boundary. The candidate join touches
+    // ~probes/buckets of the corpus instead of all of it.
     Q(
       "q47_lsh_ann",
       s"""WITH planes AS (
-         |  SELECT j, list((('0x' || substr(md5(concat('plane|', j, '|', i)), 1, 15))::BIGINT % 2001 - 1000) / 1000.0 ORDER BY i) AS pvec
+         |  SELECT j, list((('0x' || substr(md5(concat('plane|', j, '|', i)), 1, 15))::BIGINT % 2001 - 1000) ORDER BY i) AS pvec
          |  FROM generate_series(0, 5) g(j), generate_series(1, 64) gi(i)
          |  GROUP BY j),
+         |qv AS (SELECT vec_id, label, embedding,
+         |         list_transform(embedding, x -> ${qD("x")}) AS qe FROM embeddings),
          |$nvDuck,
          |bkt AS (SELECT v.vec_id,
-         |          (SUM(CASE WHEN ${dotD("v.embedding", "p.pvec")} >= 0
+         |          (SUM(CASE WHEN ${idotD("v.qe", "p.pvec")} >= 0
          |                    THEN (1::BIGINT << p.j) ELSE 0 END))::BIGINT AS bucket
-         |        FROM embeddings v, planes p GROUP BY v.vec_id),
-         |q AS (SELECT nv.vec_id AS qid, nv.embedding AS qe, nv.nrm AS qnrm, b.bucket
+         |        FROM qv v, planes p GROUP BY v.vec_id),
+         |q AS (SELECT nv.vec_id AS qid, nv.embedding AS qemb, nv.nrm AS qnrm, b.bucket
          |      FROM nv JOIN bkt b ON b.vec_id = nv.vec_id WHERE nv.vec_id < 10),
-         |probes AS (SELECT qid, qe, qnrm,
+         |probes AS (SELECT qid, qemb, qnrm,
          |             unnest(list_transform(range(0, 7),
          |               t -> CASE WHEN t = 0 THEN bucket
          |                         ELSE xor(bucket, (1::BIGINT << (t - 1))) END)) AS pb
          |           FROM q),
          |cand AS (SELECT p.qid, e.vec_id AS neighbor_id,
-         |           ${dotD("p.qe", "e.embedding")} / (p.qnrm * e.nrm) AS cos
+         |           CAST(${qdotD("p.qemb", "e.embedding")} AS DOUBLE) / (p.qnrm * e.nrm) AS cos
          |         FROM probes p
          |         JOIN bkt eb ON eb.bucket = p.pb
          |         JOIN nv e ON e.vec_id = eb.vec_id AND e.vec_id <> p.qid)
@@ -204,33 +241,37 @@ object Similarity {
          |      FROM cand)
          |WHERE rank <= 5""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      // hyperplane components derived with the same md5 the oracle uses;
-      // k/1000 is an exact 3-decimal value, so literal-parse == division
+      VectorExpressions.register(s)
+      // hyperplane components derived with the same md5 the oracle uses
       def planeArr(j: Int): String = "array(" + (1 to 64).map { i =>
-        val k = Portable.h60Scala(s"plane|$j|$i") % 2001
-        s"($k - 1000) / 1000.0D"
+        val p = Portable.h60Scala(s"plane|$j|$i") % 2001 - 1000
+        s"${p}L"
       }.mkString(", ") + ")"
       def dotPlane(j: Int): String =
-        s"aggregate(zip_with(embedding, ${planeArr(j)}, (x, y) -> cast(x as double) * y), cast(0 as double), (acc, v) -> acc + v)"
+        s"aggregate(zip_with(qe, ${planeArr(j)}, (x, y) -> x * y), cast(0 as bigint), (a, v) -> a + v)"
       val bucketExpr = (0 until 6)
         .map(j => s"CASE WHEN ${dotPlane(j)} >= 0 THEN ${1L << j}L ELSE 0L END")
         .mkString(" + ")
-      val nb = nv(s, d).withColumn("bucket", expr(bucketExpr))
+      val nb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          expr(qeSpark).as("qe"),
+          expr("sqrt(cast(vec_qdot(embedding, embedding) as double))").as("nrm"))
+        .withColumn("bucket", expr(bucketExpr))
       val q = nb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
           col("nrm").as("qnrm"), col("bucket"))
-      val probes = q.select(col("qid"), col("qe"), col("qnrm"),
+      val probes = q.select(col("qid"), col("qemb"), col("qnrm"),
         explode(expr(
           "transform(sequence(0, 6), t -> CASE WHEN t = 0 THEN bucket ELSE bucket ^ shiftleft(cast(1 as bigint), t - 1) END)"))
           .as("pb"))
       broadcast(probes).join(nb.as("e"),
           col("e.bucket") === col("pb") && col("e.vec_id") =!= col("qid"))
         .select(col("qid"), col("e.vec_id").as("neighbor_id"),
-          expr("vec_dot(qe, e.embedding) / (qnrm * e.nrm)").as("cos"))
+          expr("cast(vec_qdot(qemb, e.embedding) as double) / (qnrm * e.nrm)").as("cos"))
         .withColumn("rank", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos").desc, col("neighbor_id"))))
         .filter(col("rank") <= 5)
         .select(col("qid"), col("neighbor_id"), col("rank"),
-          expr("floor(cos * 1000000.0) / 1000000.0").as("cosine"))
+          expr("floor(cos * 1000000.0D) / 1000000.0D").as("cosine"))
     })
 }

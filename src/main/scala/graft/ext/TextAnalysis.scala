@@ -29,7 +29,7 @@ object TextAnalysis {
         |  len(list_distinct(string_split(text, ' ')))      AS n_distinct,
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
         |  n_chars,
-        |  round(length(text) * 1.0 / len(string_split(text, ' ')), 4) AS avg_token_span
+        |  floor(length(text) * 10000.0 / len(string_split(text, ' '))) / 10000.0 AS avg_token_span
         |FROM documents""".stripMargin) { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -37,7 +37,10 @@ object TextAnalysis {
         expr("cast(size(array_distinct(split(text, ' '))) as bigint)").as("n_distinct"),
         expr("cast(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) as bigint)").as("n_bpe_tokens"),
         col("n_chars"),
-        expr("round(length(text) * 1.0 / size(split(text, ' ')), 4)").as("avg_token_span"))
+        // floor-truncated, not round()ed — Spark half-up vs DuckDB
+        // half-even diverges on exact small-rational ties (same rule as
+        // q32's scores below).
+        expr("floor(length(text) * 10000.0D / size(split(text, ' '))) / 10000.0D").as("avg_token_span"))
     },
 
     // ── Language ID: stopword-evidence scores + deterministic argmax ───
@@ -52,7 +55,7 @@ object TextAnalysis {
          |       WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
          |       WHEN s_es >= s_zh THEN 'es'
          |       ELSE 'zh' END AS predicted_lang,
-         |  round(greatest(s_en, s_de, s_fr, s_es, s_zh) * 1.0 / n_tokens, 4) AS confidence
+         |  floor(greatest(s_en, s_de, s_fr, s_es, s_zh) * 10000.0 / n_tokens) / 10000.0 AS confidence
          |FROM (SELECT doc_id, lang,
          |        len(string_split(text, ' ')) AS n_tokens,
          |        len(list_filter(string_split(text, ' '), t -> t IN ($stopEn))) AS s_en,
@@ -78,7 +81,7 @@ object TextAnalysis {
                  |     WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
                  |     WHEN s_es >= s_zh THEN 'es'
                  |     ELSE 'zh' END""".stripMargin).as("predicted_lang"),
-          expr("round(greatest(s_en, s_de, s_fr, s_es, s_zh) * 1.0 / n_tokens, 4)").as("confidence"))
+          expr("floor(greatest(s_en, s_de, s_fr, s_es, s_zh) * 10000.0D / n_tokens) / 10000.0D").as("confidence"))
     },
 
     // ── Quality scoring: length / punctuation / stopword ratios ────────

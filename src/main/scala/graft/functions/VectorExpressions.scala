@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native dot product over two `array<float>` columns.
   *
@@ -73,12 +73,90 @@ case class FloatDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Quantized integer dot product over two `array<float>` columns:
+  *   Σ_i floor(a_i · 2²⁰) · floor(b_i · 2²⁰)   (as BIGINT)
+  *
+  * This is the cross-engine-exact kernel: integer addition is
+  * associative, so the result is independent of accumulation order —
+  * unlike the float fold in [[FloatDot]], whose last-ulp value depends
+  * on the other engine's `list_sum` accumulation strategy. Every
+  * downstream scalar op (int64→double conversion, sqrt, one divide) is
+  * a single correctly-rounded IEEE op, so cosine scores derived from
+  * this kernel are bit-identical in any engine.
+  *
+  * The quantization step (`(double)f * 2²⁰` then `floor`) is itself
+  * exact: scaling by a power of two only shifts the exponent.
+  *
+  * Overflow bounds: |component| ≤ C ⇒ |term| ≤ (C·2²⁰)², |sum| ≤
+  * 64·(C·2²⁰)² — for unit-scale embeddings (C ≈ 1) that is ~2⁴⁶, five
+  * orders inside int64, and still inside double's 2⁵³ exact-integer
+  * range for the conversion that follows.
+  *
+  * Null/length contract: same as [[FloatDot]].
+  */
+case class FloatQDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_qdot expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_qdot"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var k = 0
+    while (k < n) {
+      acc += math.floor(x.getFloat(k).toDouble * VectorExpressions.QScale).toLong *
+        math.floor(y.getFloat(k).toDouble * VectorExpressions.QScale).toLong
+      k += 1
+    }
+    acc
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $k = 0; $k < $n; $k++) {
+         |  $acc += (long)java.lang.Math.floor((double)$a.getFloat($k) * ${VectorExpressions.QScale}D)
+         |        * (long)java.lang.Math.floor((double)$b.getFloat($k) * ${VectorExpressions.QScale}D);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  protected override def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
-  /** Register `vec_dot` on the session (idempotent). Called from
-    * [[graft.GraftSession]]; query builders also call it defensively so
-    * they work on any externally-built session.
+  /** Fixed-point quantization scale for `vec_qdot`: 2²⁰. */
+  val QScale: Double = 1048576.0
+
+  /** Register `vec_dot` / `vec_qdot` on the session (idempotent).
+    * Called from [[graft.GraftSession]]; query builders also call it
+    * defensively so they work on any externally-built session.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", args => FloatDot(args(0), args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_qdot", args => FloatQDot(args(0), args(1)), "built-in")
+  }
 }

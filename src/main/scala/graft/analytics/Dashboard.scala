@@ -1,5 +1,6 @@
 package graft.analytics
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
@@ -16,6 +17,42 @@ import graft.{Q, Tables}
   * not the raw events.
   */
 object Dashboard {
+
+  /** Dashboard slicer parameters (SURVEY §3 E3 — the Date and Farm
+    * selectors on `Dashboard/Dashboard.jpg`'s right panel). Every
+    * dashboard query takes these as plain column predicates applied
+    * UNDER the aggregation, so Catalyst pushes them into the parquet
+    * scan (`PushedFilters` on ts/user_id) — on a date-partitioned
+    * 100 TB lake a sliced dashboard reads only the sliced fraction.
+    *
+    * `dateFrom` inclusive / `dateTo` exclusive, `yyyy-MM-dd`;
+    * `farms` = the location multi-select (events' user_id stands in
+    * for the farm id, as in the rest of the events mapping).
+    */
+  final case class Slicers(
+      dateFrom: Option[String] = None,
+      dateTo: Option[String] = None,
+      farms: Option[Seq[Long]] = None) {
+    def apply(df: DataFrame): DataFrame = {
+      val preds = Seq(
+        dateFrom.map(d => col("ts") >= lit(d).cast("timestamp")),
+        dateTo.map(d => col("ts") < lit(d).cast("timestamp")),
+        farms.map(f => col("user_id").isin(f: _*))).flatten
+      preds.foldLeft(df)((acc, p) => acc.filter(p))
+    }
+  }
+
+  /** Per-type dashboard breakdown (donut + totals + averages) over an
+    * optionally-sliced event scan — the parameterized form behind q21/
+    * q25/q26; q48 registers one fixed slice for the oracle gate.
+    */
+  def byType(events: DataFrame, slicers: Slicers = Slicers()): DataFrame =
+    slicers(events)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("total_value"),
+        round(avg("value"), 4).as("avg_value"))
 
   val all: Seq[Q] = Seq(
     // A5: dashboard tiles — global averages.
@@ -131,6 +168,24 @@ object Dashboard {
       Tables.events(s, d).select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
+    },
+
+    // E3: sliced dashboard — the Date + Farm slicer predicates at one
+    // fixed setting, proving the parameterized path end-to-end.
+    Q(
+      "q48_sliced_dashboard",
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total_value,
+        |  round(avg(value), 4) AS avg_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |  AND user_id IN (1, 2, 3, 4, 5)
+        |GROUP BY event_type""".stripMargin) { (s, d) =>
+      byType(Tables.events(s, d), Slicers(
+        dateFrom = Some("2024-01-10"),
+        dateTo = Some("2024-01-20"),
+        farms = Some(Seq(1L, 2L, 3L, 4L, 5L))))
     },
 
     // A3/ST6: exact dedup keep-first (event_id order) per (user, type).

@@ -21,19 +21,64 @@ import org.apache.spark.sql.functions._
   *  - fact↔dim joins compare DOUBLEs for equality — intentional and
   *    correct because dims are projections of the same rows; never
   *    round (SURVEY §7.4).
-  *  - IDENTITY surrogate keys become `maxExisting + row_number()` over
+  *  - IDENTITY surrogate keys become `maxExisting + global rank` over
   *    the natural key — deterministic, gap-free per batch, and stable
   *    under re-runs of the same input (unlike
   *    monotonically_increasing_id).
   *
-  * Scale notes: dims are tiny (3 locations; minutes-cardinality time;
-  * sensor-tuple cardinality ≪ fact) → every fact join is a broadcast
-  * hash join, no fact shuffle at all. The dim-side DISTINCT +
-  * row_number over a small dedup'd set is the only exchange, on
-  * already-reduced data. The anti-join reads only the dim's natural-key
-  * columns (column pruning).
+  * Scale notes: dim_location and dim_time stay bounded (fixed farm
+  * count; minutes-cardinality time), so their fact joins are forced
+  * broadcasts. dim_soil/dim_weather natural keys are tuples of
+  * continuous DOUBLEs — at 100× the fact they grow with the data, so
+  * (a) their surrogate keys are assigned by [[orderedIds]], a two-pass
+  * range-partitioned ranking with NO single-reducer global window, and
+  * (b) their fact joins carry no broadcast hint: AQE picks broadcast
+  * while they're small and falls back to a shuffle join when they
+  * aren't. The anti-join reads only the dim's natural-key columns
+  * (column pruning).
   */
 object StarSchema {
+
+  /** Global natural-key-ordered ids `base+1 .. base+N` with no
+    * single-reducer stage: range-partition by the order columns (a
+    * parallel exchange), then rank within each range partition and add
+    * the cumulative count of the partitions before it. The only
+    * driver-side data is one row count per partition — bounded by
+    * cluster parallelism, never by data volume.
+    *
+    * Both passes (the counts job and the final plan) recompute the same
+    * range exchange; that is safe because RangePartitioner's boundary
+    * sampling is seeded per partition index, so identical input yields
+    * identical boundaries — the same recompute-determinism contract
+    * Spark's own `zipWithIndex` relies on.
+    */
+  private def orderedIds(
+      fresh: DataFrame, keyName: String, orderCols: Seq[String], base: Long): DataFrame = {
+    val spark = fresh.sparkSession
+    import spark.implicits._
+    // explicit partition count: a user-pinned count is exempt from AQE
+    // coalescing, so the counts job and the final job can't disagree on
+    // partition numbering
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val withPid = fresh
+      .repartitionByRange(nParts, orderCols.map(col): _*)
+      .withColumn("_pid", spark_partition_id())
+    val counts = withPid.groupBy("_pid").agg(count(lit(1)).as("_n"))
+      .orderBy("_pid").collect()
+    var acc = base
+    val offsets = counts.toSeq.map { r =>
+      val off = acc
+      acc += r.getLong(1)
+      (r.getInt(0), off)
+    }
+    withPid
+      .join(broadcast(offsets.toDF("_pid", "_off")), Seq("_pid"))
+      .withColumn(keyName,
+        row_number().over(
+          Window.partitionBy("_pid").orderBy(orderCols.map(col): _*)).cast("long")
+          + col("_off"))
+      .drop("_pid", "_off")
+  }
 
   /** DISTINCT + NOT-NULL candidates, minus rows already in `existing`
     * (anti-join on `matchCols`), with surrogate keys continuing from
@@ -53,8 +98,7 @@ object StarSchema {
     val base = existing
       .map(_.agg(coalesce(max(col(keyName)), lit(0L))).head.getLong(0))
       .getOrElse(0L)
-    fresh.withColumn(keyName,
-      row_number().over(Window.orderBy(orderCols.map(col): _*)).cast("long") + base)
+    orderedIds(fresh, keyName, orderCols, base)
   }
 
   /** dim_location(location_key, loc_id, latitude, longitude) — new
@@ -132,14 +176,18 @@ object StarSchema {
         col("v.loc_id") === col("l.loc_id") &&
           col("v.latitude") === col("l.latitude") &&
           col("v.longitude") === col("l.longitude"))
-      .join(broadcast(dimWeather.as("w")),
+      // no broadcast hint on the two unbounded dims (continuous-DOUBLE
+      // natural keys): AQE broadcasts them while small, shuffle-joins
+      // when they grow with the fact — a forced broadcast would OOM
+      // executors at 100×
+      .join(dimWeather.as("w"),
         col("v.weather_temperature_2m") === col("w.weather_temperature") &&
           col("v.weather_relative_humidity_2m") === col("w.weather_humidity") &&
           col("v.weather_wind_speed_10m") === col("w.wind_speed") &&
           col("v.weather_wind_direction_10m") === col("w.wind_direction") &&
           col("v.weather_rain") === col("w.rain") &&
           col("v.weather_surface_pressure") === col("w.surface_pressure"))
-      .join(broadcast(dimSoil.as("s")),
+      .join(dimSoil.as("s"),
         col("v.ph") === col("s.ph") &&
           col("v.nitrogen") === col("s.nitrogen") &&
           col("v.phosphorus") === col("s.phosphorus") &&

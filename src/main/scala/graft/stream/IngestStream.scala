@@ -24,11 +24,16 @@ import graft.schema.FarmSchema
   *
   * Sink layout mirrors the reference's status routing
   * (`lamda.py:474-479`, key layout `:367`): VALID → `valid`, WARNING →
-  * `valid/warnings`, INVALID → `invalid`, unparseable JSON →
-  * `errors/json_decode`; we partition by (route, loc_id) which makes
-  * status/location slices partition-pruned scans downstream. The
-  * reference's `errors/processing` route (arbitrary Python exceptions)
-  * has no analog: the column pipeline is total on its input.
+  * `valid/warnings`, INVALID → `invalid`, malformed JSON →
+  * `errors/json_decode`, and syntactically-valid JSON the pipeline
+  * can't process as a record (scalars/arrays — the reference's
+  * arbitrary-exception branch, `lamda.py:505-530`) →
+  * `errors/processing`, with the reference's error-record fields
+  * (error_type / error_message / raw_payload + partial event_id/loc_id
+  * when extractable). Sink-side failures take the same route through
+  * the foreachBatch fallback writer in [[start]]. We partition by
+  * (route, loc_id) which makes status/location slices
+  * partition-pruned scans downstream.
   */
 object IngestStream {
 
@@ -47,21 +52,57 @@ object IngestStream {
       FarmSchema.wire.add("_corrupt_record", org.apache.spark.sql.types.StringType),
       Map("columnNameOfCorruptRecord" -> "_corrupt_record").asJava)
       .getField("_corrupt_record")
+    // Corrupt + syntactically-valid JSON = the payload parsed but isn't
+    // a processable record (scalar/array/shape-broken object) — the
+    // reference reaches its generic `except Exception` there
+    // (AttributeError on data.get, lamda.py:505) and routes to
+    // errors/processing; only actual JSONDecodeErrors go to
+    // errors/json_decode (lamda.py:488).
+    val validJson = expr("try_parse_json(raw) IS NOT NULL")
     withAlerts.withColumn("route",
-      when(corrupt.isNotNull, "errors/json_decode")
+      when(corrupt.isNotNull && validJson, "errors/processing")
+        .when(corrupt.isNotNull, "errors/json_decode")
         .when(col("validation_status") === "INVALID", "invalid")
         .when(col("validation_status") === "WARNING", "valid/warnings")
         .otherwise("valid"))
+      // error-record fields (lamda.py:493-500, 510-516): typed error +
+      // original payload, so error rows are debuggable from the lake
+      .withColumn("error_type",
+        when(col("route") === "errors/json_decode", "json_decode_error")
+          .when(col("route") === "errors/processing", "processing_error"))
+      .withColumn("error_message",
+        when(col("route") === "errors/json_decode", "payload is not valid JSON")
+          .when(col("route") === "errors/processing", "payload is not a processable record object"))
+      .withColumn("raw_payload",
+        when(col("route").like("errors/%"), col("raw")))
+      // partial extraction for processing errors (lamda.py:518-524):
+      // pull event_id/loc_id out of the raw text when the JSON allows
+      .withColumn("event_id",
+        coalesce(col("event_id"),
+          when(validJson, get_json_object(col("raw"), "$.event_id"))))
+      .withColumn("loc_id",
+        coalesce(col("loc_id"),
+          when(validJson, get_json_object(col("raw"), "$.loc_id"))))
   }
 
   /** Flatten for the lake sink — drops the raw payload and nested
     * structs, mirroring `flatten_record` before upload (lamda.py:360).
+    * `bucket` names the lake for the `s3_location` back-reference the
+    * reference attaches to every landed data record (lamda.py:483,
+    * key layout `:367`: `{prefix}{loc_id}/{procTime}_{event_id}.json`);
+    * error records carry no s3_location, as in the reference.
     */
-  def flattened(processed: DataFrame): DataFrame =
+  def flattened(processed: DataFrame, bucket: String = "farm-lake"): DataFrame =
     FarmSchema.flatten(processed.drop("raw"))
       .withColumn("processing_timestamp", date_format(current_timestamp(),
         "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
       .withColumn("processor_version", lit("1.0"))
+      .withColumn("s3_location",
+        when(!col("route").like("errors/%"),
+          concat(lit(s"s3://$bucket/"), col("route"), lit("/"),
+            coalesce(col("loc_id"), lit("unknown")), lit("/"),
+            date_format(current_timestamp(), "yyyyMMdd'T'HHmmss"), lit("_"),
+            coalesce(col("event_id"), lit("unknown")), lit(".json"))))
 
   /** Alert occurrences for the throttle: one row per (record, alert). */
   def occurrences(processed: DataFrame): Dataset[Throttle.Occurrence] = {
@@ -104,11 +145,55 @@ object IngestStream {
       .queryName("graft-ingest-lake")
       .option("checkpointLocation", s"$checkpointRoot/lake")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        flattened(batch)
-          .write.mode("append")
-          .partitionBy("route", "loc_id")
-          .json(lakePath)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        // two actions consume this batch (the alerts_sent aggregation
+        // and the lake write) — materialize once so the parse/validate
+        // pipeline runs once and the observe() metrics fire once
+        val batch = batch0.persist()
+        try {
+        // alerts_sent (lamda.py:467-471): which alerts actually fired
+        // for each record, stamped onto the landed record so lake rows
+        // join the sent-alert audit. Decisions come from the same
+        // deterministic Throttle state machine applied to this batch's
+        // occurrences (the reference computes the field at process time
+        // against its external DynamoDB state; the cross-micro-batch
+        // source of truth here is the alert sink, joinable on event_id).
+        val sentNow = Throttle(occurrences(batch))
+          .groupBy(col("eventId"))
+          .agg(to_json(collect_list(struct(
+            col("alertType").as("type"),
+            col("priority"),
+            date_format(col("sentTime"),
+              "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("sent_timestamp"))))
+            .as("alerts_sent"))
+        val out = flattened(batch, lakePath)
+          .join(sentNow, col("event_id") === col("eventId"), "left")
+          .drop("eventId")
+        try {
+          out.write.mode("append")
+            .partitionBy("route", "loc_id")
+            .json(lakePath)
+        } catch {
+          case e: Throwable =>
+            // errors/processing fallback (lamda.py:505-530): a failed
+            // lake write routes the batch's raw payloads + partial
+            // fields to the error prefix instead of dropping them —
+            // the at-least-once story for sink-side failures.
+            try {
+              batch.select(
+                lit("processing_error").as("error_type"),
+                lit(String.valueOf(e.getMessage)).as("error_message"),
+                col("raw").as("raw_payload"),
+                get_json_object(col("raw"), "$.event_id").as("event_id"),
+                lit("errors/processing").as("route"),
+                get_json_object(col("raw"), "$.loc_id").as("loc_id"))
+                .write.mode("append")
+                .partitionBy("route", "loc_id")
+                .json(lakePath)
+            } catch { case _: Throwable => throw e }
+            throw e
+        }
+        } finally batch.unpersist()
       }
       .start()
 

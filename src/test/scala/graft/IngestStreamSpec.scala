@@ -18,20 +18,46 @@ class IngestStreamSpec extends AnyFunSuite {
     lines.toDF("raw")
   }
 
-  test("routing: valid / warnings / invalid / json_decode") {
+  test("routing: valid / warnings / invalid / json_decode / processing") {
     val routes = IngestStream.process(rawDf(
       FarmFixtures.record(),                                              // VALID
       FarmFixtures.record(sensors = FarmFixtures.withSensor("temperature", "52.0")), // near_threshold → WARNING
       FarmFixtures.record(sensors = FarmFixtures.withSensor("humidity", "9999")),    // sentinel → INVALID
-      "this is not json {"))
+      "this is not json {",                                               // JSONDecodeError analog
+      "[1, 2, 3]"))                                                       // valid JSON, not a record → processing error
       .select("route").collect().map(_.getString(0)).toSeq
-    assert(routes === Seq("valid", "valid/warnings", "invalid", "errors/json_decode"))
+    assert(routes === Seq("valid", "valid/warnings", "invalid",
+      "errors/json_decode", "errors/processing"))
   }
 
-  test("malformed payloads keep their raw text for the DLQ route") {
-    val out = IngestStream.process(rawDf("oops, not json"))
-      .filter(col("route") === "errors/json_decode")
-    assert(out.select("raw").head.getString(0) === "oops, not json")
+  test("error routes carry the reference's error-record fields") {
+    val out = IngestStream.process(rawDf(
+      "oops, not json",
+      """[1, 2, 3]"""))
+    val decode = out.filter(col("route") === "errors/json_decode").head
+    assert(decode.getAs[String]("raw_payload") === "oops, not json")
+    assert(decode.getAs[String]("error_type") === "json_decode_error")
+    val proc = out.filter(col("route") === "errors/processing").head
+    assert(proc.getAs[String]("raw_payload") === "[1, 2, 3]")
+    assert(proc.getAs[String]("error_type") === "processing_error")
+    assert(proc.getAs[String]("error_message") !== null)
+  }
+
+  test("partial extraction: processing-error payloads surface event_id/loc_id") {
+    // valid JSON whose shape breaks the wire struct (location is a
+    // scalar) → errors/processing, but the ids are still extractable
+    // from the raw text (lamda.py:518-524)
+    val out = IngestStream.process(rawDf(
+      """{"event_id": "evt_p", "loc_id": "loc_1", "location": 42}"""))
+    val row = out.head
+    if (row.getAs[String]("route").startsWith("errors/")) {
+      assert(row.getAs[String]("event_id") === "evt_p")
+      assert(row.getAs[String]("loc_id") === "loc_1")
+    } else {
+      // PERMISSIVE parse may recover the well-typed fields instead —
+      // then the record flows the validation path with ids intact
+      assert(row.getAs[String]("event_id") === "evt_p")
+    }
   }
 
   test("end-to-end: file stream → routed lake + throttled alerts") {
@@ -53,7 +79,8 @@ class IngestStreamSpec extends AnyFunSuite {
         FarmFixtures.record(
           sensors = FarmFixtures.withSensor("humidity", "9999"),
           eventId = "evt_c",
-          timestamp = "2025-08-09T12:06:00.000000Z")
+          timestamp = "2025-08-09T12:06:00.000000Z"),
+        "[7, 8, 9]" // valid JSON, not a record → errors/processing
       ).mkString("\n"))
 
     val (lakeQ, alertQ) = IngestStream.start(
@@ -62,12 +89,34 @@ class IngestStreamSpec extends AnyFunSuite {
     alertQ.awaitTermination(120000)
 
     val landed = spark.read.json(lake)
-    assert(landed.count() === 3)
+    assert(landed.count() === 4)
     assert(landed.select("route").distinct().collect().map(_.getString(0)).toSet
-      === Set("valid", "valid/warnings", "invalid"))
+      === Set("valid", "valid/warnings", "invalid", "errors/processing"))
     // flattened: nested structs became underscore columns
     assert(landed.columns.contains("location_latitude"))
     assert(landed.columns.contains("sensor_data_temperature"))
+
+    // s3_location back-reference on every data record, none on errors
+    val locs = landed.filter(!col("route").startsWith("errors/"))
+      .select("s3_location").collect().map(_.getString(0))
+    assert(locs.length === 3 && locs.forall(_ != null))
+    assert(locs.exists(_.contains("/valid/")))
+    assert(landed.filter(col("route").startsWith("errors/"))
+      .select("s3_location").head.isNullAt(0))
+    // the error record kept its raw payload for debugging
+    assert(landed.filter(col("route") === "errors/processing")
+      .select("raw_payload").head.getString(0) === "[7, 8, 9]")
+
+    // alerts_sent audit stamp: records whose alerts fired carry the
+    // sent list; the clean record carries none (lamda.py:467-471)
+    val sentB = landed.filter(col("event_id") === "evt_b")
+      .select("alerts_sent").head.getString(0)
+    assert(sentB != null && sentB.contains("High Temperature"))
+    val sentC = landed.filter(col("event_id") === "evt_c")
+      .select("alerts_sent").head.getString(0)
+    assert(sentC != null && sentC.contains("Sensor Failure"))
+    assert(landed.filter(col("event_id") === "evt_a")
+      .select("alerts_sent").head.isNullAt(0))
 
     val sent = spark.read.parquet(alerts)
     // evt_b fires High Temperature (52 > 35); evt_c fires CRITICAL
@@ -84,7 +133,7 @@ class IngestStreamSpec extends AnyFunSuite {
     val observed = lakeQ.recentProgress
       .flatMap(p => Option(p.observedMetrics.get("graft_ingest")))
     assert(observed.nonEmpty)
-    assert(observed.map(_.getLong(0)).sum === 3) // n_records
+    assert(observed.map(_.getLong(0)).sum === 4) // n_records
     assert(observed.map(_.getLong(1)).sum === 1) // n_invalid
   }
 

@@ -99,6 +99,30 @@ class StarSchemaSpec extends AnyFunSuite {
     assert(res.dimLocation.get.count() === 2)
   }
 
+  test("surrogate keys scale: no single-partition exchange, global order preserved") {
+    import spark.implicits._
+    // enough distinct soil tuples to span several range partitions
+    val soil = (1 to 500).map(i =>
+      (6.0 + i * 0.01, 100.0 + i, 50.0 + i, 40.0 + i))
+      .toDF("ph", "nitrogen", "phosphorus", "potassium")
+    val dim = StarSchema.dimSoil(soil)
+    // the old global Window.orderBy plan contained `Exchange SinglePartition`
+    // — the single-reducer stage that dies first at 100× scale
+    val plan = dim.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"surrogate-key plan funnels through one partition:\n$plan")
+    // keys are still the exact global rank in natural-key order, gap-free
+    val keys = dim.orderBy("ph").select("soil_key").collect().map(_.getLong(0))
+    assert(keys === (1L to 500L).toArray)
+    // and continuation from an existing dim still holds
+    val more = (501 to 520).map(i =>
+      (6.0 + i * 0.01, 100.0 + i, 50.0 + i, 40.0 + i))
+      .toDF("ph", "nitrogen", "phosphorus", "potassium")
+    val appended = StarSchema.dimSoil(more, Some(dim))
+    val newKeys = appended.orderBy("ph").select("soil_key").collect().map(_.getLong(0))
+    assert(newKeys === (501L to 520L).toArray)
+  }
+
   test("watermark: epoch on missing fact, MAX(full_date) otherwise") {
     assert(Incremental.watermark(None) === Incremental.Epoch)
     val fact = Incremental.load(batch1, None, None).newFactRows.get

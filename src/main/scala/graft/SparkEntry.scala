@@ -19,7 +19,8 @@ object SparkEntry {
       _root_.graft.ext.Similarity.all ++
       _root_.graft.ext.Multimodal.all ++
       _root_.graft.ext.Statistics.all ++
-      _root_.graft.ext.Temporal.all
+      _root_.graft.ext.Temporal.all ++
+      _root_.graft.ext.Curation.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

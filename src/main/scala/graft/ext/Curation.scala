@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Corpus-curation operators a training-data pipeline runs after
+  * dedup/quality: deterministic stratified sampling and
+  * benchmark-contamination detection.
+  *
+  * Both are built for the 100 TB shape: sampling is a pure hash filter
+  * on a narrow projection (no shuffle, no RNG state — reproducible
+  * across runs, engines, and partitionings because the coin is the
+  * content id, not a seed sequence); contamination broadcasts the
+  * (small) benchmark shingle set against one narrow corpus pass, then
+  * aggregates per doc with map-side combine.
+  */
+object Curation {
+
+  val all: Seq[Q] = Seq(
+    // ── Deterministic stratified sampling ──────────────────────────────
+    // Per-stratum rates (en 50%, de 25%, rest 10%) — the "dataset
+    // mixing" knob. The inclusion coin is h(doc_id) mod 1000, so the
+    // sample is stable under re-runs and engine changes, and a
+    // different operator can re-derive membership without a sample
+    // table. (Salting the hash input ('sample|') decorrelates it from
+    // any other hash use of doc_id.)
+    Q(
+      "q49_stratified_sample",
+      s"""SELECT doc_id, lang
+         |FROM documents
+         |WHERE ${Portable.h60Duck("concat('sample|', doc_id::VARCHAR)")} % 1000 <
+         |  CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .filter(expr(
+            s"${Portable.h60Spark("concat('sample|', cast(doc_id as string))")} % 1000 < " +
+              "CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END"))
+          .select("doc_id", "lang")
+    },
+
+    // ── Benchmark-contamination check (decontamination) ────────────────
+    // Corpus docs sharing word-5-gram shingles with a benchmark set
+    // (here: doc_id < 50 stands in for the eval set). Both sides are
+    // per-doc-distinct shingles, the benchmark side globally distinct,
+    // so the join count IS the distinct-overlap count. At 100 TB the
+    // benchmark set is a broadcast (evals are ~10⁵ docs); the corpus
+    // never shuffles its text — only (doc_id, 1) counts move.
+    Q(
+      "q50_contamination",
+      s"""WITH ${Dedup.shingles5Duck},
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 50),
+         |corp AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 50),
+         |sz AS (SELECT doc_id, count(*) AS n FROM corp GROUP BY doc_id),
+         |hit AS (SELECT c.doc_id, count(*) AS n_overlap
+         |        FROM corp c JOIN bench b ON b.sh = c.sh
+         |        GROUP BY c.doc_id)
+         |SELECT h.doc_id, h.n_overlap,
+         |  floor(h.n_overlap * 1000000.0 / sz.n) / 1000000.0 AS overlap_ratio
+         |FROM hit h JOIN sz ON sz.doc_id = h.doc_id""".stripMargin) { (s, d) =>
+      val sh = Dedup.shingles5(s, d)
+      val bench = sh.filter(col("doc_id") < 50).select("sh").distinct()
+      val corp = sh.filter(col("doc_id") >= 50)
+      val sz = corp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val hit = corp.join(broadcast(bench), "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      hit.join(sz.withColumnRenamed("doc_id", "sz_id"),
+          col("doc_id") === col("sz_id"))
+        .select(col("doc_id"), col("n_overlap"),
+          expr("floor(n_overlap * 1000000.0D / n) / 1000000.0D").as("overlap_ratio"))
+    })
+}

@@ -32,7 +32,7 @@ object Dedup {
     * `sequence(1, n)` with n < 1 would generate a *descending* sequence
     * in Spark, not an empty one.
     */
-  private def shingles5(s: SparkSession, d: String): DataFrame =
+  private[ext] def shingles5(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), expr("split(text, ' ')").as("ts"))
       .select(col("doc_id"), explode(expr(
@@ -40,7 +40,7 @@ object Dedup {
         .as("sh"))
 
   /** DuckDB mirror of [[shingles5]] as a CTE body. */
-  private val shingles5Duck =
+  private[ext] val shingles5Duck =
     """tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts) - 3),
       |         i -> array_to_string(ts[i:i+4], ' ')))) AS sh FROM tok)""".stripMargin

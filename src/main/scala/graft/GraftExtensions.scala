@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{FloatDot, FloatQDot}
+import graft.functions.{FloatDot, FloatQDot, ShingleMinHash}
 
 /** Library packaging of the engine's Catalyst surface: register with
   *
@@ -27,5 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatQDot].getName, "vec_qdot"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FloatQDot(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_min_hash"),
+      new ExpressionInfo(classOf[ShingleMinHash].getName, "shingle_min_hash"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ShingleMinHash(args(0), args(1))))
   }
 }

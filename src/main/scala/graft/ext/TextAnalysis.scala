@@ -132,21 +132,33 @@ object TextAnalysis {
     },
 
     // ── Content fingerprinting: md5 + min 8-gram rolling fingerprint ───
-    // The 60-bit min-shingle fingerprint is the winnowing-style signature
-    // used for fuzzy containment; n_copies counts exact duplicates.
+    // The min-shingle fingerprint is the winnowing-style signature used
+    // for fuzzy containment; n_copies counts exact duplicates. The
+    // shingle hash is Rabin-Karp (base 257 mod 2³¹−1) computed by the
+    // codegen kernel [[graft.functions.ShingleMinHash]] — one fused
+    // primitive loop vs the interpreted per-window HOF baseline; exact
+    // integer math, so the oracle mirror is trivially identical.
+    // The duplicate-count window partitions by content_md5, not text:
+    // same groups (md5 collisions are the usual 2^-64 non-concern), but
+    // the exchange carries 32-byte hashes + the computed columns instead
+    // of the corpus text — the q34 shuffle discipline applied here.
     Q(
-      "q33_fingerprint",
-      s"""SELECT doc_id, md5(text) AS content_md5,
-         |  list_min(list_transform(range(1, length(text) - 6),
-         |           i -> ${Portable.h60Duck("substr(text, i::INT, 8)")})) AS fp_min8,
-         |  count(*) OVER (PARTITION BY text) AS n_copies
-         |FROM documents""".stripMargin) { (s, d) =>
+      "q33_fingerprint", {
+        // h(s[i..i+8)) unrolled for the oracle: (((c₀·257+c₁) mod P)·257+c₂)…
+        val polyDuck = (1 to 7).foldLeft("CAST(unicode(text[i]) AS BIGINT)")(
+          (acc, j) => s"(($acc * 257 + unicode(text[i+$j])) % 2147483647)")
+        s"""SELECT doc_id, md5(text) AS content_md5,
+           |  list_min(list_transform(range(1, length(text) - 6),
+           |           i -> $polyDuck)) AS fp_min8,
+           |  count(*) OVER (PARTITION BY md5(text)) AS n_copies
+           |FROM documents""".stripMargin
+      }) { (s, d) =>
+      graft.functions.VectorExpressions.register(s)
       Tables.documents(s, d).select(
         col("doc_id"),
         md5(col("text")).as("content_md5"),
-        expr(s"array_min(transform(sequence(1, length(text) - 7), i -> ${Portable.h60Spark("substr(text, i, 8)")}))")
-          .as("fp_min8"),
-        count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("text")).as("n_copies"))
+        expr("shingle_min_hash(text, 8)").as("fp_min8"))
+        .withColumn("n_copies", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("content_md5")))
     })
 }

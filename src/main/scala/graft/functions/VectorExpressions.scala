@@ -145,6 +145,94 @@ case class FloatQDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Minimum Rabin-Karp hash over all k-char shingles of a string:
+  *   min over i of  h(s[i..i+k)) ,  h(w) = fold (acc·257 + code(c)) mod (2³¹−1)
+  *
+  * The winnowing-style fingerprint kernel (Schleimer et al., SIGMOD'03
+  * uses exactly this windowed-min-of-rolling-hash shape). The portable
+  * baseline (`array_min(transform(sequence(...), i -> hash(substr(...))))`)
+  * allocates a position array and a substring per window and dispatches
+  * an interpreted lambda per element; this expression is one fused
+  * primitive loop — O(k·n) long arithmetic, zero allocation beyond the
+  * codepoint scan.
+  *
+  * Cross-engine contract: `code(c)` is the UTF-16 code unit, which
+  * equals the Unicode codepoint (DuckDB's `unicode()`) for all BMP
+  * text; the corpus is ASCII. All arithmetic is exact integer math —
+  * no accumulation-order concerns by construction.
+  *
+  * Null contract: null string → null; fewer than k chars → null (the
+  * SQL mirror's `list_min` of an empty list).
+  */
+case class ShingleMinHash(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = left.dataType == org.apache.spark.sql.types.StringType &&
+      right.dataType == org.apache.spark.sql.types.IntegerType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_min_hash expects (string, int), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_min_hash"
+
+  protected override def nullSafeEval(str: Any, kAny: Any): Any = {
+    val s = str.toString
+    val k = kAny.asInstanceOf[Int]
+    val n = s.length
+    if (n < k) null
+    else {
+      var min = Long.MaxValue
+      var i = 0
+      while (i <= n - k) {
+        var h = 0L
+        var j = 0
+        while (j < k) {
+          h = (h * 257L + s.charAt(i + j)) % 2147483647L
+          j += 1
+        }
+        if (h < min) min = h
+        i += 1
+      }
+      min
+    }
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (str, k) => {
+      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val min = ctx.freshName("min")
+      s"""
+         |java.lang.String $s = $str.toString();
+         |int $n = $s.length();
+         |if ($n < $k) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $min = java.lang.Long.MAX_VALUE;
+         |  for (int $i = 0; $i <= $n - $k; $i++) {
+         |    long $h = 0L;
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      $h = ($h * 257L + $s.charAt($i + $j)) % 2147483647L;
+         |    }
+         |    if ($h < $min) $min = $h;
+         |  }
+         |  ${ev.value} = $min;
+         |}
+       """.stripMargin
+    })
+
+  protected override def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Fixed-point quantization scale for `vec_qdot`: 2²⁰. */
   val QScale: Double = 1048576.0
@@ -158,5 +246,7 @@ object VectorExpressions {
       "vec_dot", args => FloatDot(args(0), args(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_qdot", args => FloatQDot(args(0), args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_min_hash", args => ShingleMinHash(args(0), args(1)), "built-in")
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{FloatDot, FloatQDot, ShingleMinHash}
+import graft.functions.{FloatDot, FloatQDot, ShingleMinHash, Simhash60}
 
 /** Library packaging of the engine's Catalyst surface: register with
   *
@@ -32,5 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleMinHash].getName, "shingle_min_hash"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ShingleMinHash(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[Simhash60].getName, "simhash60"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Simhash60(args(0))))
   }
 }

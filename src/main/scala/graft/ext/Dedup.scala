@@ -27,23 +27,29 @@ import graft.{Q, Tables}
   */
 object Dedup {
 
-  /** Distinct word 5-gram shingles per doc: (doc_id, sh).
-    * Precondition: every doc has ≥5 tokens (TESTDATA min is 10) —
-    * `sequence(1, n)` with n < 1 would generate a *descending* sequence
-    * in Spark, not an empty one.
+  /** Distinct word 5-gram shingles per doc, as 60-bit md5 hashes:
+    * (doc_id, sh: BIGINT). Hashing INSIDE the shingle generator means
+    * every downstream join/count moves 8-byte longs, never shingle
+    * text — at 100 TB the shingle self-joins shuffle ~4× less. Both
+    * engines compute the same md5, so hash collisions (the usual 2^-60
+    * non-concern) are identical on both sides and comparisons stay
+    * exact. Precondition: every doc has ≥5 tokens (TESTDATA min is
+    * 10) — `sequence(1, n)` with n < 1 would generate a *descending*
+    * sequence in Spark, not an empty one.
     */
   private[ext] def shingles5(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), expr("split(text, ' ')").as("ts"))
       .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, size(ts) - 4), i -> array_join(slice(ts, i, 5), ' ')))"))
+        "array_distinct(transform(sequence(1, size(ts) - 4), " +
+          s"i -> ${Portable.h60Spark("array_join(slice(ts, i, 5), ' ')")}))"))
         .as("sh"))
 
   /** DuckDB mirror of [[shingles5]] as a CTE body. */
   private[ext] val shingles5Duck =
-    """tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts) - 3),
-      |         i -> array_to_string(ts[i:i+4], ' ')))) AS sh FROM tok)""".stripMargin
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts) - 3),
+       |         i -> ${Portable.h60Duck("array_to_string(ts[i:i+4], ' ')")}))) AS sh FROM tok)""".stripMargin
 
   val all: Seq[Q] = Seq(
     // ── Exact dedup: content-hash groupBy, keep-first survivor ─────────
@@ -106,7 +112,7 @@ object Dedup {
     Q(
       "q36_minhash_lsh",
       s"""WITH $shingles5Duck,
-         |hh AS (SELECT doc_id, ${Portable.h60Duck("sh")} AS h FROM sh),
+         |hh AS (SELECT doc_id, sh AS h FROM sh),
          |sig AS (SELECT doc_id, i, min(${Portable.permDuck("h", "i")}) AS mh
          |        FROM hh, generate_series(0, 15) g(i) GROUP BY doc_id, i),
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -125,15 +131,16 @@ object Dedup {
          |JOIN sz sb ON sb.doc_id = b_id
          |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5""".stripMargin) { (s, d) =>
       val sh = shingles5(s, d)
-      val hh = sh.select(col("doc_id"), expr(Portable.h60Spark("sh")).as("h"))
-      // One min() per permutation as 16 columns of a single aggregation
-      // (the oracle's explode×16+groupBy shape would push 16× the rows
-      // through the exchange for the same signature), then unpivot.
-      val mhAggs = (0 until 16).map(i =>
-        min(expr(Portable.permSpark("h", i.toString))).as(s"mh$i"))
-      val sig = hh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
-        .select(col("doc_id"), expr(
-          "stack(16, " + (0 until 16).map(i => s"$i, mh$i").mkString(", ") + ") AS (i, mh)"))
+      // Signatures from the one-pass codegen kernel
+      // [[graft.functions.MinHash16]] — bit-identical to the oracle's
+      // explode → 16 wide-agg mins (MIN is order-free and
+      // duplicate-insensitive), with no shingle explode or aggregation
+      // exchange: 128 signature bytes per doc leave the scan.
+      graft.functions.VectorExpressions.register(s)
+      val sig = Tables.documents(s, d)
+        .select(col("doc_id"), expr("minhash16(text)").as("sig"))
+        .filter(col("sig").isNotNull)
+        .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "mh")))
       val cand = sig.as("a")
         .join(sig.as("b"),
           col("a.i") === col("b.i") && col("a.mh") === col("b.mh") &&
@@ -185,23 +192,15 @@ object Dedup {
          |           ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
          |SELECT a_id, b_id, bit_count(xor(afp, bfp)) AS hamming
          |FROM cand WHERE bit_count(xor(afp, bfp)) <= 6""".stripMargin) { (s, d) =>
-      val sh3 = Tables.documents(s, d)
-        .select(col("doc_id"), expr("split(text, ' ')").as("ts"))
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ts) - 2), i -> array_join(slice(ts, i, 3), ' '))"))
-          .as("sh"))
-      val th = sh3.select(col("doc_id"), expr(Portable.h60Spark("sh")).as("h"))
-      // 60 per-bit signed sums as columns of ONE aggregation (the
-      // oracle's explode×60 form would shuffle 60× the shingle rows for
-      // the same result — integer sums are order-insensitive), then
-      // assemble the fingerprint in a single projection.
-      val bitAggs = (0 until 60).map(j =>
-        sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$j"))
-      val fp = th.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-        .select(col("doc_id"), expr(
-          (0 until 60).map(j =>
-            s"CASE WHEN s$j >= 0 THEN shiftleft(cast(1 as bigint), $j) ELSE cast(0 as bigint) END")
-            .mkString(" + ")).as("fp"))
+      // Fingerprints come from the one-pass codegen kernel
+      // [[graft.functions.Simhash60]] — bit-identical to the oracle's
+      // explode → 60-signed-sum formulation (integer votes are
+      // order-free), but as a narrow per-row projection: no shingle
+      // explode, no 60-column aggregation, no exchange before banding.
+      graft.functions.VectorExpressions.register(s)
+      val fp = Tables.documents(s, d)
+        .select(col("doc_id"), expr("simhash60(text)").as("fp"))
+        .filter(col("fp").isNotNull)
       val bands = fp
         .select(col("doc_id"), col("fp"), explode(expr("sequence(0, 6)")).as("b"))
         .withColumn("bv", expr(

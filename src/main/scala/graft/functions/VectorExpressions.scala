@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
@@ -233,6 +233,184 @@ case class ShingleMinHash(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 60-bit SimHash of a document in one pass: word 3-gram shingles,
+  * each hashed to the 60-bit md5 prefix (`graft.ext.Portable.h60*` —
+  * the first 15 hex chars ≡ big-endian first 8 bytes >>> 4), voting
+  * +1/−1 per bit position; bit j of the result is set when its vote
+  * sum is ≥ 0.
+  *
+  * Bit-identical to the relational formulation (shingle explode →
+  * per-bit signed sums → assembly) because integer vote sums are
+  * order-free — but with NO explode, NO 60-column aggregation and NO
+  * shuffle: the fingerprint is a narrow per-row projection, so the
+  * only exchange left in a SimHash dedup is the banding join itself.
+  *
+  * Null contract: null → null; fewer than 3 tokens → null (the
+  * relational form simply emits no rows for such docs — callers filter
+  * nulls to match).
+  */
+case class Simhash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash60 expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash60"
+
+  protected override def nullSafeEval(str: Any): Any =
+    Simhash60.compute(str.toString)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val out = ctx.freshName("fp")
+      s"""
+         |Long $out = graft.functions.Simhash60.compute($str.toString());
+         |if ($out == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $out.longValue();
+         |}
+       """.stripMargin
+    })
+
+  protected override def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Simhash60 {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** One fused pass over the document; called from both the
+    * interpreted and the generated code path (the body is plain JVM
+    * primitive work — JIT inlines it; splitting it out keeps the
+    * generated method tiny and under the JIT's inline threshold).
+    */
+  def compute(s: String): java.lang.Long = {
+    val toks = s.split(" ", -1)
+    val n = toks.length
+    if (n < 3) return null
+    val digest = md.get()
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i + 2 < n) {
+      val sh = new java.lang.StringBuilder(
+        toks(i).length + toks(i + 1).length + toks(i + 2).length + 2)
+        .append(toks(i)).append(' ')
+        .append(toks(i + 1)).append(' ')
+        .append(toks(i + 2)).toString
+      val dg = digest.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (dg(b) & 0xffL); b += 1 }
+      h = h >>> 4
+      var j = 0
+      while (j < 60) {
+        if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 60) { if (votes(j) >= 0) fp |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(fp)
+  }
+}
+
+/** 16-element MinHash signature of a document in one pass: word 5-gram
+  * shingles hashed to the 60-bit md5 prefix, pushed through the
+  * [[graft.ext.Portable]] permutation family
+  * `((37i+11)·(h mod P) + (17i+7)) mod P`, minimum per permutation.
+  *
+  * Bit-identical to the relational form (shingle explode → 16 wide-agg
+  * mins) for two reasons: MIN is order-free, and MIN over a multiset
+  * equals MIN over its distinct set — so the kernel needs neither the
+  * oracle's `list_distinct` nor any particular iteration order.
+  * Removes the shingle explode and the 16-column aggregation exchange;
+  * only the signature array (128 bytes/doc) leaves the scan.
+  *
+  * Null contract: null → null; fewer than 5 tokens → null.
+  */
+case class MinHash16(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash16 expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash16"
+
+  protected override def nullSafeEval(str: Any): Any = {
+    val sig = MinHash16.compute(str.toString)
+    if (sig == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val sig = ctx.freshName("sig")
+      s"""
+         |long[] $sig = graft.functions.MinHash16.compute($str.toString());
+         |if ($sig == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+         |}
+       """.stripMargin
+    })
+
+  protected override def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHash16 {
+  private val P = 2147483647L
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(s: String): Array[Long] = {
+    val toks = s.split(" ", -1)
+    val n = toks.length
+    if (n < 5) return null
+    val digest = md.get()
+    val mins = Array.fill(16)(Long.MaxValue)
+    var i = 0
+    while (i + 4 < n) {
+      val sb = new java.lang.StringBuilder()
+      var w = 0
+      while (w < 5) {
+        if (w > 0) sb.append(' ')
+        sb.append(toks(i + w))
+        w += 1
+      }
+      val dg = digest.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (dg(b) & 0xffL); b += 1 }
+      h = h >>> 4
+      val hm = h % P
+      var k = 0
+      while (k < 16) {
+        val p = ((37L * k + 11L) * hm + (17L * k + 7L)) % P
+        if (p < mins(k)) mins(k) = p
+        k += 1
+      }
+      i += 1
+    }
+    mins
+  }
+}
+
 object VectorExpressions {
   /** Fixed-point quantization scale for `vec_qdot`: 2²⁰. */
   val QScale: Double = 1048576.0
@@ -248,5 +426,9 @@ object VectorExpressions {
       "vec_qdot", args => FloatQDot(args(0), args(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_min_hash", args => ShingleMinHash(args(0), args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash60", args => Simhash60(args(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash16", args => MinHash16(args(0)), "built-in")
   }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import graft.ext.Portable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Equivalence proofs for the codegen kernels: each kernel must equal
+  * the portable higher-order-function formulation it replaces, on real
+  * corpus data — that equivalence is what licenses the oracle SQL to
+  * keep using the relational form while Spark runs the fused loop.
+  * Also covers the null/short-input contracts the HOFs can't express.
+  */
+class KernelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = {
+    graft.functions.VectorExpressions.register(spark)
+    Tables.documents(spark, sf)
+  }
+
+  test("shingle_min_hash ≡ min over per-window Rabin-Karp HOF") {
+    val poly = (1 to 7).foldLeft("cast(ascii(substr(text, i, 1)) as bigint)")(
+      (acc, j) => s"(($acc * 257 + ascii(substr(text, i + $j, 1))) % 2147483647)")
+    val mism = docs.select(
+      expr("shingle_min_hash(text, 8)").as("k"),
+      expr(s"array_min(transform(sequence(1, length(text) - 7), i -> $poly))").as("h"))
+      .filter(col("k") =!= col("h") || col("k").isNull)
+    assert(mism.count() === 0)
+  }
+
+  test("shingle_min_hash null contract: short and null inputs") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val r = Seq("abcdefgh", "short", null.asInstanceOf[String])
+      .toDF("s").selectExpr("shingle_min_hash(s, 8) AS h").collect()
+    assert(!r(0).isNullAt(0)) // exactly one window
+    assert(r(1).isNullAt(0)) // < k chars
+    assert(r(2).isNullAt(0)) // null in, null out
+  }
+
+  test("simhash60 ≡ explode → 60 signed vote sums → assembly") {
+    val sh3 = docs
+      .select(col("doc_id"), expr("split(text, ' ')").as("ts"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 2), i -> array_join(slice(ts, i, 3), ' '))"))
+        .as("sh"))
+      .select(col("doc_id"), expr(Portable.h60Spark("sh")).as("h"))
+    val bitAggs = (0 until 60).map(j =>
+      sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$j"))
+    val relational = sh3.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), expr(
+        (0 until 60).map(j =>
+          s"CASE WHEN s$j >= 0 THEN shiftleft(cast(1 as bigint), $j) ELSE cast(0 as bigint) END")
+          .mkString(" + ")).as("fp_rel"))
+    val kernel = docs.select(col("doc_id"), expr("simhash60(text)").as("fp_k"))
+    val joined = kernel.join(relational, "doc_id")
+    assert(joined.count() > 0)
+    assert(joined.filter(col("fp_k") =!= col("fp_rel")).count() === 0)
+  }
+
+  test("minhash16 ≡ explode → 16 wide-agg permutation mins") {
+    val hh = docs
+      .select(col("doc_id"), expr("split(text, ' ')").as("ts"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(ts) - 4), i -> array_join(slice(ts, i, 5), ' ')))"))
+        .as("sh"))
+      .select(col("doc_id"), expr(Portable.h60Spark("sh")).as("h"))
+    val mhAggs = (0 until 16).map(i =>
+      min(expr(Portable.permSpark("h", i.toString))).as(s"mh$i"))
+    val relational = hh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+      .select(col("doc_id"),
+        expr("array(" + (0 until 16).map(i => s"mh$i").mkString(", ") + ")").as("sig_rel"))
+    val kernel = docs.select(col("doc_id"), expr("minhash16(text)").as("sig_k"))
+    val joined = kernel.join(relational, "doc_id")
+    assert(joined.count() > 0)
+    assert(joined.filter(col("sig_k") =!= col("sig_rel")).count() === 0)
+  }
+
+  test("vec_qdot ≡ integer-quantized HOF fold; self-dot non-negative") {
+    val e = Tables.embeddings(spark, sf)
+    graft.functions.VectorExpressions.register(spark)
+    val q = "transform(embedding, x -> cast(floor(cast(x as double) * 1048576.0D) as bigint))"
+    val mism = e.select(
+      expr("vec_qdot(embedding, embedding)").as("k"),
+      expr(s"aggregate(zip_with($q, $q, (x, y) -> x * y), cast(0 as bigint), (a, v) -> a + v)").as("h"))
+      .filter(col("k") =!= col("h") || col("k") < 0)
+    assert(mism.count() === 0)
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{FloatDot, FloatQDot, ShingleMinHash, Simhash60}
+import graft.functions.{FloatDot, FloatQDot, LongDot, MinHash16, ShingleMinHash, Simhash60}
 
 /** Library packaging of the engine's Catalyst surface: register with
   *
@@ -37,5 +37,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Simhash60].getName, "simhash60"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Simhash60(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash16"),
+      new ExpressionInfo(classOf[MinHash16].getName, "minhash16"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHash16(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_ldot"),
+      new ExpressionInfo(classOf[LongDot].getName, "vec_ldot"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LongDot(args(0), args(1))))
   }
 }

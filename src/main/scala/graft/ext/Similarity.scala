@@ -9,9 +9,12 @@ import graft.functions.VectorExpressions
   * IVF-style probed search and a multi-probe LSH search as the two
   * scale paths.
   *
-  * The per-pair kernel is [[graft.functions.FloatQDot]] (`vec_qdot`), a
-  * native codegen'd Catalyst expression computing the fixed-point dot
-  * product Σ floor(aᵢ·2²⁰)·floor(bᵢ·2²⁰) as a BIGINT.
+  * Vectors are quantized once per row to fixed-point long arrays
+  * (`qe = floor(xᵢ·2²⁰)`); the per-pair kernel is then
+  * [[graft.functions.LongDot]] (`vec_ldot`), a native codegen'd
+  * Catalyst expression computing the integer dot product — equal by
+  * construction to `vec_qdot(a, b)` (KernelSpec proves it) but without
+  * re-quantizing inside the O(n·m) pair loop.
   *
   * Numeric contract (what makes the DuckDB oracle exact): float
   * accumulation order is NOT portable across engines — DuckDB's
@@ -57,18 +60,21 @@ object Similarity {
   private val nvDuck =
     s"nv AS (SELECT vec_id, label, embedding, sqrt(CAST(${qdotD("embedding", "embedding")} AS DOUBLE)) AS nrm FROM embeddings)"
 
-  private def nv(s: org.apache.spark.sql.SparkSession, d: String) = {
-    VectorExpressions.register(s)
-    Tables.embeddings(s, d).select(
-      col("vec_id"), col("label"), col("embedding"),
-      expr("sqrt(cast(vec_qdot(embedding, embedding) as double))").as("nrm"))
-  }
-
-  /** Spark-side quantized vector column (for centroid/bucket math that
-    * runs outside the codegen kernel).
-    */
+  /** Spark-side quantized vector column. */
   private val qeSpark =
     "transform(embedding, x -> cast(floor(cast(x as double) * 1048576.0D) as bigint))"
+
+  /** Quantize ONCE per vector at the scan (`qe`), then every pair/probe
+    * kernel is `vec_ldot` over long arrays — in an O(n·m) join,
+    * re-quantizing inside the pair kernel (`vec_qdot`) would redo the
+    * 128 floor/cast ops per PAIR instead of 64 per ROW.
+    */
+  private def nv(s: org.apache.spark.sql.SparkSession, d: String) = {
+    VectorExpressions.register(s)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), expr(qeSpark).as("qe"))
+      .withColumn("nrm", expr("sqrt(cast(vec_ldot(qe, qe) as double))"))
+  }
 
   val all: Seq[Q] = Seq(
     // ── Embedding-cosine near-dup pairs (brute force baseline) ─────────
@@ -86,7 +92,7 @@ object Similarity {
       val e = nv(s, d)
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          expr("cast(vec_qdot(a.embedding, b.embedding) as double) / (a.nrm * b.nrm)").as("cos"))
+          expr("cast(vec_ldot(a.qe, b.qe) as double) / (a.nrm * b.nrm)").as("cos"))
         .filter(col("cos") >= 0.4)
         .select(col("a_id"), col("b_id"),
           expr("floor(cos * 1000000.0D) / 1000000.0D").as("cosine"))
@@ -110,7 +116,7 @@ object Similarity {
       val q = e.filter(col("vec_id") < 10)
       broadcast(q.as("a")).join(e.as("b"), col("b.vec_id") =!= col("a.vec_id"))
         .select(col("a.vec_id").as("qid"), col("b.vec_id").as("neighbor_id"),
-          expr("cast(vec_qdot(a.embedding, b.embedding) as double) / (a.nrm * b.nrm)").as("cos"))
+          expr("cast(vec_ldot(a.qe, b.qe) as double) / (a.nrm * b.nrm)").as("cos"))
         .withColumn("rank", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos").desc, col("neighbor_id"))))
         .filter(col("rank") <= 5)
@@ -158,11 +164,7 @@ object Similarity {
          |      FROM cand)
          |WHERE rank <= 5""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      VectorExpressions.register(s)
-      val qv = Tables.embeddings(s, d).select(
-        col("vec_id"), col("label"), col("embedding"),
-        expr(qeSpark).as("qe"),
-        expr("sqrt(cast(vec_qdot(embedding, embedding) as double))").as("nrm"))
+      val qv = nv(s, d)
       // centroid per (label, dim): integer sum + floor-divide mean —
       // order-independent, so no sequential-fold contortions needed
       val pos = qv
@@ -177,23 +179,22 @@ object Similarity {
         .groupBy("label")
         .agg(expr("transform(array_sort(collect_list(struct(i, cq))), x -> x.cq)").as("cvec"))
       val q = qv.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
-          col("qe").as("qq"), col("nrm").as("qnrm"))
+        .select(col("vec_id").as("qid"), col("qe").as("qq"), col("nrm").as("qnrm"))
       // probe: 2 nearest centroids per query (integer dots, tiny frames)
       val qc = broadcast(q).crossJoin(broadcast(cvec))
-        .select(col("qid"), col("label"), col("qemb"), col("qnrm"), expr(
-          "cast(aggregate(zip_with(qq, cvec, (x, y) -> x * y), cast(0 as bigint), (a, v) -> a + v) as double)" +
-            " / (qnrm * sqrt(cast(aggregate(cvec, cast(0 as bigint), (a, v) -> a + v * v) as double)))")
+        .select(col("qid"), col("label"), col("qq"), col("qnrm"), expr(
+          "cast(vec_ldot(qq, cvec) as double)" +
+            " / (qnrm * sqrt(cast(vec_ldot(cvec, cvec) as double)))")
           .as("ccos"))
       val probe = qc
         .withColumn("r", row_number().over(
           Window.partitionBy("qid").orderBy(col("ccos").desc, col("label"))))
         .filter(col("r") <= 2)
-        .select(col("qid"), col("label").as("plabel"), col("qemb"), col("qnrm"))
+        .select(col("qid"), col("label").as("plabel"), col("qq"), col("qnrm"))
       probe.join(qv.as("e"),
           col("e.label") === col("plabel") && col("e.vec_id") =!= col("qid"))
         .select(col("qid"), col("e.vec_id").as("neighbor_id"),
-          expr("cast(vec_qdot(qemb, e.embedding) as double) / (qnrm * e.nrm)").as("cos"))
+          expr("cast(vec_ldot(qq, e.qe) as double) / (qnrm * e.nrm)").as("cos"))
         .withColumn("rank", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos").desc, col("neighbor_id"))))
         .filter(col("rank") <= 5)
@@ -247,27 +248,22 @@ object Similarity {
         val p = Portable.h60Scala(s"plane|$j|$i") % 2001 - 1000
         s"${p}L"
       }.mkString(", ") + ")"
-      def dotPlane(j: Int): String =
-        s"aggregate(zip_with(qe, ${planeArr(j)}, (x, y) -> x * y), cast(0 as bigint), (a, v) -> a + v)"
+      def dotPlane(j: Int): String = s"vec_ldot(qe, ${planeArr(j)})"
       val bucketExpr = (0 until 6)
         .map(j => s"CASE WHEN ${dotPlane(j)} >= 0 THEN ${1L << j}L ELSE 0L END")
         .mkString(" + ")
-      val nb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), col("embedding"),
-          expr(qeSpark).as("qe"),
-          expr("sqrt(cast(vec_qdot(embedding, embedding) as double))").as("nrm"))
-        .withColumn("bucket", expr(bucketExpr))
+      val nb = nv(s, d).withColumn("bucket", expr(bucketExpr))
       val q = nb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        .select(col("vec_id").as("qid"), col("qe").as("qq"),
           col("nrm").as("qnrm"), col("bucket"))
-      val probes = q.select(col("qid"), col("qemb"), col("qnrm"),
+      val probes = q.select(col("qid"), col("qq"), col("qnrm"),
         explode(expr(
           "transform(sequence(0, 6), t -> CASE WHEN t = 0 THEN bucket ELSE bucket ^ shiftleft(cast(1 as bigint), t - 1) END)"))
           .as("pb"))
       broadcast(probes).join(nb.as("e"),
           col("e.bucket") === col("pb") && col("e.vec_id") =!= col("qid"))
         .select(col("qid"), col("e.vec_id").as("neighbor_id"),
-          expr("cast(vec_qdot(qemb, e.embedding) as double) / (qnrm * e.nrm)").as("cos"))
+          expr("cast(vec_ldot(qq, e.qe) as double) / (qnrm * e.nrm)").as("cos"))
         .withColumn("rank", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos").desc, col("neighbor_id"))))
         .filter(col("rank") <= 5)

@@ -233,6 +233,63 @@ case class ShingleMinHash(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer dot product over two `array<bigint>` columns — the pair
+  * kernel used with pre-quantized vectors: [[FloatQDot]] folds the
+  * `floor(x·2²⁰)` quantization into every pair evaluation, which is
+  * wasted work in an O(n²) join (each row re-quantizes per partner).
+  * Quantize once per side (`transform(..., floor(x·2²⁰))`), then dot
+  * the long arrays. Same integer-exactness contract as [[FloatQDot]]:
+  * `vec_ldot(qa, qb) ≡ vec_qdot(a, b)` — proven in KernelSpec.
+  */
+case class LongDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_ldot expects (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_ldot"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var k = 0
+    while (k < n) {
+      acc += x.getLong(k) * y.getLong(k)
+      k += 1
+    }
+    acc
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $k = 0; $k < $n; $k++) {
+         |  $acc += $a.getLong($k) * $b.getLong($k);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  protected override def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 60-bit SimHash of a document in one pass: word 3-gram shingles,
   * each hashed to the 60-bit md5 prefix (`graft.ext.Portable.h60*` —
   * the first 15 hex chars ≡ big-endian first 8 bytes >>> 4), voting
@@ -430,5 +487,7 @@ object VectorExpressions {
       "simhash60", args => Simhash60(args(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash16", args => MinHash16(args(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_ldot", args => LongDot(args(0), args(1)), "built-in")
   }
 }

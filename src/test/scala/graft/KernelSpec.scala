@@ -87,4 +87,16 @@ class KernelSpec extends AnyFunSuite {
       .filter(col("k") =!= col("h") || col("k") < 0)
     assert(mism.count() === 0)
   }
+
+  test("vec_ldot on pre-quantized arrays ≡ vec_qdot on the float arrays") {
+    val e = Tables.embeddings(spark, sf)
+    graft.functions.VectorExpressions.register(spark)
+    val q = "transform(embedding, x -> cast(floor(cast(x as double) * 1048576.0D) as bigint))"
+    val mism = e.as("a").crossJoin(e.as("b").limit(5))
+      .select(
+        expr("vec_qdot(a.embedding, b.embedding)").as("qd"),
+        expr(s"vec_ldot(${q.replace("embedding", "a.embedding")}, ${q.replace("embedding", "b.embedding")})").as("ld"))
+      .filter(col("qd") =!= col("ld"))
+    assert(mism.count() === 0)
+  }
 }

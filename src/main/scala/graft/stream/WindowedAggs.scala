@@ -40,4 +40,31 @@ object WindowedAggs {
         col("window.end").as("window_end")) ++ keyCols.map(col) ++ Seq(
         col("sum_value"), col("avg_value"), col("n")): _*)
   }
+
+  /** Gap-based session windows over `tsCol` (`session_window`, the
+    * streaming form of the batch sessionization operator q46): a
+    * session extends while successive events per key arrive within
+    * `gap`; the window closes — and in append mode, emits — once the
+    * watermark passes session end + gap. State per key is one open
+    * session row, merged by Spark's native session-window state
+    * operator (no custom state code), bounded by the watermark horizon.
+    */
+  def sessionized(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      gap: String = "30 minutes",
+      delay: String = "10 minutes",
+      keyCols: Seq[String] = Nil): DataFrame = {
+    val base = if (df.isStreaming) df.withWatermark(tsCol, delay) else df
+    base
+      .groupBy(session_window(col(tsCol), gap) +: keyCols.map(col): _*)
+      .agg(
+        sum(valueCol).as("sum_value"),
+        count(lit(1)).as("n_events"))
+      .select(Seq(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end")) ++ keyCols.map(col) ++ Seq(
+        col("sum_value"), col("n_events")): _*)
+  }
 }

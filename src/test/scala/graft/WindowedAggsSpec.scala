@@ -58,4 +58,79 @@ class WindowedAggsSpec extends AnyFunSuite {
       (ts("2025-08-09 12:00:00"), "b", 10.0, 1L),
       (ts("2025-08-09 13:00:00"), "a", 4.0, 1L)))
   }
+
+  test("session windows: gap splits sessions, append emits closed ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    in.addData(
+      (ts("2025-08-09 12:00:00"), "u1", 1.0),
+      (ts("2025-08-09 12:10:00"), "u1", 2.0),  // within 30-min gap → same session
+      (ts("2025-08-09 13:30:00"), "u1", 4.0),  // > gap → new session
+      // far-future flush event: watermark passes both earlier sessions
+      (ts("2025-08-09 18:00:00"), "u2", 0.0))
+    val q = WindowedAggs.sessionized(
+      in.toDF.toDF("ts", "user_id", "value"), "ts", "value",
+      keyCols = Seq("user_id"))
+      .writeStream
+      .format("memory").queryName("sess_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.table("sess_out")
+      .filter($"user_id" === "u1")
+      .orderBy("session_start")
+      .collect()
+    assert(rows.length === 2)
+    // first session spans both close events; end = last event + gap
+    assert(rows(0).getTimestamp(0) === ts("2025-08-09 12:00:00"))
+    assert(rows(0).getTimestamp(1) === ts("2025-08-09 12:40:00"))
+    assert(rows(0).getAs[Double]("sum_value") === 3.0)
+    assert(rows(0).getAs[Long]("n_events") === 2L)
+    assert(rows(1).getTimestamp(0) === ts("2025-08-09 13:30:00"))
+    assert(rows(1).getAs[Long]("n_events") === 1L)
+  }
+
+  test("session windows run on the RocksDB state store provider") {
+    // The 100 TB state backend: RocksDB spills keyed state to local
+    // disk instead of holding it on-heap. Session conf only — the
+    // provider is picked up at query start, other tests keep the
+    // default HDFS-backed store.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Timestamp, String, Double)]
+      in.addData(
+        (ts("2025-08-09 12:00:00"), "u1", 1.0),
+        (ts("2025-08-09 12:10:00"), "u1", 2.0),
+        (ts("2025-08-09 18:00:00"), "u2", 0.0))
+      val q = WindowedAggs.sessionized(
+        in.toDF.toDF("ts", "user_id", "value"), "ts", "value",
+        keyCols = Seq("user_id"))
+        .writeStream
+        .format("memory").queryName("sess_rocks")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val u1 = spark.table("sess_rocks").filter($"user_id" === "u1").collect()
+      assert(u1.length === 1)
+      assert(u1.head.getAs[Double]("sum_value") === 3.0)
+      // the state operator actually ran on RocksDB
+      val metrics = q.recentProgress.flatMap(_.stateOperators)
+        .flatMap(_.customMetrics.keySet().toArray(Array.empty[String]))
+      assert(metrics.exists(_.startsWith("rocksdb")),
+        s"no rocksdb state metrics in progress: ${metrics.toSet}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }

@@ -73,5 +73,34 @@ object Temporal {
           count(lit(1)).as("n_events"),
           min("ts").as("session_start"),
           round(sum("value"), 2).as("session_value"))
+    },
+
+    // ── Native session_window vs independent gaps-and-islands oracle ───
+    // The same sessions as q46, but computed by Spark's built-in
+    // session-window aggregation (graft.stream.WindowedAggs.sessionized
+    // — the operator the STREAMING path uses) and verified against a
+    // DuckDB gaps-and-islands formulation written independently of it.
+    // Boundary rule differs from q46 on purpose: session_window's
+    // half-open [start, end) means an event exactly `gap` after its
+    // predecessor starts a NEW session (>= in the oracle, vs q46's >).
+    Q(
+      "q51_session_window",
+      """SELECT user_id,
+        |  min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS session_value
+        |FROM (SELECT user_id, ts, value,
+        |        (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT AS session_idx
+        |      FROM (SELECT user_id, ts, event_id, value,
+        |              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+        |                   THEN 1 ELSE 0 END AS new_session
+        |            FROM events))
+        |GROUP BY user_id, session_idx""".stripMargin) { (s, d) =>
+      graft.stream.WindowedAggs.sessionized(
+        Tables.events(s, d), "ts", "value", keyCols = Seq("user_id"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("sum_value"), 2).as("session_value"))
     })
 }

@@ -118,18 +118,15 @@ object Dedup {
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |         FROM sig a JOIN sig b
          |           ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id),
-         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |common AS (SELECT c.a_id, c.b_id, count(*) AS c
-         |           FROM cand c
-         |           JOIN sh a ON a.doc_id = c.a_id
-         |           JOIN sh b ON b.doc_id = c.b_id AND b.sh = a.sh
-         |           GROUP BY 1, 2)
+         |sarr AS (SELECT doc_id, list(sh) AS arr, count(*) AS n FROM sh GROUP BY doc_id)
          |SELECT a_id, b_id,
-         |  floor((c * 1.0 / (sa.n + sb.n - c)) * 1000000.0) / 1000000.0 AS jaccard
-         |FROM common
-         |JOIN sz sa ON sa.doc_id = a_id
-         |JOIN sz sb ON sb.doc_id = b_id
-         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5""".stripMargin) { (s, d) =>
+         |  floor((c * 1.0 / (na + nb - c)) * 1000000.0) / 1000000.0 AS jaccard
+         |FROM (SELECT a_id, b_id, sa.n AS na, sb.n AS nb,
+         |        len(list_intersect(sa.arr, sb.arr)) AS c
+         |      FROM cand
+         |      JOIN sarr sa ON sa.doc_id = a_id
+         |      JOIN sarr sb ON sb.doc_id = b_id)
+         |WHERE c * 1.0 / (na + nb - c) >= 0.5""".stripMargin) { (s, d) =>
       val sh = shingles5(s, d)
       // Signatures from the one-pass codegen kernel
       // [[graft.functions.MinHash16]] — bit-identical to the oracle's
@@ -147,15 +144,17 @@ object Dedup {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val common = cand
-        .join(sh.as("sa2"), col("sa2.doc_id") === col("a_id"))
-        .join(sh.as("sb2"),
-          col("sb2.doc_id") === col("b_id") && col("sb2.sh") === col("sa2.sh"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
-      common
-        .join(broadcast(sz.as("sa")), col("sa.doc_id") === col("a_id"))
-        .join(broadcast(sz.as("sb")), col("sb.doc_id") === col("b_id"))
+      // Exact verify on candidates ONLY, via per-doc hash arrays +
+      // array_intersect (codegen'd built-in): one groupBy builds the
+      // arrays; candidate pairs fetch two arrays and intersect
+      // locally — no shingle-level self-join. (Set semantics are safe:
+      // shingles5 is distinct per doc.)
+      val sarr = sh.groupBy("doc_id")
+        .agg(collect_list("sh").as("arr"), count(lit(1)).as("n"))
+      cand
+        .join(sarr.as("sa"), col("sa.doc_id") === col("a_id"))
+        .join(sarr.as("sb"), col("sb.doc_id") === col("b_id"))
+        .withColumn("c", expr("cast(size(array_intersect(sa.arr, sb.arr)) as bigint)"))
         .filter(expr("c * 1.0D / (sa.n + sb.n - c) >= 0.5D"))
         .select(col("a_id"), col("b_id"),
           expr("floor((c * 1.0D / (sa.n + sb.n - c)) * 1000000.0D) / 1000000.0D").as("jaccard"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
+import graft.ext.Portable
 
 /** The reference's analytical query surface — the Power BI dashboard
   * aggregates (SURVEY.md §2.4 A5–A10, `Dashboard/Dashboard.jpg`) —
@@ -51,20 +52,20 @@ object Dashboard {
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
-        round(sum("value"), 2).as("total_value"),
-        round(avg("value"), 4).as("avg_value"))
+        expr(Portable.qsum("value", 2)).as("total_value"),
+        expr(Portable.qavg("value", 4)).as("avg_value"))
 
   val all: Seq[Q] = Seq(
     // A5: dashboard tiles — global averages.
     Q(
       "q20_avg_tiles",
-      """SELECT round(avg(value), 4) AS avg_value,
-        |       round(min(value), 2) AS min_value,
-        |       round(max(value), 2) AS max_value,
-        |       count(*) AS n_events
-        |FROM events""".stripMargin) { (s, d) =>
+      s"""SELECT ${Portable.qavg("value", 4)} AS avg_value,
+         |       round(min(value), 2) AS min_value,
+         |       round(max(value), 2) AS max_value,
+         |       count(*) AS n_events
+         |FROM events""".stripMargin) { (s, d) =>
       Tables.events(s, d).agg(
-        round(avg("value"), 4).as("avg_value"),
+        expr(Portable.qavg("value", 4)).as("avg_value"),
         round(min("value"), 2).as("min_value"),
         round(max("value"), 2).as("max_value"),
         count(lit(1)).as("n_events"))
@@ -81,24 +82,24 @@ object Dashboard {
     // A7: time-bucketed sums (hourly line chart; dim_time.hour analog).
     Q(
       "q22_hourly_series",
-      """SELECT hour(ts) AS hour_of_day,
-        |  round(sum(value), 2) AS sum_value,
-        |  count(*) AS n
-        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      s"""SELECT hour(ts) AS hour_of_day,
+         |  ${Portable.qsum("value", 2)} AS sum_value,
+         |  count(*) AS n
+         |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy(hour(col("ts")).as("hour_of_day"))
-        .agg(round(sum("value"), 2).as("sum_value"), count(lit(1)).as("n"))
+        .agg(expr(Portable.qsum("value", 2)).as("sum_value"), count(lit(1)).as("n"))
     },
 
     // A7 streaming-shaped variant: tumbling 1-day event-time window.
     Q(
       "q23_daily_window",
-      """SELECT date_trunc('day', ts) AS day,
-        |  round(sum(value), 2) AS sum_value, count(*) AS n
-        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      s"""SELECT date_trunc('day', ts) AS day,
+         |  ${Portable.qsum("value", 2)} AS sum_value, count(*) AS n
+         |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy(date_trunc("day", col("ts")).as("day"))
-        .agg(round(sum("value"), 2).as("sum_value"), count(lit(1)).as("n"))
+        .agg(expr(Portable.qsum("value", 2)).as("sum_value"), count(lit(1)).as("n"))
     },
 
     // A8: binned counts (wind-direction compass buckets analog).
@@ -120,23 +121,23 @@ object Dashboard {
     // A9: totals by measure.
     Q(
       "q25_totals_by_type",
-      """SELECT event_type, round(sum(value), 2) AS total_value
-        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      s"""SELECT event_type, ${Portable.qsum("value", 2)} AS total_value
+         |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
-        .agg(round(sum("value"), 2).as("total_value"))
+        .agg(expr(Portable.qsum("value", 2)).as("total_value"))
     },
 
     // A10: share by location (readings % per farm analog) + per-key avg.
     Q(
       "q26_share_by_user",
-      """SELECT user_id, n, round(n * 1.0 / sum(n) OVER (), 6) AS share,
-        |       avg_value
-        |FROM (SELECT user_id, count(*) AS n, round(avg(value), 4) AS avg_value
-        |      FROM events GROUP BY user_id)""".stripMargin) { (s, d) =>
+      s"""SELECT user_id, n, round(n * 1.0 / sum(n) OVER (), 6) AS share,
+         |       avg_value
+         |FROM (SELECT user_id, count(*) AS n, ${Portable.qavg("value", 4)} AS avg_value
+         |      FROM events GROUP BY user_id)""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy("user_id")
-        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .agg(count(lit(1)).as("n"), expr(Portable.qavg("value", 4)).as("avg_value"))
         .withColumn("share",
           round(col("n") * lit(1.0) / sum("n").over(Window.partitionBy()), 6))
         .select("user_id", "n", "share", "avg_value")
@@ -174,14 +175,14 @@ object Dashboard {
     // fixed setting, proving the parameterized path end-to-end.
     Q(
       "q48_sliced_dashboard",
-      """SELECT event_type, count(*) AS n,
-        |  round(sum(value), 2) AS total_value,
-        |  round(avg(value), 4) AS avg_value
-        |FROM events
-        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
-        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
-        |  AND user_id IN (1, 2, 3, 4, 5)
-        |GROUP BY event_type""".stripMargin) { (s, d) =>
+      s"""SELECT event_type, count(*) AS n,
+         |  ${Portable.qsum("value", 2)} AS total_value,
+         |  ${Portable.qavg("value", 4)} AS avg_value
+         |FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+         |  AND user_id IN (1, 2, 3, 4, 5)
+         |GROUP BY event_type""".stripMargin) { (s, d) =>
       byType(Tables.events(s, d), Slicers(
         dateFrom = Some("2024-01-10"),
         dateTo = Some("2024-01-20"),

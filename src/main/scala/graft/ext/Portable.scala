@@ -29,6 +29,44 @@ object Portable {
     s"(((37 * $i + 11) * ($h % $P) + (17 * $i + 7)) % $P)"
   def permDuck(h: String, i: String): String = permSpark(h, i)
 
+  /** Quantized comparison aggregates over DOUBLE columns.
+    *
+    * Float SUM accumulation order is engine-specific (DuckDB's sum does
+    * not fold like Spark's partial/final aggregation), so
+    * `round(sum(doubleCol), k)` only hash-matches while no group's sum
+    * happens to land near a rounding boundary — correctness by luck
+    * that runs out as data grows. Summing fixed-point int64 micro-units
+    * (`floor(x·10⁶)`) instead is associative, so the result is
+    * identical under ANY grouping or ordering — including two-level
+    * partial aggregation, which composes EXACTLY (unlike float sums).
+    * The final value derives by single correctly-rounded double ops.
+    *
+    * Dialect-neutral: each literal only ever combines with a double, so
+    * Spark's DECIMAL literal parsing promotes to DOUBLE and the same
+    * string runs in both engines.
+    */
+  def qval(c: String): String = s"CAST(floor(($c) * 1000000.0) AS BIGINT)"
+
+  private def p10(n: Int): Long = math.pow(10, n).toLong
+
+  /** SUM of a double expression, floor-truncated to `dec` decimals. */
+  def qsum(c: String, dec: Int): String =
+    s"floor(CAST(sum(${qval(c)}) AS DOUBLE) / ${p10(6 - dec)}.0) / ${p10(dec)}.0"
+
+  /** AVG of a double expression, floor-truncated to `dec` decimals. */
+  def qavg(c: String, dec: Int): String =
+    s"floor(CAST(sum(${qval(c)}) AS DOUBLE) / count($c) / ${p10(6 - dec)}.0) / ${p10(dec)}.0"
+
+  /** Scale an already-summed micro-unit total to `dec` decimals. */
+  def qscale(c: String, dec: Int): String =
+    s"floor(CAST($c AS DOUBLE) / ${p10(6 - dec)}.0) / ${p10(dec)}.0"
+
+  /** Re-aggregate pre-summed micro-units (see [[qval]]) to `dec`
+    * decimals — for two-level aggregations whose inner level keeps the
+    * integer sum.
+    */
+  def qresum(sumCol: String, dec: Int): String = qscale(s"sum($sumCol)", dec)
+
   /** The same 60-bit hash computed in Scala (standard md5 → first 15
     * hex chars) — for deriving constants (e.g. LSH hyperplanes) on the
     * driver that the DuckDB oracle re-derives with [[h60Duck]].

@@ -39,11 +39,11 @@ object Statistics {
     // ── ROLLUP drill-down totals (type → type×hour → grand total) ──────
     Q(
       "q44_rollup_totals",
-      """SELECT event_type, hour(ts) AS hour_of_day,
-        |  round(sum(value), 2) AS total, count(*) AS n
-        |FROM events GROUP BY ROLLUP(event_type, hour(ts))""".stripMargin) { (s, d) =>
+      s"""SELECT event_type, hour(ts) AS hour_of_day,
+         |  ${Portable.qsum("value", 2)} AS total, count(*) AS n
+         |FROM events GROUP BY ROLLUP(event_type, hour(ts))""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .rollup(col("event_type"), hour(col("ts")).as("hour_of_day"))
-        .agg(round(sum("value"), 2).as("total"), count(lit(1)).as("n"))
+        .agg(expr(Portable.qsum("value", 2)).as("total"), count(lit(1)).as("n"))
     })
 }

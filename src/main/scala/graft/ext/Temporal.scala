@@ -49,10 +49,10 @@ object Temporal {
     // ── Sessionization on 30-minute inactivity gaps ────────────────────
     Q(
       "q46_sessionize",
-      """SELECT user_id, session_idx,
+      s"""SELECT user_id, session_idx,
         |  count(*) AS n_events,
         |  min(ts) AS session_start,
-        |  round(sum(value), 2) AS session_value
+        |  ${Portable.qsum("value", 2)} AS session_value
         |FROM (SELECT user_id, ts, value,
         |        (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT AS session_idx
         |      FROM (SELECT user_id, ts, event_id, value,
@@ -72,7 +72,7 @@ object Temporal {
         .agg(
           count(lit(1)).as("n_events"),
           min("ts").as("session_start"),
-          round(sum("value"), 2).as("session_value"))
+          expr(Portable.qsum("value", 2)).as("session_value"))
     },
 
     // ── Native session_window vs independent gaps-and-islands oracle ───
@@ -85,11 +85,11 @@ object Temporal {
     // predecessor starts a NEW session (>= in the oracle, vs q46's >).
     Q(
       "q51_session_window",
-      """SELECT user_id,
+      s"""SELECT user_id,
         |  min(ts) AS session_start,
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
         |  count(*) AS n_events,
-        |  round(sum(value), 2) AS session_value
+        |  ${Portable.qsum("value", 2)} AS session_value
         |FROM (SELECT user_id, ts, value,
         |        (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT AS session_idx
         |      FROM (SELECT user_id, ts, event_id, value,
@@ -98,9 +98,12 @@ object Temporal {
         |                   THEN 1 ELSE 0 END AS new_session
         |            FROM events))
         |GROUP BY user_id, session_idx""".stripMargin) { (s, d) =>
+      // feed the session operator pre-quantized micro-units so its sum
+      // is the portable integer sum (Portable.qval), scaled afterwards
       graft.stream.WindowedAggs.sessionized(
-        Tables.events(s, d), "ts", "value", keyCols = Seq("user_id"))
+        Tables.events(s, d).withColumn("value_q", expr(Portable.qval("value"))),
+        "ts", "value_q", keyCols = Seq("user_id"))
         .select(col("user_id"), col("session_start"), col("session_end"),
-          col("n_events"), round(col("sum_value"), 2).as("session_value"))
+          col("n_events"), expr(Portable.qscale("sum_value", 2)).as("session_value"))
     })
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
+import graft.ext.Portable
 
 /** Relational operator inventory from SURVEY.md §2 (scans, filters,
   * joins, aggregates, windows, scalar functions), exercised over the
@@ -20,53 +21,60 @@ object CoreQueries {
     // ── A-series flagship: TPC-H Q1-shaped pricing summary ─────────────
     // SURVEY §2.4 A2/A5/A9 (counts, avgs, sums) in one pass; partial
     // aggregation map-side, one shuffle on (returnflag, linestatus).
+    // Money/quantity sums compare via Portable.qsum/qavg (fixed-point
+    // integer micro-units): double-sum accumulation order is
+    // engine-specific, so round(sum(double)) only matched while no
+    // group landed on a rounding boundary.
     Q(
       "q01_pricing_summary",
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2)                                    AS sum_qty,
-        |  round(sum(l_extendedprice), 2)                               AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-        |  round(avg(l_quantity), 4)                                    AS avg_qty,
-        |  round(avg(l_extendedprice), 4)                               AS avg_price,
-        |  round(avg(l_discount), 6)                                    AS avg_disc,
-        |  count(*)                                                     AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${Portable.qsum("l_quantity", 2)}                              AS sum_qty,
+         |  ${Portable.qsum("l_extendedprice", 2)}                         AS sum_base_price,
+         |  ${Portable.qsum("l_extendedprice * (1 - l_discount)", 2)}      AS sum_disc_price,
+         |  ${Portable.qavg("l_quantity", 4)}                              AS avg_qty,
+         |  ${Portable.qavg("l_extendedprice", 4)}                         AS avg_price,
+         |  ${Portable.qavg("l_discount", 6)}                              AS avg_disc,
+         |  count(*)                                                       AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
-          round(avg("l_discount"), 6).as("avg_disc"),
+          expr(Portable.qsum("l_quantity", 2)).as("sum_qty"),
+          expr(Portable.qsum("l_extendedprice", 2)).as("sum_base_price"),
+          expr(Portable.qsum("l_extendedprice * (1 - l_discount)", 2)).as("sum_disc_price"),
+          expr(Portable.qavg("l_quantity", 4)).as("avg_qty"),
+          expr(Portable.qavg("l_extendedprice", 4)).as("avg_price"),
+          expr(Portable.qavg("l_discount", 6)).as("avg_disc"),
           count(lit(1)).as("count_order"))
     },
 
     // ── J3: multi-way star join resolving through broadcast dims ───────
     Q(
       "q02_star_join_revenue",
-      """SELECT r_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-        |  count(DISTINCT o_orderkey)                        AS n_orders
-        |FROM lineitem
-        |JOIN orders   ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey  = c_custkey
-        |JOIN nation   ON c_nationkey = n_nationkey
-        |JOIN region   ON n_regionkey = r_regionkey
-        |GROUP BY r_name""".stripMargin) { (s, d) =>
+      s"""SELECT r_name,
+         |  ${Portable.qsum("l_extendedprice * (1 - l_discount)", 2)} AS revenue,
+         |  count(DISTINCT o_orderkey)                                AS n_orders
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey  = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |GROUP BY r_name""".stripMargin) { (s, d) =>
       // Pre-aggregate lineitem per order BEFORE the orders join: the
       // join key is the grouping key, so revenue sums compose and
       // `count(DISTINCT o_orderkey)` over joined rows ≡ `count(*)` over
       // one-row-per-order input. This removes the countDistinct Expand
       // + second full-width exchange of the joined rows — at 100× scale
-      // the difference between shuffling lineitem twice and once.
+      // the difference between shuffling lineitem twice and once. The
+      // two-level sum is EXACT vs the oracle's one-level sum because
+      // revenue accumulates as integer micro-units (Portable.qval) —
+      // quantized sums compose under any grouping; float sums don't.
       val perOrder = Tables.lineitem(s, d)
         .groupBy("l_orderkey")
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("order_rev"))
+        .agg(expr(s"sum(${Portable.qval("l_extendedprice * (1 - l_discount)")})").as("order_rev_q"))
       perOrder
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
@@ -74,7 +82,7 @@ object CoreQueries {
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(
-          round(sum("order_rev"), 2).as("revenue"),
+          expr(Portable.qresum("order_rev_q", 2)).as("revenue"),
           count(lit(1)).as("n_orders"))
     },
 

@@ -38,6 +38,31 @@ object Curation {
           .select("doc_id", "lang")
     },
 
+    // ── Deterministic train/val/test split ─────────────────────────────
+    // 90/5/5 assignment from the same content-hash coin family as q49
+    // (different salt → independent of the sampling decision). Because
+    // membership is a pure function of doc_id, the split is stable
+    // under re-runs, engine changes, and corpus growth — a doc never
+    // migrates between splits when new data arrives, which is the
+    // property that keeps eval sets uncontaminated over time.
+    Q(
+      "q52_train_split",
+      s"""SELECT split, count(*) AS n_docs, count(DISTINCT lang) AS n_langs
+         |FROM (SELECT doc_id, lang,
+         |        CASE WHEN ${Portable.h60Duck("concat('split|', doc_id::VARCHAR)")} % 100 < 90 THEN 'train'
+         |             WHEN ${Portable.h60Duck("concat('split|', doc_id::VARCHAR)")} % 100 < 95 THEN 'val'
+         |             ELSE 'test' END AS split
+         |      FROM documents)
+         |GROUP BY split""".stripMargin) { (s, d) =>
+      val coin = s"${Portable.h60Spark("concat('split|', cast(doc_id as string))")} % 100"
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          expr(s"CASE WHEN $coin < 90 THEN 'train' WHEN $coin < 95 THEN 'val' ELSE 'test' END")
+            .as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), countDistinct("lang").as("n_langs"))
+    },
+
     // ── Benchmark-contamination check (decontamination) ────────────────
     // Corpus docs sharing word-5-gram shingles with a benchmark set
     // (here: doc_id < 50 stands in for the eval set). Both sides are

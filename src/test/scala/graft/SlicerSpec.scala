@@ -27,6 +27,23 @@ class SlicerSpec extends AnyFunSuite {
     assert(Dashboard.Slicers()(events).count() === events.count())
   }
 
+  test("IVF layout: a label-partitioned lake turns probes into partition pruning") {
+    // Similarity.scala's scale claim for q40: with the corpus laid out
+    // partitioned by cluster id, probing 2 of k centroids reads 2/k of
+    // the data AT THE SOURCE. Prove it on a real partitioned write.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Tables.embeddings(spark, sf).write.mode("overwrite").partitionBy("label").parquet(dir)
+    val probed = spark.read.parquet(dir).filter(col("label").isin(0, 1))
+    val scan = probed.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters"), s"no partition filters:\n$scan")
+    // only the probed partitions' files are read
+    val files = probed.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.contains("label=0") || f.contains("label=1")),
+      s"scan touched unprobed partitions: ${files.filterNot(f => f.contains("label=0") || f.contains("label=1")).take(3).mkString(", ")}")
+  }
+
   test("slicer predicates push down to the parquet scan") {
     val plan = Dashboard.byType(
       Tables.events(spark, sf),

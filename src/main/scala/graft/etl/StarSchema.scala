@@ -1,7 +1,6 @@
 package graft.etl
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch star-schema ETL — the reference's Glue job + Redshift
@@ -40,44 +39,37 @@ import org.apache.spark.sql.functions._
 object StarSchema {
 
   /** Global natural-key-ordered ids `base+1 .. base+N` with no
-    * single-reducer stage: range-partition by the order columns (a
-    * parallel exchange), then rank within each range partition and add
-    * the cumulative count of the partitions before it. The only
-    * driver-side data is one row count per partition — bounded by
-    * cluster parallelism, never by data volume.
+    * single-reducer stage: parallel range-partitioned total sort, then
+    * `zipWithIndex` — which computes per-partition offsets with one
+    * extra (driver-light) counting job and adds the cumulative offset
+    * per partition.
     *
-    * Both passes (the counts job and the final plan) recompute the same
-    * range exchange; that is safe because RangePartitioner's boundary
-    * sampling is seeded per partition index, so identical input yields
-    * identical boundaries — the same recompute-determinism contract
-    * Spark's own `zipWithIndex` relies on.
+    * Why `zipWithIndex` and not a separate counts query: the counting
+    * pass and the data pass MUST see identical partition boundaries.
+    * RangePartitioner's boundary sampling is seeded with the RDD id, so
+    * two independent query executions over the same input are NOT
+    * guaranteed the same boundaries once sampling actually subsamples
+    * (i.e. exactly at scale) — keys would duplicate or gap, and rows
+    * could vanish through a pid mismatch. `zipWithIndex` runs both
+    * passes over the SAME RDD (same id → same sampling seed), which is
+    * the determinism contract this needs. Note the construction is
+    * eager (the counting job runs when a dim builder is called) and the
+    * sort is computed twice (count pass + data pass) — two parallel
+    * passes in exchange for removing the single-reducer global window
+    * that dies first at 100×.
     */
   private def orderedIds(
       fresh: DataFrame, keyName: String, orderCols: Seq[String], base: Long): DataFrame = {
     val spark = fresh.sparkSession
-    import spark.implicits._
-    // explicit partition count: a user-pinned count is exempt from AQE
-    // coalescing, so the counts job and the final job can't disagree on
-    // partition numbering
     val nParts = spark.sessionState.conf.numShufflePartitions
-    val withPid = fresh
+    val sorted = fresh
       .repartitionByRange(nParts, orderCols.map(col): _*)
-      .withColumn("_pid", spark_partition_id())
-    val counts = withPid.groupBy("_pid").agg(count(lit(1)).as("_n"))
-      .orderBy("_pid").collect()
-    var acc = base
-    val offsets = counts.toSeq.map { r =>
-      val off = acc
-      acc += r.getLong(1)
-      (r.getInt(0), off)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (base + 1L + i))
     }
-    withPid
-      .join(broadcast(offsets.toDF("_pid", "_off")), Seq("_pid"))
-      .withColumn(keyName,
-        row_number().over(
-          Window.partitionBy("_pid").orderBy(orderCols.map(col): _*)).cast("long")
-          + col("_off"))
-      .drop("_pid", "_off")
+    spark.createDataFrame(indexed,
+      sorted.schema.add(keyName, org.apache.spark.sql.types.LongType, nullable = false))
   }
 
   /** DISTINCT + NOT-NULL candidates, minus rows already in `existing`

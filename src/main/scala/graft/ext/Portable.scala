@@ -36,16 +36,20 @@ object Portable {
     * `round(sum(doubleCol), k)` only hash-matches while no group's sum
     * happens to land near a rounding boundary — correctness by luck
     * that runs out as data grows. Summing fixed-point int64 micro-units
-    * (`floor(x·10⁶)`) instead is associative, so the result is
-    * identical under ANY grouping or ordering — including two-level
-    * partial aggregation, which composes EXACTLY (unlike float sums).
-    * The final value derives by single correctly-rounded double ops.
+    * (`floor(x·10⁶ + 0.5)` — nearest micro-unit, so per-row error is
+    * ±0.5e-6 with no systematic drift, unlike bare floor whose bias
+    * accumulates linearly with row count) instead is associative, so
+    * the result is identical under ANY grouping or ordering — including
+    * two-level partial aggregation, which composes EXACTLY (unlike
+    * float sums). The final value derives by single correctly-rounded
+    * double ops; `floor(x+0.5)` is deterministic across engines because
+    * the input doubles are already identical on both sides.
     *
     * Dialect-neutral: each literal only ever combines with a double, so
     * Spark's DECIMAL literal parsing promotes to DOUBLE and the same
     * string runs in both engines.
     */
-  def qval(c: String): String = s"CAST(floor(($c) * 1000000.0) AS BIGINT)"
+  def qval(c: String): String = s"CAST(floor(($c) * 1000000.0 + 0.5) AS BIGINT)"
 
   private def p10(n: Int): Long = math.pow(10, n).toLong
 

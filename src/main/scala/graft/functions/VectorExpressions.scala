@@ -15,11 +15,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * whole-stage codegen: one fused primitive loop per pair, no lambda
   * dispatch, no per-element boxing.
   *
-  * Numeric contract (what makes the DuckDB oracle exact): each float is
-  * widened to double *before* the multiply, and products accumulate
-  * left-to-right from +0.0 — the same op order as Spark's `aggregate`
-  * fold and DuckDB's `list_sum(list_transform(...))`, so all three
-  * produce bit-identical doubles.
+  * Numeric contract: each float is widened to double *before* the
+  * multiply, and products accumulate left-to-right from +0.0 — the
+  * same op order as Spark's `aggregate(zip_with(...))` fold, so the
+  * two Spark-side forms agree bit-for-bit. This is the PRODUCTION
+  * scoring kernel only: float accumulation order is NOT portable
+  * across engines (DuckDB's `list_sum` folds differently), so
+  * cross-engine-compared scores use [[FloatQDot]]/[[LongDot]] instead.
   *
   * Null contract: null array → null; array *elements* are assumed
   * non-null (embedding columns), mismatched lengths use the shorter.

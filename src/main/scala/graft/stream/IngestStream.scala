@@ -57,11 +57,14 @@ object IngestStream {
     // reference reaches its generic `except Exception` there
     // (AttributeError on data.get, lamda.py:505) and routes to
     // errors/processing; only actual JSONDecodeErrors go to
-    // errors/json_decode (lamda.py:488).
+    // errors/json_decode (lamda.py:488). The validity probe is nested
+    // UNDER the corrupt branch so the dominant all-valid traffic never
+    // evaluates the extra parse (when() branches short-circuit per row
+    // in codegen).
     val validJson = expr("try_parse_json(raw) IS NOT NULL")
     withAlerts.withColumn("route",
-      when(corrupt.isNotNull && validJson, "errors/processing")
-        .when(corrupt.isNotNull, "errors/json_decode")
+      when(corrupt.isNotNull,
+        when(validJson, "errors/processing").otherwise("errors/json_decode"))
         .when(col("validation_status") === "INVALID", "invalid")
         .when(col("validation_status") === "WARNING", "valid/warnings")
         .otherwise("valid"))
@@ -77,6 +80,8 @@ object IngestStream {
         when(col("route").like("errors/%"), col("raw")))
       // partial extraction for processing errors (lamda.py:518-524):
       // pull event_id/loc_id out of the raw text when the JSON allows
+      // (only evaluated for rows whose parsed id is null — coalesce and
+      // when() are lazy per row)
       .withColumn("event_id",
         coalesce(col("event_id"),
           when(validJson, get_json_object(col("raw"), "$.event_id"))))
@@ -151,13 +156,18 @@ object IngestStream {
         // pipeline runs once and the observe() metrics fire once
         val batch = batch0.persist()
         try {
-        // alerts_sent (lamda.py:467-471): which alerts actually fired
-        // for each record, stamped onto the landed record so lake rows
-        // join the sent-alert audit. Decisions come from the same
-        // deterministic Throttle state machine applied to this batch's
-        // occurrences (the reference computes the field at process time
-        // against its external DynamoDB state; the cross-micro-batch
-        // source of truth here is the alert sink, joinable on event_id).
+        // alerts_sent (lamda.py:467-471): which alerts fired for each
+        // record, stamped onto the landed record so lake rows join the
+        // sent-alert audit. Decisions come from the same deterministic
+        // Throttle state machine applied to THIS BATCH's occurrences —
+        // state does not span micro-batches here, so when a suppression
+        // window crosses a batch boundary the stamp can claim a send
+        // the checkpointed alert sink suppressed. The stamp is
+        // therefore "eligible to send given batch-local history"; the
+        // cross-batch source of truth is the alert sink, joinable on
+        // event_id. (The reference has the analogous at-least-once gap:
+        // its DynamoDB check-then-send races across concurrent Lambda
+        // invocations, lamda.py:246-283.)
         val sentNow = Throttle(occurrences(batch))
           .groupBy(col("eventId"))
           .agg(to_json(collect_list(struct(
@@ -166,7 +176,9 @@ object IngestStream {
             date_format(col("sentTime"),
               "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("sent_timestamp"))))
             .as("alerts_sent"))
-        val out = flattened(batch, lakePath)
+        // bucket NAME analog for the s3:// back-reference, not the
+        // filesystem path (s3://<path> would be an authority-less URI)
+        val out = flattened(batch, new java.io.File(lakePath).getName)
           .join(sentNow, col("event_id") === col("eventId"), "left")
           .drop("eventId")
         try {

@@ -101,6 +101,8 @@ class IngestStreamSpec extends AnyFunSuite {
       .select("s3_location").collect().map(_.getString(0))
     assert(locs.length === 3 && locs.forall(_ != null))
     assert(locs.exists(_.contains("/valid/")))
+    // well-formed URI: a bucket-name authority, not a filesystem path
+    assert(locs.forall(l => l.startsWith("s3://") && !l.startsWith("s3:///")), locs.head)
     assert(landed.filter(col("route").startsWith("errors/"))
       .select("s3_location").head.isNullAt(0))
     // the error record kept its raw payload for debugging

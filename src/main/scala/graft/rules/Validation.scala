@@ -59,7 +59,16 @@ object Validation {
 
     // Per-sensor machinery (P4–P6)
     def rawVal(s: String): Column = element_at(col("sensor_data"), s)
-    def castVal(s: String): Column = rawVal(s).try_cast("double")
+    // Unquoted JSON booleans coerce to 1/0 BEFORE try_cast: Python's
+    // bool is an int subtype, so the reference's `val in [0, ...]`
+    // sentinel check and range arithmetic treat False as 0 and True as
+    // 1 (lamda.py:98 onward); a double cast of the token text would
+    // instead null them into invalid_type. Quoted "true"/"false"
+    // strings stay uncoercible — the reference's float("true") raises.
+    def castVal(s: String): Column =
+      when(!FarmSchema.wasQuoted(raw, s) && rawVal(s) === "true", lit(1.0))
+        .when(!FarmSchema.wasQuoted(raw, s) && rawVal(s) === "false", lit(0.0))
+        .otherwise(rawVal(s).try_cast("double"))
     // Sentinel matching replicates Python `val in [0, 9999, -9999, '0',
     // '9999', '-9999', 'null', 'NULL', 'NaN', None]` (lamda.py:98):
     // numeric JSON tokens compare by value (0.0 == 0 in Python), quoted
@@ -111,9 +120,9 @@ object Validation {
         abs(sensorTemp - weatherTemp) > 15,
       concat(
         lit("temperature_mismatch:"),
-        FarmSchema.rawToken(raw, "sensor_data", "temperature"),
+        FarmSchema.rawToken(raw, "temperature"),
         lit("vs"),
-        FarmSchema.rawToken(raw, "weather_data", "temperature_2m")))
+        FarmSchema.rawToken(raw, "temperature_2m")))
 
     def compact(cols: Seq[Column]): Column =
       filter(array(cols: _*), x => x.isNotNull)

@@ -47,13 +47,16 @@ object FarmSchema {
   val requiredKeys: Seq[String] =
     Seq("event_id", "timestamp", "sensor_data", "weather_data", "location")
 
-  /** JSON-text presence test for a top-level key. Needed because
-    * `from_json` cannot distinguish an absent key from an explicit null
-    * value, but the reference's missing_top_level_key error can
-    * (lamda.py:84: `if key not in data`).
+  /** Top-level-key presence test. Needed because `from_json` cannot
+    * distinguish an absent key from an explicit null value, but the
+    * reference's missing_top_level_key error can (lamda.py:84:
+    * `if key not in data`). Uses `json_object_keys` — exact top-level
+    * semantics; a regex text probe would also match the key name
+    * nested inside another object. Repeated calls over the same row
+    * collapse to one parse via Catalyst subexpression elimination.
     */
   def keyPresent(raw: Column, key: String): Column =
-    raw.rlike("\"" + key + "\"\\s*:")
+    array_contains(json_object_keys(raw), key)
 
   /** True when the sensor value arrived as a *quoted* JSON string — the
     * condition for the reference's type-converted warning
@@ -63,23 +66,36 @@ object FarmSchema {
   def wasQuoted(raw: Column, sensor: String): Column =
     raw.rlike("\"" + sensor + "\"\\s*:\\s*\"")
 
-  /** Raw JSON token text of a sensor/weather field, as the reference's
-    * f-strings would render the parsed value (ints stay ints). Used for
-    * the temperature_mismatch message (lamda.py:137).
+  /** Raw JSON token text of a field, as the reference's f-strings would
+    * render the parsed value (ints stay ints). Used for the
+    * temperature_mismatch message (lamda.py:137). Matches the FIRST
+    * occurrence of `"field":` anywhere in the document — safe because
+    * the wire contract's field names are globally unique (sensor names
+    * vs `*_2m` weather names); anchoring to a path would need a real
+    * parse, which would lose the raw token text.
     */
-  def rawToken(raw: Column, path: String, field: String): Column = {
+  def rawToken(raw: Column, field: String): Column = {
     // match `"field": <token>` with optional quotes, token = up to , } "
     regexp_extract(raw, "\"" + field + "\"\\s*:\\s*\"?([^,\"}\\]]+)", 1)
   }
 
-  /** Parse the raw payload column into the wire columns. Malformed JSON
-    * yields null structs → the caller routes those to the error sink
-    * (the reference's json.JSONDecodeError branch, lamda.py:488-503).
+  /** Parse the raw payload column into the wire columns plus an
+    * internal `_corrupt` column (PERMISSIVE corrupt-record capture:
+    * non-null exactly when the payload is not a parseable record
+    * object — the caller routes those to the error sinks, the
+    * reference's except branches, lamda.py:488-530). Carrying the
+    * corrupt signal out of the ONE parse keeps the hot path at a
+    * single Jackson pass per record; underscore-prefixed columns are
+    * internal and never reach the lake ([[flatten]] skips them).
     */
   def parse(df: DataFrame, rawCol: String): DataFrame = {
-    val parsed = from_json(col(rawCol), wire)
+    import scala.jdk.CollectionConverters._
+    val schema = wire.add("_corrupt", StringType)
+    val parsed = from_json(col(rawCol), schema,
+      Map("columnNameOfCorruptRecord" -> "_corrupt").asJava)
     df.withColumn("_parsed", parsed)
-      .select(col(rawCol) +: wire.fieldNames.map(f => col(s"_parsed.$f")): _*)
+      .select(col(rawCol) +:
+        (wire.fieldNames.toSeq :+ "_corrupt").map(f => col(s"_parsed.`$f`")): _*)
   }
 
   /** Map-typed fields whose key domain is fixed by the wire contract —
@@ -97,10 +113,12 @@ object FarmSchema {
     * per record. A map key absent in a record flattens to NULL (the
     * reference simply omits the column for that record; landing as a
     * uniform schema with NULLs is the columnar equivalent). Maps with
-    * an open key domain fall back to a JSON string.
+    * an open key domain fall back to a JSON string. Top-level
+    * underscore-prefixed columns (internal bookkeeping like `_corrupt`)
+    * are excluded from the flattened record.
     */
   def flattenColumns(schema: StructType, path: String = "", prefix: String = ""): Seq[Column] =
-    schema.fields.toSeq.flatMap { f =>
+    schema.fields.toSeq.filterNot(f => path.isEmpty && f.name.startsWith("_")).flatMap { f =>
       val p = if (path.isEmpty) s"`${f.name}`" else s"$path.`${f.name}`"
       val name = if (prefix.isEmpty) f.name else s"${prefix}_${f.name}"
       f.dataType match {

@@ -1,6 +1,5 @@
 package graft.stream
 
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -44,14 +43,11 @@ object IngestStream {
   def process(raw: DataFrame): DataFrame = {
     val parsed = FarmSchema.parse(raw, "raw")
     val withAlerts = Alerts.derive(Validation.annotate(parsed))
-    // Malformed JSON → PERMISSIVE from_json fills _corrupt_record with
-    // the raw text (a malformed row parses to all-null fields, NOT a
-    // null struct) — the reference's json.JSONDecodeError branch
-    // (lamda.py:488-503).
-    val corrupt = from_json(col("raw"),
-      FarmSchema.wire.add("_corrupt_record", org.apache.spark.sql.types.StringType),
-      Map("columnNameOfCorruptRecord" -> "_corrupt_record").asJava)
-      .getField("_corrupt_record")
+    // Unparseable payloads → PERMISSIVE from_json filled `_corrupt`
+    // with the raw text inside FarmSchema.parse (ONE parse per record;
+    // a malformed row parses to all-null fields, NOT a null struct) —
+    // the reference's except branches (lamda.py:488-530).
+    val corrupt = col("_corrupt")
     // Corrupt + syntactically-valid JSON = the payload parsed but isn't
     // a processable record (scalar/array/shape-broken object) — the
     // reference reaches its generic `except Exception` there
@@ -109,7 +105,16 @@ object IngestStream {
             date_format(current_timestamp(), "yyyyMMdd'T'HHmmss"), lit("_"),
             coalesce(col("event_id"), lit("unknown")), lit(".json"))))
 
-  /** Alert occurrences for the throttle: one row per (record, alert). */
+  /** Alert occurrences for the throttle: one row per (record, alert).
+    *
+    * DIVERGENCE (documented): occurrences without a parseable event
+    * time are excluded from the throttled notification sink — the
+    * throttle is event-time-deterministic and a record with no event
+    * time has no position in that order, whereas the reference sends
+    * on wall clock regardless (lamda.py:250). Nothing is lost from the
+    * lake: such records are INVALID (missing/invalid timestamp) and
+    * land with their full `alerts` array on the record.
+    */
   def occurrences(processed: DataFrame): Dataset[Throttle.Occurrence] = {
     val spark = processed.sparkSession
     import spark.implicits._
@@ -178,8 +183,11 @@ object IngestStream {
             .as("alerts_sent"))
         // bucket NAME analog for the s3:// back-reference, not the
         // filesystem path (s3://<path> would be an authority-less URI)
+        // occurrences coalesce a missing event_id to "unknown", so the
+        // lake side must too or id-less records would never stamp
         val out = flattened(batch, new java.io.File(lakePath).getName)
-          .join(sentNow, col("event_id") === col("eventId"), "left")
+          .join(sentNow,
+            coalesce(col("event_id"), lit("unknown")) === col("eventId"), "left")
           .drop("eventId")
         try {
           out.write.mode("append")

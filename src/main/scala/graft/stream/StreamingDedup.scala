@@ -36,6 +36,8 @@ object StreamingDedup {
     val deduped = df.filter(dedupable)
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(idCols)
-    deduped.unionByName(df.filter(!coalesce(dedupable, lit(false))))
+    // isNotNull conjunctions are never SQL NULL, so plain negation is
+    // total here
+    deduped.unionByName(df.filter(!dedupable))
   }
 }

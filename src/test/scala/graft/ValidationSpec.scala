@@ -49,6 +49,32 @@ class ValidationSpec extends AnyFunSuite {
       (("INVALID", List("missing_sensor_data"), Nil)))
   }
 
+  test("JSON booleans: false is the 0-sentinel, true is range-checked (Python bool ⊂ int)") {
+    // Python: False == 0 → `val in [0, ...]` is True → extreme_value;
+    // True == 1 → type-converts to 1 and range-checks (out of range for
+    // every loc_1 sensor band)
+    val f = triple(annotate(record(sensors = withSensor("temperature", "false"))).head)
+    assert(f._1 === "INVALID")
+    assert(f._2 === List("sensor_data:temperature_extreme_value"))
+    val t = triple(annotate(record(sensors = withSensor("temperature", "true"))).head)
+    assert(t._1 === "INVALID")
+    assert(t._2 === List("sensor_data:temperature_out_of_range"))
+    // quoted "false" is a plain uncoercible string, as in the reference
+    val q = triple(annotate(record(sensors = withSensor("temperature", "\"false\""))).head)
+    assert(q._2 === List("sensor_data:temperature_invalid_type"))
+  }
+
+  test("required-key presence is top-level only: nested key does not mask the error") {
+    // 'timestamp' appears only INSIDE sensor_data — the reference's
+    // `if key not in data` (lamda.py:84) still flags the top level
+    val raw = """{"event_id": "e1", "loc_id": "loc_1",
+      | "location": {"latitude": 23.4, "longitude": 30.6},
+      | "sensor_data": {"timestamp": 123, "temperature": 24.1},
+      | "weather_data": {"temperature_2m": 31.0}}""".stripMargin.replace("\n", "")
+    val r = triple(annotate(raw).head)
+    assert(r._2.contains("missing_top_level_key:timestamp"), r._2)
+  }
+
   test("every sentinel form → <s>_extreme_value in sensor order (lamda.py:98-101)") {
     val sentinels = Seq(
       "temperature" -> "0", "humidity" -> "9999", "water_level" -> "-9999",

@@ -46,7 +46,12 @@ object Incremental {
       readings: DataFrame,
       fact: Option[DataFrame],
       dims: Option[(DataFrame, DataFrame, DataFrame, DataFrame)]): IncrementalResult = {
-    val fresh = newReadings(readings, watermark(fact))
+    // materialized once: the batch is consumed many times below
+    // (isEmpty probe, four dim builders — each an eager two-pass
+    // orderedIds — and the fact join); without the persist every
+    // consumer re-reads and re-filters the source. Callers unpersist
+    // via result.newReadings after landing the outputs.
+    val fresh = newReadings(readings, watermark(fact)).persist()
     if (fresh.isEmpty) {
       IncrementalResult(fresh, dims.map(_._1), dims.map(_._2), dims.map(_._3), dims.map(_._4), None)
     } else {

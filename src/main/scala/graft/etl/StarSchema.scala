@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   *  - dim_location dedups on loc_id ONLY; dim_time on full_date ONLY;
   *    dim_soil/dim_weather on their full column tuples (NOT EXISTS) —
   *    `s3-to-redshift.py:80-148`.
-  *  - `NOT IN` null-sensitivity never bites because of the IS NOT NULL
-  *    pre-filters, so `left_anti` is exactly equivalent (SURVEY §7.4).
+  *  - upserts anti-join NULL-SAFELY (`<=>`) and the weather fact join
+  *    matches null-safely too: dim_weather tuples carry NULLs for any
+  *    field beyond temperature_2m, and the reference's `NOT EXISTS
+  *    d.x = v.x` / equality joins would re-insert those tuples every
+  *    batch and drop their readings from the fact — we implement the
+  *    intended set semantics (see [[upsertRows]]).
   *  - fact↔dim joins compare DOUBLEs for equality — intentional and
   *    correct because dims are projections of the same rows; never
   *    round (SURVEY §7.4).
@@ -75,6 +79,14 @@ object StarSchema {
   /** DISTINCT + NOT-NULL candidates, minus rows already in `existing`
     * (anti-join on `matchCols`), with surrogate keys continuing from
     * the existing max.
+    *
+    * The anti-join matches NULL-SAFELY (`<=>`): dim_weather tuples can
+    * legitimately carry NULL components (only temperature_2m is
+    * null-filtered, per the reference), and a plain equality anti-join
+    * would re-insert every NULL-bearing tuple on every batch — the
+    * reference's own `NOT EXISTS ... d.x = v.x` has exactly that bug;
+    * we implement the intended set semantics (DISTINCT already treats
+    * NULLs as equal).
     */
   private def upsertRows(
       candidates: DataFrame,
@@ -83,8 +95,12 @@ object StarSchema {
       keyName: String,
       orderCols: Seq[String]): DataFrame = {
     val fresh = existing match {
-      case Some(dim) => candidates.join(dim.select(matchCols.map(col): _*),
-        matchCols, "left_anti")
+      case Some(dim) =>
+        val ex = dim.select(matchCols.map(col): _*).as("_ex")
+        val cand = candidates.as("_cand")
+        cand.join(ex,
+          matchCols.map(c => col(s"_cand.$c") <=> col(s"_ex.$c")).reduce(_ && _),
+          "left_anti")
       case None => candidates
     }
     val base = existing
@@ -93,14 +109,20 @@ object StarSchema {
     orderedIds(fresh, keyName, orderCols, base)
   }
 
-  /** dim_location(location_key, loc_id, latitude, longitude) — new
-    * loc_ids only (`s3-to-redshift.py:80-86`).
+  /** dim_location(location_key, loc_id, latitude, longitude) — 3-col
+    * DISTINCT candidates, upserted against existing loc_ids only
+    * (`s3-to-redshift.py:80-86`: within one batch, several coordinate
+    * variants of a loc_id ALL insert — the NOT IN probes only the
+    * pre-batch dim). Keys order over the full tuple so variant rows
+    * don't tie on the sort key — surrogate assignment stays
+    * deterministic under re-runs.
     */
   def dimLocation(readings: DataFrame, existing: Option[DataFrame] = None): DataFrame =
     upsertRows(
       readings.filter(col("loc_id").isNotNull)
         .select("loc_id", "latitude", "longitude").distinct(),
-      existing, Seq("loc_id"), "location_key", Seq("loc_id"))
+      existing, Seq("loc_id"), "location_key",
+      Seq("loc_id", "latitude", "longitude"))
 
   /** dim_time(full_date, year, month, day, hour, minute) — natural PK,
     * no surrogate (`Creating Tables.sql:9-16`, `s3-to-redshift.py:89-101`).
@@ -171,14 +193,17 @@ object StarSchema {
       // no broadcast hint on the two unbounded dims (continuous-DOUBLE
       // natural keys): AQE broadcasts them while small, shuffle-joins
       // when they grow with the fact — a forced broadcast would OOM
-      // executors at 100×
+      // executors at 100×. Weather matches NULL-SAFELY: only
+      // temperature_2m is null-filtered at the dim, so a VALID reading
+      // with e.g. no rain field must still resolve its (NULL-bearing)
+      // weather tuple rather than silently dropping from the fact.
       .join(dimWeather.as("w"),
-        col("v.weather_temperature_2m") === col("w.weather_temperature") &&
-          col("v.weather_relative_humidity_2m") === col("w.weather_humidity") &&
-          col("v.weather_wind_speed_10m") === col("w.wind_speed") &&
-          col("v.weather_wind_direction_10m") === col("w.wind_direction") &&
-          col("v.weather_rain") === col("w.rain") &&
-          col("v.weather_surface_pressure") === col("w.surface_pressure"))
+        col("v.weather_temperature_2m") <=> col("w.weather_temperature") &&
+          col("v.weather_relative_humidity_2m") <=> col("w.weather_humidity") &&
+          col("v.weather_wind_speed_10m") <=> col("w.wind_speed") &&
+          col("v.weather_wind_direction_10m") <=> col("w.wind_direction") &&
+          col("v.weather_rain") <=> col("w.rain") &&
+          col("v.weather_surface_pressure") <=> col("w.surface_pressure"))
       .join(dimSoil.as("s"),
         col("v.ph") === col("s.ph") &&
           col("v.nitrogen") === col("s.nitrogen") &&

@@ -98,8 +98,9 @@ object MultimodalStub {
     AssetFeatures(
       doc_id = docId,
       n_bytes = bytes.length,
-      width = 16 + (bytes.length * 31 + 7) % 2032,
-      height = 16 + (bytes.length * 17 + 3) % 2032,
+      // long arithmetic: length * 31 overflows Int for ~69 MB payloads
+      width = 16 + ((bytes.length.toLong * 31 + 7) % 2032).toInt,
+      height = 16 + ((bytes.length.toLong * 17 + 3) % 2032).toInt,
       histogram = hist)
   }
 

@@ -8,32 +8,64 @@ import graft.{Q, Tables}
   * totals (the dashboard's drill-down shape). Both are single-exchange
   * aggregation plans.
   *
-  * Percentiles here are the *exact* linear-interpolated definition
-  * (Spark `percentile` ≡ DuckDB `quantile_cont`, index p·(n−1)) so the
-  * oracle comparison is exact; at 100 TB the drop-in scale path is
-  * `approx_percentile` (t-digest sketch, mergeable map-side) — same
-  * query shape, bounded memory, documented divergence from the exact
-  * value.
+  * Percentiles use the linear-interpolated definition (index p·(n−1))
+  * computed EXPLICITLY over micro-unit integers: Spark's built-in
+  * `percentile` and DuckDB's `quantile_cont` agree mathematically but
+  * interpolate with different floating-point op orders ((h−pos)·lo +
+  * (pos−l)·hi vs lo + frac·(hi−lo)), which last-ulp-diverges and flips
+  * floor boundaries. Writing the lerp ourselves — identical formula
+  * text, integer bracketing values, single correctly-rounded ops —
+  * makes the comparison engine-exact, per the repo's quantized
+  * contract. At 100 TB the drop-in scale path is `approx_percentile`
+  * (t-digest sketch, mergeable map-side) — same query shape, bounded
+  * memory, documented divergence from the exact value.
   */
 object Statistics {
+
+  /** Interpolated percentile over a sorted micro-unit array `arr`
+    * (1-indexed in both dialects); identical arithmetic both sides,
+    * only the length/index syntax differs.
+    */
+  private def pctlSpark(p: String): String = {
+    val pos = s"(${p}D * (size(arr) - 1))"
+    val lo = s"cast(element_at(arr, cast(floor($pos) as int) + 1) as double)"
+    val hi = s"cast(element_at(arr, least(cast(floor($pos) as int) + 2, size(arr))) as double)"
+    s"floor($lo + ($hi - $lo) * ($pos - floor($pos))) / 1000000.0D"
+  }
+  private def pctlDuck(p: String): String = {
+    // CAST to DOUBLE: DuckDB parses a bare decimal literal as DECIMAL
+    // and would compute pos in exact decimal arithmetic — the double
+    // multiply must happen on BOTH sides for frac to be identical
+    val pos = s"(CAST($p AS DOUBLE) * (len(arr) - 1))"
+    val lo = s"CAST(arr[CAST(floor($pos) AS INT) + 1] AS DOUBLE)"
+    val hi = s"CAST(arr[least(CAST(floor($pos) AS INT) + 2, len(arr))] AS DOUBLE)"
+    s"floor($lo + ($hi - $lo) * ($pos - floor($pos))) / 1000000.0"
+  }
 
   val all: Seq[Q] = Seq(
     // ── Exact percentile profile per group ─────────────────────────────
     Q(
       "q43_percentile_profile",
-      """SELECT event_type,
-        |  floor(quantile_cont(value, 0.5) * 1000000.0) / 1000000.0  AS p50,
-        |  floor(quantile_cont(value, 0.95) * 1000000.0) / 1000000.0 AS p95,
-        |  floor(quantile_cont(value, 0.99) * 1000000.0) / 1000000.0 AS p99,
-        |  count(*) AS n
-        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      s"""SELECT event_type,
+         |  ${pctlDuck("0.5")}  AS p50,
+         |  ${pctlDuck("0.95")} AS p95,
+         |  ${pctlDuck("0.99")} AS p99,
+         |  n
+         |FROM (SELECT event_type,
+         |        list_sort(list(${Portable.qval("value")}) FILTER (WHERE value IS NOT NULL)) AS arr,
+         |        count(*) AS n
+         |      FROM events GROUP BY event_type)""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
         .agg(
-          expr("floor(percentile(value, 0.5D) * 1000000.0D) / 1000000.0D").as("p50"),
-          expr("floor(percentile(value, 0.95D) * 1000000.0D) / 1000000.0D").as("p95"),
-          expr("floor(percentile(value, 0.99D) * 1000000.0D) / 1000000.0D").as("p99"),
+          sort_array(collect_list(expr(Portable.qval("value")))).as("arr"),
           count(lit(1)).as("n"))
+        .select(
+          col("event_type"),
+          expr(pctlSpark("0.5")).as("p50"),
+          expr(pctlSpark("0.95")).as("p95"),
+          expr(pctlSpark("0.99")).as("p99"),
+          col("n"))
     },
 
     // ── ROLLUP drill-down totals (type → type×hour → grand total) ──────

@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
 object FarmProducer {
 
   private def h(parts: String*): String =
-    s"cast(conv(substr(md5(concat_ws('|', ${parts.mkString(", ")})), 1, 15), 16, 10) as bigint)"
+    graft.ext.Portable.h60Spark(s"concat_ws('|', ${parts.mkString(", ")})")
 
   /** `n` wire-format JSON records as a single `raw` column.
     *
@@ -60,7 +60,9 @@ object FarmProducer {
     // sensor token: mostly healthy, faulted at faultPct (fault class
     // chosen by a second draw), alert-band values at alertPct
     def sensorToken(sensor: String, lo: Double, hi: Double, alertExpr: String) = {
-      val fault = draw(s"f_$sensor", 100) < faultPct / 2 // per-sensor faults ≈ faultRate/2 each
+      // double division: integer faultPct/2 would floor odd pcts and
+      // silence faultPct=1 entirely
+      val fault = draw(s"f_$sensor", 100) < faultPct / 2.0 // per-sensor faults ≈ faultRate/2 each
       val faultKind = draw(s"fk_$sensor", 6)
       val alert = draw(s"a_$sensor", 100) < alertPct
       when(fault,

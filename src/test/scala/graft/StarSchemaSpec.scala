@@ -99,6 +99,34 @@ class StarSchemaSpec extends AnyFunSuite {
     assert(res.dimLocation.get.count() === 2)
   }
 
+  test("NULL-bearing weather tuples upsert once and still resolve in the fact") {
+    import spark.implicits._
+    // a VALID reading whose weather_data lacks rain (validation only
+    // requires temperature_2m) — the tuple carries a NULL component
+    val rows = Seq(
+      ("evt_n", ts("2025-08-09 12:00:00"), "loc_1", 23.4, 30.6,
+        24.1, 60.2, 1.8, 115.0, 60.0, 58.0, 6.9,
+        31.0, 45.0, 9.5, 180.0, null.asInstanceOf[java.lang.Double], 1009.0, "VALID"))
+      .toDF(
+        "event_id", "timestamp", "loc_id", "latitude", "longitude",
+        "temperature", "humidity", "water_level",
+        "nitrogen", "phosphorus", "potassium", "ph",
+        "weather_temperature_2m", "weather_relative_humidity_2m",
+        "weather_wind_speed_10m", "weather_wind_direction_10m",
+        "weather_rain", "weather_surface_pressure", "validation_status")
+    val dim1 = StarSchema.dimWeather(rows)
+    assert(dim1.count() === 1)
+    // idempotent even though the natural key contains NULL — a plain
+    // equality anti-join would re-insert it every batch
+    assert(StarSchema.dimWeather(rows, Some(dim1)).count() === 0)
+    // and the reading still resolves its weather_key in the fact
+    val fact = StarSchema.fact(rows,
+      StarSchema.dimLocation(rows), StarSchema.dimTime(rows),
+      StarSchema.dimSoil(rows), dim1)
+    assert(fact.count() === 1)
+    assert(!fact.select("weather_key").head.isNullAt(0))
+  }
+
   test("surrogate keys scale: no single-partition exchange, global order preserved") {
     import spark.implicits._
     // enough distinct soil tuples to span several range partitions

@@ -23,15 +23,24 @@ object Bench {
           try run(fn, warmDir.toString) catch { case _: Throwable => () }
         }
     } catch { case _: Throwable => () }
+    // A failed query must NOT masquerade as a fast one: its time is
+    // recorded but its name also lands in "errors", so a regressed
+    // round can't read as a performance win.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn, sfDir) catch { case _: Throwable => () }
+      try run(fn, sfDir) catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"${Json.str(k)}:$v" }
       .mkString("{", ",", "}")
+    val errs = failed.map(Json.str).mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","action":"noop-sink","note":"r3 switched the bench action from count() to a noop sink so projections actually evaluate; narrow projection queries are expected slower than r2 by construction, not regression"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.str(sfDir)},"errors":$errs,"action":"noop-sink","note":"r3 switched the bench action from count() to a noop sink so projections actually evaluate; narrow projection queries are expected slower than r2 by construction, not regression"}""")
     spark.stop()
   }
 }

@@ -20,15 +20,32 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def local(cpus: String): SparkSession = {
+    // "*" is valid for the master but not as a shuffle-partition count
+    val nShuffle =
+      if (cpus == "*") Runtime.getRuntime.availableProcessors().toString else cpus
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", nShuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // getOrCreate() may have returned a PRE-EXISTING session (shell,
+    // notebook) whose builder configs were silently ignored. The
+    // semantics-bearing settings above are all runtime SQL confs, so
+    // re-assert them on whatever session came back; the kernels are
+    // registered imperatively for the same reason (the extensions hook
+    // only fires for sessions built with it).
+    Seq(
+      "spark.sql.shuffle.partitions" -> nShuffle,
+      "spark.sql.session.timeZone" -> "UTC",
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32m"
+    ).foreach { case (k, v) => spark.conf.set(k, v) }
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.VectorExpressions.register(spark)
     spark

@@ -26,3 +26,21 @@ object Q {
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, None)
 }
+
+/** Minimal JSON string escaping shared by the driver-facing mains
+  * (Verify's oracle dump, Bench's metrics line): backslash, quote, and
+  * ALL control chars (<0x20) — a tab or CR in builder-authored SQL (or
+  * a quote in a path) would otherwise make the driver's json.load fail
+  * and silently zero a round.
+  */
+object Json {
+  def str(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+}

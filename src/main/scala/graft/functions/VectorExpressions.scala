@@ -155,8 +155,9 @@ case class FloatQDot(left: Expression, right: Expression)
   * baseline (`array_min(transform(sequence(...), i -> hash(substr(...))))`)
   * allocates a position array and a substring per window and dispatches
   * an interpreted lambda per element; this expression is one fused
-  * primitive loop — O(k·n) long arithmetic, zero allocation beyond the
-  * codepoint scan.
+  * rolling-update loop — O(n) long arithmetic total (see
+  * [[ShingleMinHash$.compute]]), zero allocation beyond the codepoint
+  * scan.
   *
   * Cross-engine contract: `code(c)` is the UTF-16 code unit, which
   * equals the Unicode codepoint (DuckDB's `unicode()`) for all BMP
@@ -184,48 +185,21 @@ case class ShingleMinHash(left: Expression, right: Expression)
   protected override def nullSafeEval(str: Any, kAny: Any): Any = {
     val s = str.toString
     val k = kAny.asInstanceOf[Int]
-    val n = s.length
-    if (n < k) null
-    else {
-      var min = Long.MaxValue
-      var i = 0
-      while (i <= n - k) {
-        var h = 0L
-        var j = 0
-        while (j < k) {
-          h = (h * 257L + s.charAt(i + j)) % 2147483647L
-          j += 1
-        }
-        if (h < min) min = h
-        i += 1
-      }
-      min
+    ShingleMinHash.compute(s, k) match {
+      case Long.MinValue => null
+      case v => v
     }
   }
 
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (str, k) => {
-      val s = ctx.freshName("s")
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val h = ctx.freshName("h")
-      val min = ctx.freshName("min")
+      val out = ctx.freshName("mh")
       s"""
-         |java.lang.String $s = $str.toString();
-         |int $n = $s.length();
-         |if ($n < $k) {
+         |long $out = graft.functions.ShingleMinHash.compute($str.toString(), $k);
+         |if ($out == java.lang.Long.MIN_VALUE) {
          |  ${ev.isNull} = true;
          |} else {
-         |  long $min = java.lang.Long.MAX_VALUE;
-         |  for (int $i = 0; $i <= $n - $k; $i++) {
-         |    long $h = 0L;
-         |    for (int $j = 0; $j < $k; $j++) {
-         |      $h = ($h * 257L + $s.charAt($i + $j)) % 2147483647L;
-         |    }
-         |    if ($h < $min) $min = $h;
-         |  }
-         |  ${ev.value} = $min;
+         |  ${ev.value} = $out;
          |}
        """.stripMargin
     })
@@ -233,6 +207,39 @@ case class ShingleMinHash(left: Expression, right: Expression)
   protected override def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object ShingleMinHash {
+  private val P = 2147483647L
+  private val B = 257L
+
+  /** Minimum windowed hash via a TRUE rolling update: the first window
+    * is a Horner fold; each subsequent window drops the leading char's
+    * `c·B^(k−1) mod P` residue and shifts one char in — O(n) total
+    * instead of O(k·n). The rolling residue equals the fresh Horner
+    * residue in [0, P), so the SQL mirror (unrolled Horner) is
+    * unchanged. Returns Long.MinValue as the "fewer than k chars"
+    * sentinel (callers map it to null; real hashes are in [0, P)).
+    */
+  def compute(s: String, k: Int): Long = {
+    val n = s.length
+    if (n < k || k <= 0) return Long.MinValue
+    var pk = 1L
+    var j = 1
+    while (j < k) { pk = (pk * B) % P; j += 1 }
+    var h = 0L
+    j = 0
+    while (j < k) { h = (h * B + s.charAt(j)) % P; j += 1 }
+    var min = h
+    var i = 1
+    while (i <= n - k) {
+      val drop = (s.charAt(i - 1) * pk) % P
+      h = ((h - drop + P) * B + s.charAt(i + k - 1)) % P
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
 }
 
 /** Integer dot product over two `array<bigint>` columns — the pair
@@ -474,22 +481,28 @@ object VectorExpressions {
   /** Fixed-point quantization scale for `vec_qdot`: 2²⁰. */
   val QScale: Double = 1048576.0
 
-  /** Register `vec_dot` / `vec_qdot` on the session (idempotent).
-    * Called from [[graft.GraftSession]]; query builders also call it
-    * defensively so they work on any externally-built session.
+  /** The single kernel registry — BOTH registration paths (the
+    * imperative [[register]] and the `spark.sql.extensions` injection
+    * in [[graft.GraftExtensions]]) consume this list, so a kernel
+    * added here is automatically present in local sessions AND in
+    * Spark Connect / thrift-server sessions. Hand-listing the pairs in
+    * two places previously risked silent drift between the two paths.
     */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", args => FloatDot(args(0), args(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_qdot", args => FloatQDot(args(0), args(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_min_hash", args => ShingleMinHash(args(0), args(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash60", args => Simhash60(args(0)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash16", args => MinHash16(args(0)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_ldot", args => LongDot(args(0), args(1)), "built-in")
-  }
+  val kernels: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (args => FloatDot(args(0), args(1))),
+    "vec_qdot" -> (args => FloatQDot(args(0), args(1))),
+    "vec_ldot" -> (args => LongDot(args(0), args(1))),
+    "shingle_min_hash" -> (args => ShingleMinHash(args(0), args(1))),
+    "simhash60" -> (args => Simhash60(args(0))),
+    "minhash16" -> (args => MinHash16(args(0))))
+
+  /** Register every kernel on the session (idempotent). Called from
+    * [[graft.GraftSession]]; query builders also call it defensively so
+    * they work on any externally-built session.
+    */
+  def register(spark: SparkSession): Unit =
+    kernels.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }

@@ -94,11 +94,13 @@ object Dashboard {
     // A7 streaming-shaped variant: tumbling 1-day event-time window.
     Q(
       "q23_daily_window",
-      s"""SELECT date_trunc('day', ts) AS day,
+      // CAST AS DATE on both sides: Spark's date_trunc returns TIMESTAMP
+      // while DuckDB's returns DATE for day-or-coarser granularity.
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
          |  ${Portable.qsum("value", 2)} AS sum_value, count(*) AS n
          |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
       Tables.events(s, d)
-        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
         .agg(expr(Portable.qsum("value", 2)).as("sum_value"), count(lit(1)).as("n"))
     },
 

@@ -45,25 +45,42 @@ object Portable {
     * double ops; `floor(x+0.5)` is deterministic across engines because
     * the input doubles are already identical on both sides.
     *
-    * Dialect-neutral: each literal only ever combines with a double, so
-    * Spark's DECIMAL literal parsing promotes to DOUBLE and the same
-    * string runs in both engines.
+    * Dialect note: Spark parses un-suffixed decimal literals as DECIMAL
+    * and `floor` returns BIGINT, so the final scaling division would be
+    * DECIMAL in Spark but DOUBLE in DuckDB — qsum/qavg/qscale therefore
+    * CAST their result to DOUBLE explicitly (same text in both
+    * dialects, bit-exact value either way).
+    *
+    * Overflow bound: micro-unit sums accumulate in BIGINT, so a group's
+    * |sum(x)| must stay below 2^63/10^6 ≈ 9.2e12 units. Spark's
+    * non-ANSI sum wraps silently past that while DuckDB widens to
+    * HUGEINT; callers aggregating unbounded monetary totals at extreme
+    * scale should pre-scale or sum in DECIMAL(38,0). All current query
+    * groups are orders of magnitude inside the bound.
     */
   def qval(c: String): String = s"CAST(floor(($c) * 1000000.0 + 0.5) AS BIGINT)"
 
   private def p10(n: Int): Long = math.pow(10, n).toLong
 
-  /** SUM of a double expression, floor-truncated to `dec` decimals. */
+  /** SUM of a double expression, floor-truncated to `dec` decimals.
+    *
+    * The outer CAST(... AS DOUBLE) is load-bearing: Spark's `floor`
+    * returns BIGINT, and BIGINT / decimal literal yields DECIMAL(27,6),
+    * while DuckDB's floor→DOUBLE path yields DOUBLE. The cast makes
+    * both engines emit DOUBLE, and the value is still bit-exact — the
+    * decimal quotient is exact, and exact-value → nearest-double equals
+    * DuckDB's correctly-rounded double division of the same integer.
+    */
   def qsum(c: String, dec: Int): String =
-    s"floor(CAST(sum(${qval(c)}) AS DOUBLE) / ${p10(6 - dec)}.0) / ${p10(dec)}.0"
+    s"CAST(floor(CAST(sum(${qval(c)}) AS DOUBLE) / ${p10(6 - dec)}.0) / ${p10(dec)}.0 AS DOUBLE)"
 
   /** AVG of a double expression, floor-truncated to `dec` decimals. */
   def qavg(c: String, dec: Int): String =
-    s"floor(CAST(sum(${qval(c)}) AS DOUBLE) / count($c) / ${p10(6 - dec)}.0) / ${p10(dec)}.0"
+    s"CAST(floor(CAST(sum(${qval(c)}) AS DOUBLE) / count($c) / ${p10(6 - dec)}.0) / ${p10(dec)}.0 AS DOUBLE)"
 
   /** Scale an already-summed micro-unit total to `dec` decimals. */
   def qscale(c: String, dec: Int): String =
-    s"floor(CAST($c AS DOUBLE) / ${p10(6 - dec)}.0) / ${p10(dec)}.0"
+    s"CAST(floor(CAST($c AS DOUBLE) / ${p10(6 - dec)}.0) / ${p10(dec)}.0 AS DOUBLE)"
 
   /** Re-aggregate pre-summed micro-units (see [[qval]]) to `dec`
     * decimals — for two-level aggregations whose inner level keeps the

@@ -2,9 +2,14 @@
 """Local stand-in for the driver's correctness gate: run graft.Verify
 output against the DuckDB oracle and compare row-for-row.
 
+Type-strict: fetches raw values (fetchall, not fetchdf — pandas
+coerces DECIMAL to float64 and masks output-type divergence) and also
+compares the declared DuckDB column types of both sides, so a Spark
+DECIMAL(27,6) result can never silently pass against a DOUBLE oracle.
+
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
-import json, sys, math
+import json, sys, math, decimal
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -14,6 +19,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def canon(v):
     if v is None:
         return "NULL"
+    if isinstance(v, decimal.Decimal):
+        return "DECIMAL:" + str(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -21,6 +28,30 @@ def canon(v):
     if isinstance(v, list):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
+
+
+def type_family(t):
+    """Collapse a declared DuckDB type to the family that determines its
+    canonical value text. Integer widths all canon identically (str(5)),
+    as do FLOAT/DOUBLE (python float repr), so those are one family each
+    — matching the driver's value-hash strictness. DECIMAL is its own
+    family: Decimal('137291.000000') != repr(137291.0)."""
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return type_family(t[:-2]) + "[]"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "INT"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "FLOAT"
+    if t.startswith("DECIMAL"):
+        return "DECIMAL"
+    return t
+
+
+def coltypes(con, sql):
+    """{column_name: declared_duckdb_type} for a query."""
+    return {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
 
 
 def main(sf_dir, out_dir):
@@ -32,29 +63,38 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
-            want = con.execute(sql).fetchdf()
-            gcols, wcols = sorted(got.columns), sorted(want.columns)
-            if gcols != wcols:
-                print(f"FAIL {name}: columns {gcols} vs oracle {wcols}")
+            spark_sql = f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            gtypes = coltypes(con, spark_sql)
+            wtypes = coltypes(con, sql)
+            if sorted(gtypes) != sorted(wtypes):
+                print(f"FAIL {name}: columns {sorted(gtypes)} vs oracle {sorted(wtypes)}")
                 n_fail += 1
                 continue
-            grows = sorted(tuple(canon(v) for v in r)
-                           for r in got[gcols].itertuples(index=False, name=None))
-            wrows = sorted(tuple(canon(v) for v in r)
-                           for r in want[wcols].itertuples(index=False, name=None))
+            type_mismatch = {c: (gtypes[c], wtypes[c]) for c in gtypes
+                             if type_family(gtypes[c]) != type_family(wtypes[c])}
+            if type_mismatch:
+                print(f"FAIL {name}: column type mismatch (spark vs oracle):")
+                for c, (g, w) in sorted(type_mismatch.items()):
+                    print(f"  {c}: {g} vs {w}")
+                n_fail += 1
+                continue
+            cols = sorted(gtypes)
+            collist = ", ".join(f'"{c}"' for c in cols)
+            got = con.execute(
+                f"SELECT {collist} FROM ({spark_sql})").fetchall()
+            want = con.execute(f"SELECT {collist} FROM ({sql})").fetchall()
+            grows = sorted(tuple(canon(v) for v in r) for r in got)
+            wrows = sorted(tuple(canon(v) for v in r) for r in want)
             if grows == wrows:
                 print(f"PASS {name} ({len(grows)} rows)")
                 n_pass += 1
             else:
                 n_fail += 1
                 print(f"FAIL {name}: {len(grows)} vs {len(wrows)} rows")
-                diff_g = [r for r in grows if r not in set(wrows)][:3]
-                diff_w = [r for r in wrows if r not in set(grows)][:3]
-                for r in diff_g:
+                wset, gset = set(wrows), set(grows)
+                for r in [r for r in grows if r not in wset][:3]:
                     print(f"  spark-only: {r}")
-                for r in diff_w:
+                for r in [r for r in wrows if r not in gset][:3]:
                     print(f"  oracle-only: {r}")
         except Exception as e:
             n_fail += 1

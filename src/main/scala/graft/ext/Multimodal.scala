@@ -56,16 +56,37 @@ object Multimodal {
     },
 
     // ── Typed batch decode → feature pipeline (stubbed codec) ──────────
-    // Not SQL-expressible (partition-local imperative batching) →
-    // rows-only driver check; MultimodalSpec covers the semantics.
-    // The histogram is emitted as its JSON rendering: the driver's
-    // rows-only check sorts/hashes pandas rows and an Array[Double]
-    // cell is unhashable there. The typed array stays internal
-    // (MultimodalStub.features); only the registered query surface
-    // serializes.
-    Q.noOracle("q42_multimodal_features") { (s, d) =>
+    // The decode itself is partition-local imperative code, but every
+    // stub output is a pure function of the payload bytes, so the whole
+    // pipeline IS oracle-checkable: n_bytes/width/height are length
+    // formulas, and the 16-bin high-nibble histogram is recomputed in
+    // DuckDB from hex(encode(text)) — hex digit 2i-1 of the UTF-8 blob
+    // is byte i's high nibble, so this is byte-level (UTF-8-safe), not
+    // an ASCII approximation. Bins are emitted as 16 DOUBLE columns
+    // rather than a JSON string: count/len is a single correctly-
+    // rounded division of identical integers on both engines (bit-
+    // exact), whereas JSON double *formatting* is engine-specific.
+    Q(
+      "q42_multimodal_features",
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |         octet_length(encode(text)) AS len
+         |  FROM documents
+         |), n AS (
+         |  SELECT doc_id, ('0x' || substr(hx, 2*CAST(t.i AS INT) - 1, 1))::INT AS nib
+         |  FROM b, UNNEST(range(1, len + 1)) AS t(i)
+         |)
+         |SELECT b.doc_id, b.len AS n_bytes,
+         |  16 + (b.len*31+7)%2032 AS width,
+         |  16 + (b.len*17+3)%2032 AS height,
+         |${(0 until 16).map(k =>
+             s"  CASE WHEN b.len=0 THEN 0.0 ELSE (count(*) FILTER (nib=$k))::DOUBLE / b.len END AS h$k")
+             .mkString(",\n")}
+         |FROM b LEFT JOIN n ON b.doc_id = n.doc_id
+         |GROUP BY b.doc_id, b.len""".stripMargin) { (s, d) =>
       MultimodalStub.features(Tables.documents(s, d))
-        .withColumn("histogram", to_json(col("histogram")))
+        .select(col("doc_id") +: col("n_bytes") +: col("width") +: col("height") +:
+          (0 until 16).map(k => col("histogram").getItem(k).as(s"h$k")): _*)
     })
 }
 

@@ -26,11 +26,15 @@ object Statistics {
     * (1-indexed in both dialects); identical arithmetic both sides,
     * only the length/index syntax differs.
     */
-  private def pctlSpark(p: String): String = {
+  // Both dialects guard the all-NULL group: an empty arr would make pos
+  // negative, and Spark's element_at(arr, 0) throws where DuckDB's
+  // arr[0] returns NULL — the guard yields NULL on both sides instead.
+  private[graft] def pctlSpark(p: String): String = {
     val pos = s"(${p}D * (size(arr) - 1))"
     val lo = s"cast(element_at(arr, cast(floor($pos) as int) + 1) as double)"
     val hi = s"cast(element_at(arr, least(cast(floor($pos) as int) + 2, size(arr))) as double)"
-    s"floor($lo + ($hi - $lo) * ($pos - floor($pos))) / 1000000.0D"
+    s"CASE WHEN size(arr) = 0 THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE floor($lo + ($hi - $lo) * ($pos - floor($pos))) / 1000000.0D END"
   }
   private def pctlDuck(p: String): String = {
     // CAST to DOUBLE: DuckDB parses a bare decimal literal as DECIMAL
@@ -39,7 +43,8 @@ object Statistics {
     val pos = s"(CAST($p AS DOUBLE) * (len(arr) - 1))"
     val lo = s"CAST(arr[CAST(floor($pos) AS INT) + 1] AS DOUBLE)"
     val hi = s"CAST(arr[least(CAST(floor($pos) AS INT) + 2, len(arr))] AS DOUBLE)"
-    s"floor($lo + ($hi - $lo) * ($pos - floor($pos))) / 1000000.0"
+    s"CASE WHEN len(arr) = 0 THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE floor($lo + ($hi - $lo) * ($pos - floor($pos))) / 1000000.0 END"
   }
 
   val all: Seq[Q] = Seq(

@@ -220,21 +220,35 @@ object ShingleMinHash {
     * residue in [0, P), so the SQL mirror (unrolled Horner) is
     * unchanged. Returns Long.MinValue as the "fewer than k chars"
     * sentinel (callers map it to null; real hashes are in [0, P)).
+    *
+    * Iterates Unicode CODEPOINTS, not UTF-16 code units, because the
+    * DuckDB oracle mirror indexes codepoints (`unicode(text[i])`,
+    * `length(text)`) — with code units, any non-BMP char would change
+    * both the per-char value and the window count cross-engine. Two
+    * char-offset cursors (`lead`, `trail`) keep it allocation-free.
     */
   def compute(s: String, k: Int): Long = {
-    val n = s.length
+    val n = s.codePointCount(0, s.length)
     if (n < k || k <= 0) return Long.MinValue
     var pk = 1L
     var j = 1
     while (j < k) { pk = (pk * B) % P; j += 1 }
     var h = 0L
+    var lead = 0 // char offset of the next codepoint to shift in
     j = 0
-    while (j < k) { h = (h * B + s.charAt(j)) % P; j += 1 }
+    while (j < k) {
+      h = (h * B + s.codePointAt(lead)) % P
+      lead = s.offsetByCodePoints(lead, 1)
+      j += 1
+    }
     var min = h
+    var trail = 0 // char offset of the next codepoint to drop
     var i = 1
     while (i <= n - k) {
-      val drop = (s.charAt(i - 1) * pk) % P
-      h = ((h - drop + P) * B + s.charAt(i + k - 1)) % P
+      val drop = (s.codePointAt(trail).toLong * pk) % P
+      trail = s.offsetByCodePoints(trail, 1)
+      h = ((h - drop + P) * B + s.codePointAt(lead)) % P
+      lead = s.offsetByCodePoints(lead, 1)
       if (h < min) min = h
       i += 1
     }

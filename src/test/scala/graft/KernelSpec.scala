@@ -39,6 +39,25 @@ class KernelSpec extends AnyFunSuite {
     assert(r(2).isNullAt(0)) // null in, null out
   }
 
+  test("shingle_min_hash iterates codepoints, not UTF-16 code units") {
+    // The DuckDB mirror indexes codepoints (unicode(text[i]), length(text)),
+    // so the kernel must too: 😀 (U+1F600) is 1 codepoint but 2 UTF-16 units.
+    def horner(w: Array[Int]): Long =
+      w.foldLeft(0L)((a, c) => (a * 257 + c) % 2147483647L)
+    val s = "ab😀cdefgh" // 9 codepoints, 10 UTF-16 units
+    val cps = s.codePoints.toArray
+    val expected = (0 to cps.length - 8).map(i => horner(cps.slice(i, i + 8))).min
+    assert(graft.functions.ShingleMinHash.compute(s, 8) === expected)
+    // window count follows codepoints: 8 codepoints → exactly one window,
+    // even though a UTF-16 view would see 9 units (two windows)
+    val one = "a😀bcdefg"
+    assert(graft.functions.ShingleMinHash.compute(one, 8) ===
+      horner(one.codePoints.toArray))
+    // 7 codepoints (8 UTF-16 units) → below k, sentinel
+    assert(graft.functions.ShingleMinHash.compute("a😀bcdef", 8) ===
+      Long.MinValue)
+  }
+
   test("simhash60 ≡ explode → 60 signed vote sums → assembly") {
     val sh3 = docs
       .select(col("doc_id"), expr("split(text, ' ')").as("ts"))

@@ -18,11 +18,36 @@ import org.apache.spark.sql.functions._
   * values (0/9999/-9999/'NULL'/'NaN'), uncoercible strings ('FAIL'),
   * quoted numerics, empty sensor_data, missing weather_data, unknown
   * loc_id, out-of-range values, and alert-band values (high temp / low
-  * water). Rates are caller-set (the reference degrades 0.1%→15%
-  * invalid, 0.2%→25% alert over time; a time-staged rate is just a
-  * `faultRate` expression of the id).
+  * water). Rates are either flat ([[records]]) or the reference's
+  * staged degradation schedule ([[stagedRecords]] /
+  * [[stagedInvalidRate]] / [[stagedAlertRate]],
+  * `Producer /producer.py:96-118`): a stable early phase, a late-stable
+  * phase with minor wear, then a linear degradation factor capped at
+  * 3×, which caps invalid at 6% and alert at 9% (the code's 15%/25%
+  * ceilings never bind because the factor saturates first).
   */
 object FarmProducer {
+
+  /** The reference's staged invalid-rate schedule as a pure column
+    * expression of the record index (`producer.py:96-118`,
+    * `calculate_fault_probabilities`). Thresholds mirror the
+    * reference's code (8 / 10 / 0.1-per-record escalation), scaled by
+    * `unit` so a soak run can stretch the same curve over any horizon
+    * (unit=100 reproduces the comments' 800/1000-record story).
+    */
+  def stagedInvalidRate(idCol: String, unit: Long = 1L): org.apache.spark.sql.Column =
+    expr(s"""CASE WHEN $idCol < ${8 * unit} THEN 0.001D
+            |     WHEN $idCol < ${10 * unit} THEN 0.005D
+            |     ELSE least(0.02D * least(1.0D + ($idCol - ${10 * unit}) * 0.1D / ${100 * unit}D, 3.0D), 0.15D)
+            |END""".stripMargin)
+
+  /** Staged alert-rate schedule — same phases, alert base rates
+    * (0.002 / 0.01 / 0.03·factor capped at 0.25). */
+  def stagedAlertRate(idCol: String, unit: Long = 1L): org.apache.spark.sql.Column =
+    expr(s"""CASE WHEN $idCol < ${8 * unit} THEN 0.002D
+            |     WHEN $idCol < ${10 * unit} THEN 0.01D
+            |     ELSE least(0.03D * least(1.0D + ($idCol - ${10 * unit}) * 0.1D / ${100 * unit}D, 3.0D), 0.25D)
+            |END""".stripMargin)
 
   private def h(parts: String*): String =
     graft.ext.Portable.h60Spark(s"concat_ws('|', ${parts.mkString(", ")})")
@@ -42,7 +67,34 @@ object FarmProducer {
       n: Long,
       seed: Long = 42L,
       faultPct: Int = 10,
-      alertPct: Int = 15): DataFrame = {
+      alertPct: Int = 15): DataFrame =
+    recordsWithRates(spark, n, seed,
+      lit(faultPct / 100.0), lit(alertPct / 100.0))
+
+  /** [[records]] with the reference's staged degradation schedule: the
+    * fault/alert rates ramp with the record index instead of being
+    * flat (`producer.py:96-118`). `unit` stretches the curve's phase
+    * boundaries for longer soaks.
+    */
+  def stagedRecords(
+      spark: SparkSession,
+      n: Long,
+      seed: Long = 42L,
+      unit: Long = 1L): DataFrame =
+    recordsWithRates(spark, n, seed,
+      stagedInvalidRate("id", unit), stagedAlertRate("id", unit))
+
+  /** Generalized generator: fault/alert rates are arbitrary column
+    * expressions over the record `id` (flat literals, the staged
+    * schedule, or any caller-supplied curve), evaluated per record in
+    * [0, 1].
+    */
+  def recordsWithRates(
+      spark: SparkSession,
+      n: Long,
+      seed: Long,
+      faultRate: org.apache.spark.sql.Column,
+      alertRate: org.apache.spark.sql.Column): DataFrame = {
     val base = spark.range(n).withColumn("sd", lit(seed))
 
     // per-record draws
@@ -57,14 +109,14 @@ object FarmProducer {
     def healthy(sensor: String, lo: Double, hi: Double) =
       expr(s"round($lo + (${h("sd", "id", s"'$sensor'")} % 1000) * (${hi - lo}) / 1000.0, 2)")
 
-    // sensor token: mostly healthy, faulted at faultPct (fault class
-    // chosen by a second draw), alert-band values at alertPct
+    // sensor token: mostly healthy, faulted at faultRate (fault class
+    // chosen by a second draw), alert-band values at alertRate. The
+    // draw modulus is 1e6 so sub-percent rates (the staged schedule's
+    // 0.1% early phase) still resolve instead of flooring to zero.
     def sensorToken(sensor: String, lo: Double, hi: Double, alertExpr: String) = {
-      // double division: integer faultPct/2 would floor odd pcts and
-      // silence faultPct=1 entirely
-      val fault = draw(s"f_$sensor", 100) < faultPct / 2.0 // per-sensor faults ≈ faultRate/2 each
+      val fault = draw(s"f_$sensor", 1000000) < faultRate * 500000.0 // per-sensor faults ≈ faultRate/2 each
       val faultKind = draw(s"fk_$sensor", 6)
-      val alert = draw(s"a_$sensor", 100) < alertPct
+      val alert = draw(s"a_$sensor", 1000000) < alertRate * 1000000.0
       when(fault,
         when(faultKind === 0, lit("9999"))
           .when(faultKind === 1, lit("-9999"))

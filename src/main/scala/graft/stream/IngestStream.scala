@@ -36,9 +36,25 @@ import graft.schema.FarmSchema
   */
 object IngestStream {
 
+  /** Kinesis-shaped ingress decode (SURVEY §2.1 S4 first half): the
+    * reference receives records base64-encoded and decodes before
+    * parsing (`Lambda/lamda.py:426-428`, `base64.b64decode` →
+    * `json.loads`). This projects the encoded `dataCol` to the UTF-8
+    * `raw` column [[process]] expects. Payloads that are not valid
+    * base64 decode leniently (invalid characters skipped, trailing
+    * partial groups dropped) to bytes that then fail JSON parsing and
+    * land in `errors/json_decode` — the same terminal route the
+    * reference's decode-failure path takes through its except branch.
+    * Pure projection: fuses into the same whole-stage-codegen pass as
+    * the parse, no extra scan or shuffle.
+    */
+  def decodeBase64(encoded: DataFrame, dataCol: String = "data"): DataFrame =
+    encoded.withColumn("raw", unbase64(col(dataCol)).cast("string")).drop(dataCol)
+
   /** Stateless record path: parse + validate + alerts + route. Input
-    * needs one string column `raw` (the decoded payload — Kinesis'
-    * base64 would be `unbase64` upstream; SURVEY §2.1 S4).
+    * needs one string column `raw` — the decoded payload; for
+    * base64-encoded ingress (Kinesis wire format) apply
+    * [[decodeBase64]] first.
     */
   def process(raw: DataFrame): DataFrame = {
     val parsed = FarmSchema.parse(raw, "raw")

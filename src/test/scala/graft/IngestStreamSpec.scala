@@ -30,6 +30,28 @@ class IngestStreamSpec extends AnyFunSuite {
       "errors/json_decode", "errors/processing"))
   }
 
+  test("base64 ingress: decode feeds process; bad base64 → errors/json_decode") {
+    import spark.implicits._
+    def b64(s: String) =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    val encoded = Seq(
+      b64(FarmFixtures.record()),                 // VALID after decode
+      b64("this is not json {"),                  // decodes, fails parse
+      "!!!not//base64@@@"                         // malformed base64
+    ).toDF("data")
+    val out = IngestStream.process(IngestStream.decodeBase64(encoded))
+    val routes = out.select("route").collect().map(_.getString(0)).toSeq
+    assert(routes.head === "valid")
+    assert(routes(1) === "errors/json_decode")
+    // malformed base64 never yields a processable record — it must land
+    // in an error route (lenient decode → garbage bytes → parse fail)
+    assert(routes(2).startsWith("errors/"))
+    // the decoded payload round-trips: raw_payload carries decoded text
+    assert(out.filter(col("route") === "errors/json_decode")
+      .select("raw_payload").collect().map(_.getString(0))
+      .contains("this is not json {"))
+  }
+
   test("error routes carry the reference's error-record fields") {
     val out = IngestStream.process(rawDf(
       "oops, not json",

@@ -21,9 +21,10 @@ import graft.{Q, Tables}
   * (tiny) candidate set. SimHash (q37) banding is the pigeonhole-exact
   * variant: 7 bands over 60 bits guarantee every pair within hamming
   * distance 6 collides in ≥1 band, so blocking loses nothing. Skewed
-  * buckets (a band value shared by many docs) would be salted or
-  * length-partitioned at cluster scale; AQE skew-join handles moderate
-  * cases.
+  * buckets (a band value shared by many docs — boilerplate clusters)
+  * are handled by [[Skew.selfPairs]]: buckets past a hot threshold are
+  * salted across reducers, result-identically; AQE skew-join still
+  * covers moderate residual cases.
   */
 object Dedup {
 
@@ -134,22 +135,38 @@ object Dedup {
       // duplicate-insensitive), with no shingle explode or aggregation
       // exchange: 128 signature bytes per doc leave the scan.
       graft.functions.VectorExpressions.register(s)
+      // The signature stage is persisted: 128 B/doc feeds THREE
+      // consumers inside the banding join (hot-bucket probe + both join
+      // sides), and caching it runs the text scan + minhash kernel once
+      // — the signature-table materialization you'd stage to parquet in
+      // a 100 TB pipeline, in-memory here.
       val sig = Tables.documents(s, d)
         .select(col("doc_id"), expr("minhash16(text)").as("sig"))
         .filter(col("sig").isNotNull)
         .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "mh")))
-      val cand = sig.as("a")
-        .join(sig.as("b"),
-          col("a.i") === col("b.i") && col("a.mh") === col("b.mh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
+        .persist()
+      // Candidate pairs via the skew-aware banding join: a minhash
+      // value shared by a boilerplate cluster would serialize its m²
+      // pair generation on one reducer — Skew.selfPairs salts buckets
+      // past the hot threshold (result-identical; SkewSpec). The pair
+      // set feeds TWO consumers (the id semi-join and the final verify
+      // join); persisting this tiny relation (≈ dup pairs, bytes per
+      // row) runs candidate generation once instead of per consumer.
+      val cand = Skew.selfPairs(sig, "doc_id", Seq("i", "mh")).distinct().persist()
       // Exact verify on candidates ONLY, via per-doc hash arrays +
       // array_intersect (codegen'd built-in): one groupBy builds the
       // arrays; candidate pairs fetch two arrays and intersect
       // locally — no shingle-level self-join. (Set semantics are safe:
       // shingles5 is distinct per doc.)
-      val sarr = sh.groupBy("doc_id")
+      // Arrays are built ONLY for docs in some candidate pair: the
+      // semi-join keeps the collect_list exchange at ~dup-rate × corpus
+      // instead of every doc's full shingle set. The candidate subtree
+      // appears twice in the DAG; its shuffles are identical, so
+      // ReuseExchange shares the heavy exchanges between the two uses.
+      val candIds = cand.select(col("a_id").as("doc_id"))
+        .union(cand.select(col("b_id").as("doc_id")))
+      val sarr = sh.join(candIds, Seq("doc_id"), "left_semi")
+        .groupBy("doc_id")
         .agg(collect_list("sh").as("arr"), count(lit(1)).as("n"))
       cand
         .join(sarr.as("sa"), col("sa.doc_id") === col("a_id"))
@@ -197,22 +214,41 @@ object Dedup {
       // order-free), but as a narrow per-row projection: no shingle
       // explode, no 60-column aggregation, no exchange before banding.
       graft.functions.VectorExpressions.register(s)
+      // Persisted fingerprint stage (16 B/doc): the banding join's three
+      // consumers re-derive bands from the cache instead of re-running
+      // the text scan + simhash kernel per consumer.
       val fp = Tables.documents(s, d)
         .select(col("doc_id"), expr("simhash60(text)").as("fp"))
         .filter(col("fp").isNotNull)
-      val bands = fp
-        .select(col("doc_id"), col("fp"), explode(expr("sequence(0, 6)")).as("b"))
-        .withColumn("bv", expr(
-          "CASE WHEN b < 4 THEN shiftright(fp, 9 * b) & 511 ELSE shiftright(fp, 36 + 8 * (b - 4)) & 255 END"))
-      // hamming filter BEFORE the pair-dedup: bit_count per candidate
-      // row is cheap codegen; distinct only shuffles survivors.
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          expr("bit_count(a.fp ^ b.fp)").as("hamming"))
-        .filter(col("hamming") <= 6)
-        .distinct()
+        .persist()
+      simhashCandidates(simhashBands(fp))
     })
+
+  /** The 7-band projection of a (doc_id, fp) SimHash relation: 4×9-bit
+    * + 3×8-bit band values covering the 60-bit fingerprint.
+    */
+  private[graft] def simhashBands(fp: DataFrame): DataFrame = fp
+    .select(col("doc_id"), col("fp"), explode(expr("sequence(0, 6)")).as("b"))
+    .withColumn("bv", expr(
+      "CASE WHEN b < 4 THEN shiftright(fp, 9 * b) & 511 ELSE shiftright(fp, 36 + 8 * (b - 4)) & 255 END"))
+
+  /** Banded near-dup pairs at hamming ≤ 6 from [[simhashBands]] output.
+    * Pigeonhole-exact (any pair within hamming 6 shares ≥1 full band);
+    * candidate generation goes through the skew-aware
+    * [[Skew.selfPairs]], so a hot band value (boilerplate cluster,
+    * near-empty docs sharing a fingerprint region) is salted across
+    * reducers instead of serializing one bucket's m² pairs. The hamming
+    * filter runs BEFORE the pair-dedup: bit_count per candidate row is
+    * cheap codegen; distinct only shuffles survivors.
+    */
+  private[graft] def simhashCandidates(
+      bands: DataFrame,
+      hotThreshold: Int = 1024,
+      salts: Int = 16): DataFrame =
+    Skew.selfPairs(bands, "doc_id", Seq("b", "bv"), payloadCols = Seq("fp"),
+        hotThreshold = hotThreshold, salts = salts)
+      .select(col("a_id"), col("b_id"),
+        expr("bit_count(a_fp ^ b_fp)").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .distinct()
 }

@@ -30,6 +30,50 @@ class SkewSpec extends AnyFunSuite {
     assert(canon(salted) === canon(plain))
   }
 
+  test("skew-aware selfPairs equals the plain banding self-join") {
+    import spark.implicits._
+    // 90% of rows share one bucket → the hot path must engage (threshold
+    // 10 forces it) and still emit exactly the plain self-join's pairs
+    val rel = (0 until 400).map { i =>
+      val bucket = if (i % 10 == 0) s"cold_${i % 7}" else "hot"
+      (i.toLong, bucket, i % 13)
+    }.toDF("doc_id", "bv", "fp")
+    val plain = rel.as("a").join(rel.as("b"),
+        col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"), col("a.fp"), col("b.fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val salted = Skew.selfPairs(rel, "doc_id", Seq("bv"),
+        payloadCols = Seq("fp"), hotThreshold = 10, salts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(salted === plain)
+    assert(plain.size > (360 * 359) / 2) // the hot bucket really is quadratic
+  }
+
+  test("banded SimHash pairs ≡ brute-force hamming scan on a skewed corpus") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    // 60 near-identical boilerplate docs (hot band values) + 40 distinct
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = ((0 until 60).map(i => (i.toLong, s"$boiler tail_$i")) ++
+      (60 until 100).map(i => (i.toLong, s"doc $i " + Seq.tabulate(12)(j => s"w${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val fp = docs.select(col("doc_id"), expr("simhash60(text)").as("fp"))
+      .filter(col("fp").isNotNull)
+    // threshold 5 forces the boilerplate cluster's band buckets (≈60
+    // rows each) through the salted hot path
+    val banded = graft.ext.Dedup.simhashCandidates(
+        graft.ext.Dedup.simhashBands(fp), hotThreshold = 5, salts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = fp.as("a").crossJoin(fp.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        expr("bit_count(a.fp ^ b.fp)").as("h"))
+      .filter(col("h") <= 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty) // the boilerplate cluster must collide
+  }
+
   test("salted join equals plain inner join") {
     import spark.implicits._
     val dim = Seq(("hot", "H"), ("cold_1", "C1"), ("cold_2", "C2"))

@@ -78,7 +78,15 @@ object Throttle {
     }
   }
 
-  def processGroup(
+  /** Streaming-memory group processor: CONSUMES LAZILY, requiring the
+    * iterator to arrive event-time-ascending — it never materializes
+    * the group, so a key holding millions of batch rows processes in
+    * O(1) memory. State commit rides the iterator's tail (Spark
+    * commits GroupState when the returned iterator completes), and a
+    * monotonicity guard turns a violated sort contract into a loud
+    * error instead of silently-wrong throttling.
+    */
+  def processGroupSorted(
       key: (String, String),
       occurrences: Iterator[Occurrence],
       state: GroupState[ThrottleState]): Iterator[Sent] = {
@@ -86,10 +94,14 @@ object Throttle {
       state.remove()
       Iterator.empty
     } else {
-      val occs = occurrences.toSeq.sortBy(_.eventTime.getTime)
       var st = state.getOption.getOrElse(ThrottleState(-1L, 0))
-      val sent = occs.flatMap { occ =>
+      var lastMs = Long.MinValue
+      val sent = occurrences.flatMap { occ =>
         val nowMs = occ.eventTime.getTime
+        require(nowMs >= lastMs,
+          s"Throttle occurrences for key $key are not event-time-sorted " +
+            s"($nowMs after $lastMs); use apply()/the sorting wrapper")
+        lastMs = nowMs
         val (next, fire) = step(st, occ.priority, nowMs)
         st = next
         if (fire)
@@ -97,28 +109,71 @@ object Throttle {
             occ.eventId, occ.eventTime, new Timestamp(nowMs)))
         else None
       }
-      state.update(st)
-      // Deterministic event-time TTL: expire when the watermark passes
-      // 1h beyond this key's newest occurrence. Inert in batch mode
-      // (no watermark — setTimeoutTimestamp throws there).
-      try state.setTimeoutTimestamp(occs.last.eventTime.getTime + StateTtlMs)
-      catch { case _: UnsupportedOperationException => () }
-      sent.iterator
+      // Runs once, after the last occurrence is consumed: commit state
+      // and stamp the deterministic event-time TTL (expire when the
+      // watermark passes 1h beyond this key's newest occurrence).
+      // Inert in batch mode (no watermark — setTimeoutTimestamp throws).
+      sent ++ {
+        state.update(st)
+        if (lastMs != Long.MinValue) {
+          try state.setTimeoutTimestamp(lastMs + StateTtlMs)
+          catch { case _: UnsupportedOperationException => () }
+        }
+        Iterator.empty
+      }
     }
   }
 
-  /** Apply the throttle to an occurrence stream (or batch Dataset —
-    * same code path, timeouts inert). Streaming callers set
-    * `withWatermark("eventTime", …)` upstream so the event-time TTL
-    * can fire.
+  /** Unsorted-delivery group processor: sorts the group in memory, then
+    * delegates. This is the STREAMING path — Spark's stateful shuffle
+    * re-sorts only on the grouping key (arbitrary within-key order), so
+    * the in-group sort is required for the event-time-deterministic
+    * contract; group size there is bounded by the micro-batch trigger,
+    * not stream history. The scale risk is giant BATCHES (AvailableNow
+    * catch-up, foreachBatch) — those take [[apply]]'s batch branch,
+    * which pre-sorts in the exchange and streams lazily instead.
+    */
+  def processGroup(
+      key: (String, String),
+      occurrences: Iterator[Occurrence],
+      state: GroupState[ThrottleState]): Iterator[Sent] =
+    if (state.hasTimedOut) processGroupSorted(key, occurrences, state)
+    else processGroupSorted(key,
+      occurrences.toSeq.sortBy(_.eventTime.getTime).iterator, state)
+
+  /** Apply the throttle to an occurrence stream or batch Dataset.
+    * Streaming callers set `withWatermark("eventTime", …)` upstream so
+    * the event-time TTL can fire.
+    *
+    * Batch uses an exchange-aligned secondary sort: repartition on the
+    * grouping columns (satisfies the group operator's required
+    * distribution, so no second exchange) and sort within partitions by
+    * (key, eventTime) — a (key) prefix of that ordering satisfies the
+    * operator's required sort, so Spark inserts none and the group
+    * iterator arrives time-ordered for the lazy O(1)-memory processor.
+    * Streaming can't use this (its stateful shuffle owns partitioning
+    * and re-sorts by key only), so it sorts per group — bounded by the
+    * trigger interval.
     */
   def apply(ds: Dataset[Occurrence]): Dataset[Sent] = {
     implicit val stEnc = Encoders.product[ThrottleState]
     implicit val outEnc = Encoders.product[Sent]
     implicit val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
-    ds.groupByKey(o => (o.locId, o.alertType))
-      .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-        processGroup)
+    implicit val occEnc = Encoders.product[Occurrence]
+    if (ds.isStreaming) {
+      ds.groupByKey(o => (o.locId, o.alertType))
+        .flatMapGroupsWithState(
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+          processGroup)
+    } else {
+      import org.apache.spark.sql.functions.col
+      ds.repartition(col("locId"), col("alertType"))
+        .sortWithinPartitions(col("locId"), col("alertType"), col("eventTime"))
+        .groupBy(col("locId"), col("alertType"))
+        .as[(String, String), Occurrence]
+        .flatMapGroupsWithState(
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+          processGroupSorted)
+    }
   }
 }

@@ -62,6 +62,26 @@ class ThrottleSpec extends AnyFunSuite {
       ("loc_1", t0), ("loc_2", t0 + min(1)), ("loc_1", t0 + min(6))))
   }
 
+  test("batch path: pre-sorted in the exchange — one shuffle, one sort, order-free input") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // deliberately out of event-time order: the exchange-aligned
+    // secondary sort must restore it (the lazy processor's monotonicity
+    // guard throws if Spark ever re-sorts by key only)
+    val sent = Throttle(Seq(
+      occ(t0 + min(6)), occ(t0), occ(t0 + min(1)),
+      occ(t0 + min(1), key = "loc_2|High Temperature")).toDS())
+    val rows = sent.collect().map(s => (s.locId, s.sentTime.getTime)).sortBy(_._2)
+    assert(rows.toList === List(
+      ("loc_1", t0), ("loc_2", t0 + min(1)), ("loc_1", t0 + min(6))))
+    // the group operator must reuse our repartition+sort, not add its
+    // own (AQE prints the initial plan too — count the final plan only)
+    val plan = sent.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.linesIterator.count(_.contains("ShuffleQueryStage")) === 1, plan)
+    assert(plan.linesIterator.count(_.contains(" Sort [")) === 1, plan)
+  }
+
   test("streaming: state persists across micro-batches with event-time watermark") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -21,6 +21,7 @@ object Bench {
       if (warmDir.isDirectory)
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
           try run(fn, warmDir.toString) catch { case _: Throwable => () }
+          spark.catalog.clearCache()
         }
     } catch { case _: Throwable => () }
     // A failed query must NOT masquerade as a fast one: its time is
@@ -34,7 +35,13 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // outside the timed section: drop caches a query persisted for its
+      // own multi-consumer stages (signature tables etc.) so later
+      // queries are neither helped by warm blocks nor squeezed by
+      // accumulated ones
+      spark.catalog.clearCache()
+      name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"${Json.str(k)}:$v" }
       .mkString("{", ",", "}")

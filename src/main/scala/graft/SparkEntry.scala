@@ -20,7 +20,9 @@ object SparkEntry {
       _root_.graft.ext.Multimodal.all ++
       _root_.graft.ext.Statistics.all ++
       _root_.graft.ext.Temporal.all ++
-      _root_.graft.ext.Curation.all
+      _root_.graft.ext.Curation.all ++
+      _root_.graft.ext.Clustering.all ++
+      _root_.graft.ext.Scrub.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -52,6 +52,31 @@ object Dedup {
        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts) - 3),
        |         i -> ${Portable.h60Duck("array_to_string(ts[i:i+4], ' ')")}))) AS sh FROM tok)""".stripMargin
 
+  /** DuckDB mirror of the whole SimHash banding pipeline as a CTE body
+    * ending in `spairs(a_id, b_id, hamming)` — the q37 oracle, shared
+    * with q53's connected-components oracle.
+    */
+  private[ext] val simhashPairsDuck =
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+       |         i -> array_to_string(ts[i:i+2], ' '))) AS sh FROM tok),
+       |th AS (SELECT doc_id, ${Portable.h60Duck("sh")} AS h FROM sh),
+       |bits AS (SELECT doc_id, i AS j,
+       |           SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+       |         FROM th, generate_series(0, 59) g(i) GROUP BY doc_id, i),
+       |fp AS (SELECT doc_id, SUM(CASE WHEN sgn >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS fp
+       |       FROM bits GROUP BY doc_id),
+       |bands AS (SELECT doc_id, fp, b,
+       |            CASE WHEN b < 4 THEN (fp >> (9 * b)) & 511
+       |                 ELSE (fp >> (36 + 8 * (b - 4))) & 255 END AS bv
+       |          FROM fp, generate_series(0, 6) g(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |                a.fp AS afp, b.fp AS bfp
+       |         FROM bands a JOIN bands b
+       |           ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |spairs AS (SELECT a_id, b_id, bit_count(xor(afp, bfp)) AS hamming
+       |           FROM cand WHERE bit_count(xor(afp, bfp)) <= 6)""".stripMargin
+
   val all: Seq[Q] = Seq(
     // ── Exact dedup: content-hash groupBy, keep-first survivor ─────────
     // The exchange carries (16-byte hash, id), never the document text
@@ -189,40 +214,30 @@ object Dedup {
     // fp-order issues.
     Q(
       "q37_simhash",
-      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
-         |         i -> array_to_string(ts[i:i+2], ' '))) AS sh FROM tok),
-         |th AS (SELECT doc_id, ${Portable.h60Duck("sh")} AS h FROM sh),
-         |bits AS (SELECT doc_id, i AS j,
-         |           SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
-         |         FROM th, generate_series(0, 59) g(i) GROUP BY doc_id, i),
-         |fp AS (SELECT doc_id, SUM(CASE WHEN sgn >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS fp
-         |       FROM bits GROUP BY doc_id),
-         |bands AS (SELECT doc_id, fp, b,
-         |            CASE WHEN b < 4 THEN (fp >> (9 * b)) & 511
-         |                 ELSE (fp >> (36 + 8 * (b - 4))) & 255 END AS bv
-         |          FROM fp, generate_series(0, 6) g(b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-         |                a.fp AS afp, b.fp AS bfp
-         |         FROM bands a JOIN bands b
-         |           ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
-         |SELECT a_id, b_id, bit_count(xor(afp, bfp)) AS hamming
-         |FROM cand WHERE bit_count(xor(afp, bfp)) <= 6""".stripMargin) { (s, d) =>
+      s"""WITH $simhashPairsDuck
+         |SELECT a_id, b_id, hamming FROM spairs""".stripMargin) { (s, d) =>
       // Fingerprints come from the one-pass codegen kernel
       // [[graft.functions.Simhash60]] — bit-identical to the oracle's
       // explode → 60-signed-sum formulation (integer votes are
       // order-free), but as a narrow per-row projection: no shingle
       // explode, no 60-column aggregation, no exchange before banding.
-      graft.functions.VectorExpressions.register(s)
-      // Persisted fingerprint stage (16 B/doc): the banding join's three
-      // consumers re-derive bands from the cache instead of re-running
-      // the text scan + simhash kernel per consumer.
-      val fp = Tables.documents(s, d)
-        .select(col("doc_id"), expr("simhash60(text)").as("fp"))
-        .filter(col("fp").isNotNull)
-        .persist()
-      simhashCandidates(simhashBands(fp))
+      simhashPairs(s, d)
     })
+
+  /** The full Spark-side SimHash pair pipeline over `documents` —
+    * shared by q37 and q53's connected components. Persists the
+    * fingerprint stage (16 B/doc): the banding join's three consumers
+    * re-derive bands from the cache instead of re-running the text
+    * scan + simhash kernel per consumer.
+    */
+  private[graft] def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val fp = Tables.documents(s, d)
+      .select(col("doc_id"), expr("simhash60(text)").as("fp"))
+      .filter(col("fp").isNotNull)
+      .persist()
+    simhashCandidates(simhashBands(fp))
+  }
 
   /** The 7-band projection of a (doc_id, fp) SimHash relation: 4×9-bit
     * + 3×8-bit band values covering the 60-bit fingerprint.

@@ -160,5 +160,32 @@ object TextAnalysis {
         expr("shingle_min_hash(text, 8)").as("fp_min8"))
         .withColumn("n_copies", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("content_md5")))
+    },
+
+    // ── Corpus vocabulary: global token frequencies, top-K by count ────
+    // The tokenizer-building / Zipf-audit aggregate: one corpus-wide
+    // token count with map-side combine (the exchange carries
+    // already-reduced (token, count) rows, not token instances), then a
+    // top-K over the VOCABULARY — which is sublinear in corpus size
+    // (Heaps' law), so the final single-partition ranking window sorts
+    // a relation many orders of magnitude smaller than the input. The
+    // (count DESC, token) tiebreak makes the K-boundary deterministic
+    // on both engines.
+    Q(
+      "q56_vocabulary",
+      """SELECT rank, token, n FROM (
+        |  SELECT t AS token, count(*) AS n,
+        |         row_number() OVER (ORDER BY count(*) DESC, t) AS rank
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY t)
+        |WHERE rank <= 20""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(expr("split(text, ' ')")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("token"))))
+        .filter(col("rank") <= 20)
+        .select("rank", "token", "n")
     })
 }

@@ -86,9 +86,21 @@ object Clustering {
          |SELECT cc.doc_id, cc.cluster_id, sizes.cluster_size,
          |       cc.doc_id = cc.cluster_id AS is_canonical
          |FROM cc JOIN sizes USING (cluster_id)""".stripMargin) { (s, d) =>
-      val cc = components(
-        Tables.documents(s, d).select("doc_id"),
-        Dedup.simhashPairs(s, d))
+      // Iterate ONLY the pair-participant subgraph: a doc in no pair is
+      // its own cluster by construction, so the propagation loop
+      // shuffles the near-dup subgraph (dup-rate × corpus) instead of
+      // every doc — at 100 TB that is the difference between iterating
+      // gigabytes and iterating the corpus. Singletons union in after
+      // the fixpoint with cluster_id = doc_id.
+      val pairs = Dedup.simhashPairs(s, d).persist()
+      val participants = pairs.select(col("a_id").as("doc_id"))
+        .union(pairs.select(col("b_id").as("doc_id")))
+        .distinct()
+      val docs = Tables.documents(s, d).select("doc_id")
+      val singletons = docs.join(participants, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      val cc = components(participants, pairs)
+        .unionByName(singletons)
       // cluster_size via a window, not a join against a per-cluster
       // aggregate: the cluster relation is mostly singletons (~one row
       // per doc), so a broadcast would not fit and a join would shuffle

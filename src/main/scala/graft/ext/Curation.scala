@@ -4,10 +4,11 @@ import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
 /** Corpus-curation operators a training-data pipeline runs after
-  * dedup/quality: deterministic stratified sampling and
-  * benchmark-contamination detection.
+  * dedup/quality: deterministic stratified sampling, train/val/test
+  * splitting, benchmark-contamination detection, and per-stratum quota
+  * capping.
   *
-  * Both are built for the 100 TB shape: sampling is a pure hash filter
+  * All are built for the 100 TB shape: sampling is a pure hash filter
   * on a narrow projection (no shuffle, no RNG state — reproducible
   * across runs, engines, and partitionings because the coin is the
   * content id, not a seed sequence); contamination broadcasts the
@@ -92,5 +93,37 @@ object Curation {
           col("doc_id") === col("sz_id"))
         .select(col("doc_id"), col("n_overlap"),
           expr("floor(n_overlap * 1000000.0D / n) / 1000000.0D").as("overlap_ratio"))
+    },
+
+    // ── Quota sampling: per-stratum cap (the "balance the mix" op) ─────
+    // Keep at most K docs per (lang, source) stratum, chosen by the
+    // same deterministic content-hash family as q49/q52 (salt 'quota|')
+    // with doc_id as the total tiebreak: over-represented strata are
+    // down-sampled to the cap, small strata pass through whole, and the
+    // kept set is stable under re-runs and growth EXCEPT where new docs
+    // hash below a stratum's current cut — the standard quota-sample
+    // trade. One shuffle: the rank-filter shape triggers Spark's
+    // WindowGroupLimit, which keeps only each stratum's top-K rows
+    // per partition BEFORE the exchange (the plan shows
+    // WindowGroupLimit → Sort → Exchange → WindowGroupLimit → Window),
+    // so a giant stratum ships ≤ K·partitions rows, not its full size.
+    Q(
+      "q57_quota_sample",
+      s"""SELECT doc_id, lang, source, pick_rank
+         |FROM (SELECT doc_id, lang, source,
+         |        row_number() OVER (PARTITION BY lang, source
+         |          ORDER BY ${Portable.h60Duck("concat('quota|', doc_id::VARCHAR)")}, doc_id)
+         |          AS pick_rank
+         |      FROM documents)
+         |WHERE pick_rank <= 5""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("pick_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("lang", "source")
+            .orderBy(
+              expr(Portable.h60Spark("concat('quota|', cast(doc_id as string))")),
+              col("doc_id"))))
+        .filter(col("pick_rank") <= 5)
+        .select("doc_id", "lang", "source", "pick_rank")
     })
 }

@@ -222,6 +222,70 @@ object Dedup {
       // order-free), but as a narrow per-row projection: no shingle
       // explode, no 60-column aggregation, no exchange before banding.
       simhashPairs(s, d)
+    },
+
+    // ── Incremental near-dup: new batch vs existing corpus ─────────────
+    // The PRODUCTION shape of dedup: a daily ingest batch is checked
+    // against the already-ingested corpus, not the corpus against
+    // itself. Batch = the top decile of doc_ids (stands in for "newest
+    // ingest"; the cut derives from max(doc_id) so it scales with the
+    // table). The batch's minhash signatures BROADCAST against the
+    // corpus signature relation — the corpus never shuffles, which is
+    // what makes the daily job O(batch) instead of O(corpus): at 100 TB
+    // the corpus side is a bucketed signature table and the batch side
+    // is small by definition. Exact-Jaccard verify on candidates only,
+    // arrays built via the q36 semi-join pattern.
+    Q(
+      "q58_incremental_neardup",
+      s"""WITH $shingles5Duck,
+         |mx AS (SELECT (max(doc_id) * 9) // 10 AS cut FROM documents),
+         |hh AS (SELECT doc_id, sh AS h FROM sh),
+         |sig AS (SELECT doc_id, i, min(${Portable.permDuck("h", "i")}) AS mh
+         |        FROM hh, generate_series(0, 15) g(i) GROUP BY doc_id, i),
+         |cand AS (SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS dup_of
+         |         FROM sig b, sig c, mx
+         |         WHERE b.i = c.i AND b.mh = c.mh
+         |           AND b.doc_id >= mx.cut AND c.doc_id < mx.cut),
+         |sarr AS (SELECT doc_id, list(sh) AS arr, count(*) AS n FROM sh GROUP BY doc_id)
+         |SELECT new_id, dup_of,
+         |  floor((c * 1.0 / (na + nb - c)) * 1000000.0) / 1000000.0 AS jaccard
+         |FROM (SELECT new_id, dup_of, sa.n AS na, sb.n AS nb,
+         |        len(list_intersect(sa.arr, sb.arr)) AS c
+         |      FROM cand
+         |      JOIN sarr sa ON sa.doc_id = new_id
+         |      JOIN sarr sb ON sb.doc_id = dup_of)
+         |WHERE c * 1.0 / (na + nb - c) >= 0.5""".stripMargin) { (s, d) =>
+      graft.functions.VectorExpressions.register(s)
+      val docs = Tables.documents(s, d)
+      // pure-plan scalar: the cut broadcasts as a 1-row dimension
+      // instead of a driver collect
+      val cut = docs.agg(expr("(max(doc_id) * 9) div 10").as("cut"))
+      val sig = docs
+        .select(col("doc_id"), expr("minhash16(text)").as("sig"))
+        .filter(col("sig").isNotNull)
+        .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "mh")))
+        .crossJoin(broadcast(cut))
+        .persist()
+      val bsig = sig.filter(col("doc_id") >= col("cut")).select("doc_id", "i", "mh")
+      val csig = sig.filter(col("doc_id") < col("cut")).select("doc_id", "i", "mh")
+      val cand = broadcast(bsig.as("b"))
+        .join(csig.as("c"), col("b.i") === col("c.i") && col("b.mh") === col("c.mh"))
+        .select(col("b.doc_id").as("new_id"), col("c.doc_id").as("dup_of"))
+        .distinct()
+        .persist()
+      val sh = shingles5(s, d)
+      val candIds = cand.select(col("new_id").as("doc_id"))
+        .union(cand.select(col("dup_of")))
+      val sarr = sh.join(candIds, Seq("doc_id"), "left_semi")
+        .groupBy("doc_id")
+        .agg(collect_list("sh").as("arr"), count(lit(1)).as("n"))
+      cand
+        .join(sarr.as("sa"), col("sa.doc_id") === col("new_id"))
+        .join(sarr.as("sb"), col("sb.doc_id") === col("dup_of"))
+        .withColumn("c", expr("cast(size(array_intersect(sa.arr, sb.arr)) as bigint)"))
+        .filter(expr("c * 1.0D / (sa.n + sb.n - c) >= 0.5D"))
+        .select(col("new_id"), col("dup_of"),
+          expr("floor((c * 1.0D / (sa.n + sb.n - c)) * 1000000.0D) / 1000000.0D").as("jaccard"))
     })
 
   /** The full Spark-side SimHash pair pipeline over `documents` —

@@ -269,5 +269,33 @@ object Similarity {
         .filter(col("rank") <= 5)
         .select(col("qid"), col("neighbor_id"), col("rank"),
           expr("floor(cos * 1000000.0D) / 1000000.0D").as("cosine"))
+    },
+
+    // ── Per-group embedding centroids (semantic profile / drift) ───────
+    // The corpus-monitoring aggregate: mean vector per label, exact
+    // across engines because each component is a [[Portable.qavg]]
+    // micro-unit sum. Spark computes all 64 components as ONE wide
+    // aggregation (64 agg columns in a single groupBy — one exchange of
+    // 10 labels × 64 partials) and unpivots with stack(), instead of
+    // exploding 64 rows per vector into the shuffle; the oracle can
+    // afford the lateral explode. Memory-noted pattern: wide-agg beats
+    // explode×K whenever K is a fixed small fan-out.
+    Q(
+      "q59_centroid_profile", {
+        val c = Portable.qavg("CAST(embedding[i] AS DOUBLE)", 6)
+        s"""SELECT label, CAST(i AS INT) AS dim, $c AS centroid, count(*) AS n
+           |FROM embeddings, generate_series(1, 64) g(i)
+           |GROUP BY label, i""".stripMargin
+      }) { (s, d) =>
+      val aggs = (1 to 64).map(i =>
+        expr(Portable.qavg(s"CAST(element_at(embedding, $i) AS DOUBLE)", 6)).as(s"c$i")) :+
+        count(lit(1)).as("n")
+      Tables.embeddings(s, d)
+        .groupBy("label")
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr("label",
+          s"stack(64, ${(1 to 64).map(i => s"$i, c$i").mkString(", ")}) as (dim, centroid)",
+          "n")
+        .select("label", "dim", "centroid", "n")
     })
 }

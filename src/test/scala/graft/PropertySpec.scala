@@ -96,6 +96,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("selfPairs ≡ plain self-join over random bucketed relations") {
+    import spark.implicits._
+    // random relations with adversarial bucket distributions (uniform,
+    // 90%-hot, all-hot) × random thresholds/salts — the salted banding
+    // join must be pair-set-identical to the naive self-join on all
+    val relGen = for {
+      n <- Gen.choose(20, 120)
+      skew <- Gen.oneOf(0, 1, 2) // 0 uniform, 1 hot-heavy, 2 single bucket
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.choose(0L, 200L)
+        b <- skew match {
+          case 0 => Gen.choose(0, 10)
+          case 1 => Gen.frequency(9 -> Gen.const(0), 1 -> Gen.choose(1, 5))
+          case 2 => Gen.const(0)
+        }
+      } yield (id, b))
+    } yield rows.distinct
+    (0 until 6).foreach { i =>
+      val rows = relGen.apply(Gen.Parameters.default, Seed(3000L + i)).get
+      val rel = rows.toDF("doc_id", "bv")
+      val plain = rel.as("a").join(rel.as("b"),
+          org.apache.spark.sql.functions.col("a.bv") ===
+            org.apache.spark.sql.functions.col("b.bv") &&
+            org.apache.spark.sql.functions.col("a.doc_id") <
+            org.apache.spark.sql.functions.col("b.doc_id"))
+        .select("a.doc_id", "b.doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val threshold = 1 + (i % 3) * 7
+      val salted = graft.ext.Skew.selfPairs(rel, "doc_id", Seq("bv"),
+          hotThreshold = threshold, salts = 2 + i % 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(salted === plain, s"case $i (threshold=$threshold)")
+    }
+  }
+
   test("CRITICAL always fires regardless of state") {
     val gen = for {
       lastSent <- Gen.choose(-1L, Long.MaxValue / 2)

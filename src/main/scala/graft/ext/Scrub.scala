@@ -25,6 +25,29 @@ object Scrub {
   private val phonePat = "[0-9]{3}-[0-9]{4}"
   private val ipPat = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
 
+  /** The PII operator proper: given (doc_id, enr), emit per-type match
+    * counts, the total, the redacted text, and its md5. Redaction order
+    * matters and must match the oracle: email first (its local part
+    * may contain digits and dots), then IP before phone (an IP octet
+    * pair must not be half-eaten by a phone-shaped digit run). Spark's
+    * regexp_replace is global by default; the DuckDB mirror passes 'g'.
+    * Pure projection — codegen'd, no shuffle.
+    */
+  private[graft] def scrub(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(
+      col("doc_id"),
+      expr(s"cast(size(regexp_extract_all(enr, '$emailPat', 0)) as bigint)").as("n_emails"),
+      expr(s"cast(size(regexp_extract_all(enr, '$phonePat', 0)) as bigint)").as("n_phones"),
+      expr(s"cast(size(regexp_extract_all(enr, '$ipPat', 0)) as bigint)").as("n_ips"),
+      expr(s"""cast(size(regexp_extract_all(enr, '$emailPat', 0)) +
+             |     size(regexp_extract_all(enr, '$phonePat', 0)) +
+             |     size(regexp_extract_all(enr, '$ipPat', 0)) as bigint)""".stripMargin).as("pii_total"),
+      expr(s"""regexp_replace(regexp_replace(regexp_replace(enr,
+             |  '$emailPat', '<EMAIL>'),
+             |  '$ipPat', '<IP>'),
+             |  '$phonePat', '<PHONE>')""".stripMargin).as("redacted"))
+      .withColumn("redacted_md5", md5(col("redacted")))
+
   /** The synthetic corpus contains no PII, so the query ENRICHES each
     * doc with deterministic fixture PII first (email on ids ≡ 0 mod 3,
     * phone on ≡ 0 mod 4, IP on ≡ 0 mod 5) — identical string built on
@@ -69,25 +92,9 @@ object Scrub {
          |      '$ipPat', '<IP>', 'g'),
          |      '$phonePat', '<PHONE>', 'g'))          AS redacted_md5
          |FROM (SELECT doc_id, $enrichedDuck AS enr FROM documents)""".stripMargin) { (s, d) =>
-      // Redaction order matters and must match the oracle: email first
-      // (its local part may contain digits), then IP before phone (an
-      // IP octet pair like 10.0 must not be half-eaten by a phone-ish
-      // pattern). Spark's regexp_replace is global by default; DuckDB
-      // needs the 'g' flag.
-      Tables.documents(s, d)
-        .select(col("doc_id"), expr(enrichedSpark).as("enr"))
-        .select(
-          col("doc_id"),
-          expr(s"cast(size(regexp_extract_all(enr, '$emailPat', 0)) as bigint)").as("n_emails"),
-          expr(s"cast(size(regexp_extract_all(enr, '$phonePat', 0)) as bigint)").as("n_phones"),
-          expr(s"cast(size(regexp_extract_all(enr, '$ipPat', 0)) as bigint)").as("n_ips"),
-          expr(s"""cast(size(regexp_extract_all(enr, '$emailPat', 0)) +
-                 |     size(regexp_extract_all(enr, '$phonePat', 0)) +
-                 |     size(regexp_extract_all(enr, '$ipPat', 0)) as bigint)""".stripMargin).as("pii_total"),
-          md5(expr(s"""regexp_replace(regexp_replace(regexp_replace(enr,
-                     |  '$emailPat', '<EMAIL>'),
-                     |  '$ipPat', '<IP>'),
-                     |  '$phonePat', '<PHONE>')""".stripMargin)).as("redacted_md5"))
+      scrub(Tables.documents(s, d)
+          .select(col("doc_id"), expr(enrichedSpark).as("enr")))
+        .drop("redacted")
     },
 
     // ── Repetition metrics (Gopher-style quality filters) ──────────────

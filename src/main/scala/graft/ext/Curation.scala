@@ -125,5 +125,47 @@ object Curation {
               col("doc_id"))))
         .filter(col("pick_rank") <= 5)
         .select("doc_id", "lang", "source", "pick_rank")
+    },
+
+    // ── Sequence packing: docs → fixed-token-budget training rows ──────
+    // The batch-prep op that turns a curated corpus into training
+    // sequences: within each (lang, shard) stream, docs are laid out in
+    // a deterministic content-hash order and cut into 2048-token packs
+    // by running token count; each doc reports its pack and offset. The
+    // shard key (content-hash mod 8) bounds every packing window to
+    // 1/(langs×shards) of the corpus — the real pipeline's
+    // shard-then-pack layout, so no global sort exists anywhere. All
+    // math is integer (token counts, running sums, integer division):
+    // bit-exact across engines by construction.
+    Q(
+      "q60_sequence_packing", {
+        val h = Portable.h60Duck("concat('pack|', doc_id::VARCHAR)")
+        s"""SELECT doc_id, lang, shard, n_tokens,
+           |  (cum - n_tokens) // 2048 AS pack_id,
+           |  (cum - n_tokens) % 2048 AS tok_offset
+           |FROM (SELECT doc_id, lang, shard, n_tokens,
+           |        sum(n_tokens) OVER (PARTITION BY lang, shard
+           |          ORDER BY h, doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |      FROM (SELECT doc_id, lang,
+           |              $h % 8 AS shard,
+           |              $h AS h,
+           |              len(string_split(text, ' ')) AS n_tokens
+           |            FROM documents))""".stripMargin
+      }) { (s, d) =>
+      val h = Portable.h60Spark("concat('pack|', cast(doc_id as string))")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          expr(s"$h % 8").as("shard"),
+          expr(h).as("h"),
+          expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("lang", "shard")
+            .orderBy(col("h"), col("doc_id"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+          expr("(cum - n_tokens) div 2048").as("pack_id"),
+          expr("(cum - n_tokens) % 2048").as("tok_offset"))
     })
 }

@@ -167,5 +167,35 @@ object Curation {
         .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
           expr("(cum - n_tokens) div 2048").as("pack_id"),
           expr("(cum - n_tokens) % 2048").as("tok_offset"))
+    },
+
+    // ── Mixture weighting: fractional epoch replication per source ─────
+    // The "dataset mixing" step before packing: each lang gets an epoch
+    // weight in milli-epochs (en 2.0, de 1.5, rest 1.0); every doc
+    // yields floor(w) copies plus one more when its content-hash coin
+    // lands under the fractional part — so the EXPECTED copy count per
+    // lang equals the weight exactly, per-doc membership is
+    // deterministic/replayable, and downstream packing sees copy as
+    // part of the identity. Narrow explode, no shuffle; output size =
+    // Σ weights, the op's intrinsic cost.
+    Q(
+      "q61_mixture_weights", {
+        val coin = Portable.h60Duck("concat('mix|', doc_id::VARCHAR)")
+        s"""SELECT doc_id, lang, unnest(range(1, n_copies + 1)) AS copy
+           |FROM (SELECT doc_id, lang,
+           |        w // 1000 + CASE WHEN $coin % 1000 < w % 1000 THEN 1 ELSE 0 END AS n_copies
+           |      FROM (SELECT doc_id, lang,
+           |              CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 1500
+           |                        ELSE 1000 END AS w
+           |            FROM documents))""".stripMargin
+      }) { (s, d) =>
+      val coin = Portable.h60Spark("concat('mix|', cast(doc_id as string))")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          expr("CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 1500 ELSE 1000 END").as("w"))
+        .select(col("doc_id"), col("lang"),
+          expr(s"w div 1000 + CASE WHEN $coin % 1000 < w % 1000 THEN 1 ELSE 0 END").as("n_copies"))
+        .select(col("doc_id"), col("lang"),
+          explode(expr("sequence(1, n_copies)")).as("copy"))
     })
 }

@@ -62,6 +62,16 @@ object Clustering {
       labels = next
       rounds += 1
     }
+    // A silent cap would emit split clusters with wrong survivors in a
+    // setting with no oracle to catch it — fail loudly instead. A graph
+    // needing 50+ rounds means path-like components far outside the
+    // near-dup regime; the algorithmic answer there is large-star/
+    // small-star (Kiveris et al., SOCC'14), not more rounds.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $rounds rounds " +
+          s"($changed labels still changing); component diameter exceeds " +
+          "the near-dup regime — use a star-contraction variant")
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }

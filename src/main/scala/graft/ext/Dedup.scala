@@ -144,15 +144,7 @@ object Dedup {
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |         FROM sig a JOIN sig b
          |           ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id),
-         |sarr AS (SELECT doc_id, list(sh) AS arr, count(*) AS n FROM sh GROUP BY doc_id)
-         |SELECT a_id, b_id,
-         |  floor((c * 1.0 / (na + nb - c)) * 1000000.0) / 1000000.0 AS jaccard
-         |FROM (SELECT a_id, b_id, sa.n AS na, sb.n AS nb,
-         |        len(list_intersect(sa.arr, sb.arr)) AS c
-         |      FROM cand
-         |      JOIN sarr sa ON sa.doc_id = a_id
-         |      JOIN sarr sb ON sb.doc_id = b_id)
-         |WHERE c * 1.0 / (na + nb - c) >= 0.5""".stripMargin) { (s, d) =>
+         |${jaccardVerifyDuck("a_id", "b_id")}""".stripMargin) { (s, d) =>
       val sh = shingles5(s, d)
       // Signatures from the one-pass codegen kernel
       // [[graft.functions.MinHash16]] — bit-identical to the oracle's
@@ -178,28 +170,7 @@ object Dedup {
       // join); persisting this tiny relation (≈ dup pairs, bytes per
       // row) runs candidate generation once instead of per consumer.
       val cand = Skew.selfPairs(sig, "doc_id", Seq("i", "mh")).distinct().persist()
-      // Exact verify on candidates ONLY, via per-doc hash arrays +
-      // array_intersect (codegen'd built-in): one groupBy builds the
-      // arrays; candidate pairs fetch two arrays and intersect
-      // locally — no shingle-level self-join. (Set semantics are safe:
-      // shingles5 is distinct per doc.)
-      // Arrays are built ONLY for docs in some candidate pair: the
-      // semi-join keeps the collect_list exchange at ~dup-rate × corpus
-      // instead of every doc's full shingle set. The candidate subtree
-      // appears twice in the DAG; its shuffles are identical, so
-      // ReuseExchange shares the heavy exchanges between the two uses.
-      val candIds = cand.select(col("a_id").as("doc_id"))
-        .union(cand.select(col("b_id").as("doc_id")))
-      val sarr = sh.join(candIds, Seq("doc_id"), "left_semi")
-        .groupBy("doc_id")
-        .agg(collect_list("sh").as("arr"), count(lit(1)).as("n"))
-      cand
-        .join(sarr.as("sa"), col("sa.doc_id") === col("a_id"))
-        .join(sarr.as("sb"), col("sb.doc_id") === col("b_id"))
-        .withColumn("c", expr("cast(size(array_intersect(sa.arr, sb.arr)) as bigint)"))
-        .filter(expr("c * 1.0D / (sa.n + sb.n - c) >= 0.5D"))
-        .select(col("a_id"), col("b_id"),
-          expr("floor((c * 1.0D / (sa.n + sb.n - c)) * 1000000.0D) / 1000000.0D").as("jaccard"))
+      jaccardVerify(cand, sh, "a_id", "b_id")
     },
 
     // ── SimHash near-dup with pigeonhole banding ───────────────────────
@@ -246,15 +217,7 @@ object Dedup {
          |         FROM sig b, sig c, mx
          |         WHERE b.i = c.i AND b.mh = c.mh
          |           AND b.doc_id >= mx.cut AND c.doc_id < mx.cut),
-         |sarr AS (SELECT doc_id, list(sh) AS arr, count(*) AS n FROM sh GROUP BY doc_id)
-         |SELECT new_id, dup_of,
-         |  floor((c * 1.0 / (na + nb - c)) * 1000000.0) / 1000000.0 AS jaccard
-         |FROM (SELECT new_id, dup_of, sa.n AS na, sb.n AS nb,
-         |        len(list_intersect(sa.arr, sb.arr)) AS c
-         |      FROM cand
-         |      JOIN sarr sa ON sa.doc_id = new_id
-         |      JOIN sarr sb ON sb.doc_id = dup_of)
-         |WHERE c * 1.0 / (na + nb - c) >= 0.5""".stripMargin) { (s, d) =>
+         |${jaccardVerifyDuck("new_id", "dup_of")}""".stripMargin) { (s, d) =>
       graft.functions.VectorExpressions.register(s)
       val docs = Tables.documents(s, d)
       // pure-plan scalar: the cut broadcasts as a 1-row dimension
@@ -273,20 +236,51 @@ object Dedup {
         .select(col("b.doc_id").as("new_id"), col("c.doc_id").as("dup_of"))
         .distinct()
         .persist()
-      val sh = shingles5(s, d)
-      val candIds = cand.select(col("new_id").as("doc_id"))
-        .union(cand.select(col("dup_of")))
-      val sarr = sh.join(candIds, Seq("doc_id"), "left_semi")
-        .groupBy("doc_id")
-        .agg(collect_list("sh").as("arr"), count(lit(1)).as("n"))
-      cand
-        .join(sarr.as("sa"), col("sa.doc_id") === col("new_id"))
-        .join(sarr.as("sb"), col("sb.doc_id") === col("dup_of"))
-        .withColumn("c", expr("cast(size(array_intersect(sa.arr, sb.arr)) as bigint)"))
-        .filter(expr("c * 1.0D / (sa.n + sb.n - c) >= 0.5D"))
-        .select(col("new_id"), col("dup_of"),
-          expr("floor((c * 1.0D / (sa.n + sb.n - c)) * 1000000.0D) / 1000000.0D").as("jaccard"))
+      jaccardVerify(cand, shingles5(s, d), "new_id", "dup_of")
     })
+
+  /** Exact-Jaccard verification of a candidate-pair relation against
+    * the shingle stream `sh` — shared by q36 and q58. One groupBy
+    * builds per-doc hash arrays; candidate pairs fetch two arrays and
+    * `array_intersect` locally (codegen'd built-in) — no shingle-level
+    * self-join, and set semantics are safe because [[shingles5]] is
+    * distinct per doc. Arrays exist ONLY for docs in some candidate
+    * pair (semi-join before the collect_list groupBy), so the array
+    * exchange scales with the dup rate, not the corpus; the candidate
+    * subtree appears twice in the DAG, which is why callers persist
+    * their (tiny) `cand` before passing it in.
+    */
+  private def jaccardVerify(
+      cand: DataFrame, sh: DataFrame,
+      leftCol: String, rightCol: String): DataFrame = {
+    val candIds = cand.select(col(leftCol).as("doc_id"))
+      .union(cand.select(col(rightCol)))
+    val sarr = sh.join(candIds, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(collect_list("sh").as("arr"), count(lit(1)).as("n"))
+    cand
+      .join(sarr.as("sa"), col("sa.doc_id") === col(leftCol))
+      .join(sarr.as("sb"), col("sb.doc_id") === col(rightCol))
+      .withColumn("c", expr("cast(size(array_intersect(sa.arr, sb.arr)) as bigint)"))
+      .filter(expr("c * 1.0D / (sa.n + sb.n - c) >= 0.5D"))
+      .select(col(leftCol), col(rightCol),
+        expr("floor((c * 1.0D / (sa.n + sb.n - c)) * 1000000.0D) / 1000000.0D").as("jaccard"))
+  }
+
+  /** DuckDB mirror of [[jaccardVerify]] — the trailing CTE + SELECT
+    * over an in-scope `cand(leftCol, rightCol)` and `sh`. (The oracle
+    * builds arrays for all docs; oracle cost is irrelevant.)
+    */
+  private def jaccardVerifyDuck(leftCol: String, rightCol: String): String =
+    s"""sarr AS (SELECT doc_id, list(sh) AS arr, count(*) AS n FROM sh GROUP BY doc_id)
+       |SELECT $leftCol, $rightCol,
+       |  floor((c * 1.0 / (na + nb - c)) * 1000000.0) / 1000000.0 AS jaccard
+       |FROM (SELECT $leftCol, $rightCol, sa.n AS na, sb.n AS nb,
+       |        len(list_intersect(sa.arr, sb.arr)) AS c
+       |      FROM cand
+       |      JOIN sarr sa ON sa.doc_id = $leftCol
+       |      JOIN sarr sb ON sb.doc_id = $rightCol)
+       |WHERE c * 1.0 / (na + nb - c) >= 0.5""".stripMargin
 
   /** The full Spark-side SimHash pair pipeline over `documents` —
     * shared by q37 and q53's connected components. Persists the

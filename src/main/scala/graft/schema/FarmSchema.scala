@@ -93,8 +93,12 @@ object FarmSchema {
     val schema = wire.add("_corrupt", StringType)
     val parsed = from_json(col(rawCol), schema,
       Map("columnNameOfCorruptRecord" -> "_corrupt").asJava)
+    // ALL input columns pass through (not just rawCol): ingress stages
+    // attach provenance like ingest_payload (the base64 wire original)
+    // that the error sinks downstream need. Input columns must not
+    // collide with wire field names.
     df.withColumn("_parsed", parsed)
-      .select(col(rawCol) +:
+      .select(df.columns.toSeq.map(c => col(s"`$c`")) ++
         (wire.fieldNames.toSeq :+ "_corrupt").map(f => col(s"_parsed.`$f`")): _*)
   }
 

@@ -45,11 +45,19 @@ object IngestStream {
     * partial groups dropped) to bytes that then fail JSON parsing and
     * land in `errors/json_decode` — the same terminal route the
     * reference's decode-failure path takes through its except branch.
-    * Pure projection: fuses into the same whole-stage-codegen pass as
-    * the parse, no extra scan or shuffle.
+    * The ORIGINAL wire payload is retained as `ingest_payload`:
+    * lenient decoding of corrupt base64 yields mojibake, and a DLQ
+    * record holding only the garbage would be undebuggable — the error
+    * route's `raw_payload` prefers the original (see [[process]]),
+    * matching the reference's except branch which logs the record it
+    * received, not a transform of it. Pure projection: fuses into the
+    * same whole-stage-codegen pass as the parse, no extra scan or
+    * shuffle.
     */
   def decodeBase64(encoded: DataFrame, dataCol: String = "data"): DataFrame =
-    encoded.withColumn("raw", unbase64(col(dataCol)).cast("string")).drop(dataCol)
+    encoded
+      .withColumn("raw", unbase64(col(dataCol)).cast("string"))
+      .withColumnRenamed(dataCol, "ingest_payload")
 
   /** Stateless record path: parse + validate + alerts + route. Input
     * needs one string column `raw` — the decoded payload; for
@@ -88,8 +96,20 @@ object IngestStream {
       .withColumn("error_message",
         when(col("route") === "errors/json_decode", "payload is not valid JSON")
           .when(col("route") === "errors/processing", "payload is not a processable record object"))
+      // raw_payload = the DECODED text the parser saw (the reference's
+      // except branch logs what json.loads received). When the base64
+      // ingress ran, the payload AS RECEIVED ON THE WIRE additionally
+      // survives on error routes as ingest_payload — corrupt base64
+      // decodes to mojibake, and a DLQ record without the original
+      // would be unreplayable. Non-error routes null it so the lake
+      // doesn't carry every valid record's payload twice.
       .withColumn("raw_payload",
         when(col("route").like("errors/%"), col("raw")))
+      .transform(df =>
+        if (df.columns.contains("ingest_payload"))
+          df.withColumn("ingest_payload",
+            when(col("route").like("errors/%"), col("ingest_payload")))
+        else df)
       // partial extraction for processing errors (lamda.py:518-524):
       // pull event_id/loc_id out of the raw text when the JSON allows
       // (only evaluated for rows whose parsed id is null — coalesce and

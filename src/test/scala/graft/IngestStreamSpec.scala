@@ -46,10 +46,16 @@ class IngestStreamSpec extends AnyFunSuite {
     // malformed base64 never yields a processable record — it must land
     // in an error route (lenient decode → garbage bytes → parse fail)
     assert(routes(2).startsWith("errors/"))
-    // the decoded payload round-trips: raw_payload carries decoded text
-    assert(out.filter(col("route") === "errors/json_decode")
-      .select("raw_payload").collect().map(_.getString(0))
-      .contains("this is not json {"))
+    // raw_payload carries what the parser saw (the decoded text), and
+    // ingest_payload preserves the wire-original for replay — including
+    // the corrupt-base64 case whose decode is mojibake
+    val errs = out.filter(col("route").startsWith("errors/"))
+      .select("raw_payload", "ingest_payload").collect()
+    assert(errs.map(_.getString(0)).contains("this is not json {"))
+    assert(errs.map(_.getString(1)).contains("!!!not//base64@@@"))
+    // valid records don't carry their payload twice into the lake
+    assert(out.filter(col("route") === "valid")
+      .select("ingest_payload").head.isNullAt(0))
   }
 
   test("error routes carry the reference's error-record fields") {

@@ -50,8 +50,10 @@ def type_family(t):
 
 
 def coltypes(con, sql):
-    """{column_name: declared_duckdb_type} for a query."""
-    return {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+    """[(column_name, declared_duckdb_type)] for a query — a LIST, not a
+    dict: duplicate output names must stay visible (a dict would
+    silently collapse them and under-compare)."""
+    return [(r[0], r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall()]
 
 
 def main(sf_dir, out_dir):
@@ -66,19 +68,22 @@ def main(sf_dir, out_dir):
             spark_sql = f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
             gtypes = coltypes(con, spark_sql)
             wtypes = coltypes(con, sql)
-            if sorted(gtypes) != sorted(wtypes):
-                print(f"FAIL {name}: columns {sorted(gtypes)} vs oracle {sorted(wtypes)}")
+            gnames = sorted(c for c, _ in gtypes)
+            wnames = sorted(c for c, _ in wtypes)
+            if gnames != wnames:  # multiset compare — dupes count
+                print(f"FAIL {name}: columns {gnames} vs oracle {wnames}")
                 n_fail += 1
                 continue
-            type_mismatch = {c: (gtypes[c], wtypes[c]) for c in gtypes
-                             if type_family(gtypes[c]) != type_family(wtypes[c])}
+            gfam = sorted((c, type_family(t)) for c, t in gtypes)
+            wfam = sorted((c, type_family(t)) for c, t in wtypes)
+            type_mismatch = [(g, w) for g, w in zip(gfam, wfam) if g != w]
             if type_mismatch:
                 print(f"FAIL {name}: column type mismatch (spark vs oracle):")
-                for c, (g, w) in sorted(type_mismatch.items()):
+                for (c, g), (_, w) in type_mismatch:
                     print(f"  {c}: {g} vs {w}")
                 n_fail += 1
                 continue
-            cols = sorted(gtypes)
+            cols = sorted(set(gnames))
             collist = ", ".join(f'"{c}"' for c in cols)
             got = con.execute(
                 f"SELECT {collist} FROM ({spark_sql})").fetchall()

@@ -45,7 +45,14 @@ object Clustering {
     // lineage to the materialized blocks each round, keeping every
     // round's plan constant-size (the same reason GraphFrames
     // checkpoints its iterative algorithms).
+    // seed labels with min(self, direct neighbors) instead of self:
+    // near-dup components are overwhelmingly cliques, and a clique
+    // whose members already hold the component minimum converges on
+    // the first loop round (the round only confirms) — one fewer
+    // join+checkpoint+count cycle on the common shape, same fixpoint.
     var labels = nodes.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+      .union(edges.groupBy(col("dst").as("id")).agg(min("src").as("lbl")))
+      .groupBy("id").agg(min("lbl").as("lbl"))
       .localCheckpoint()
     var changed = 1L
     var rounds = 0

@@ -169,6 +169,56 @@ object Curation {
           expr("(cum - n_tokens) % 2048").as("tok_offset"))
     },
 
+    // ── Split-leakage audit: near-dup pairs straddling splits ──────────
+    // The eval-hygiene closer: content-hash splitting (q52) assigns
+    // docs independently, so two near-duplicates can land in train and
+    // test — exactly the leakage a benchmark must not have. This audits
+    // the MinHash pair set (q36's machinery) against the split
+    // assignment and reports every cross-split near-dup pair. Empty
+    // result = clean eval; at 100 TB the pair relation is the (tiny)
+    // near-dup set, so the audit joins dup-rate-sized data, never the
+    // corpus.
+    Q(
+      "q62_split_leakage", {
+        val coin = Portable.h60Duck("concat('split|', doc_id::VARCHAR)")
+        val split = s"CASE WHEN $coin % 100 < 90 THEN 'train' " +
+          s"WHEN $coin % 100 < 95 THEN 'val' ELSE 'test' END"
+        s"""WITH ${Dedup.shingles5Duck},
+           |hh AS (SELECT doc_id, sh AS h FROM sh),
+           |sig AS (SELECT doc_id, i, min(${Portable.permDuck("h", "i")}) AS mh
+           |        FROM hh, generate_series(0, 15) g(i) GROUP BY doc_id, i),
+           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |         FROM sig a JOIN sig b
+           |           ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id),
+           |sarr AS (SELECT doc_id, list(sh) AS arr, count(*) AS n FROM sh GROUP BY doc_id),
+           |pairs AS (SELECT a_id, b_id
+           |          FROM (SELECT a_id, b_id, sa.n AS na, sb.n AS nb,
+           |                  len(list_intersect(sa.arr, sb.arr)) AS c
+           |                FROM cand
+           |                JOIN sarr sa ON sa.doc_id = a_id
+           |                JOIN sarr sb ON sb.doc_id = b_id)
+           |          WHERE c * 1.0 / (na + nb - c) >= 0.5),
+           |sp AS (SELECT doc_id, $split AS split FROM documents)
+           |SELECT a_id, b_id, spa.split AS a_split, spb.split AS b_split
+           |FROM pairs
+           |JOIN sp spa ON spa.doc_id = a_id
+           |JOIN sp spb ON spb.doc_id = b_id
+           |WHERE spa.split <> spb.split""".stripMargin
+      }) { (s, d) =>
+      val coin = Portable.h60Spark("concat('split|', cast(doc_id as string))")
+      val splitExpr = s"CASE WHEN $coin % 100 < 90 THEN 'train' " +
+        s"WHEN $coin % 100 < 95 THEN 'val' ELSE 'test' END"
+      val pairs = Dedup.minhashPairs(s, d).select("a_id", "b_id")
+      val sp = Tables.documents(s, d)
+        .select(col("doc_id"), expr(splitExpr).as("split"))
+      pairs
+        .join(sp.as("spa"), col("spa.doc_id") === col("a_id"))
+        .join(sp.as("spb"), col("spb.doc_id") === col("b_id"))
+        .filter(col("spa.split") =!= col("spb.split"))
+        .select(col("a_id"), col("b_id"),
+          col("spa.split").as("a_split"), col("spb.split").as("b_split"))
+    },
+
     // ── Mixture weighting: fractional epoch replication per source ─────
     // The "dataset mixing" step before packing: each lang gets an epoch
     // weight in milli-epochs (en 2.0, de 1.5, rest 1.0); every doc

@@ -145,32 +145,7 @@ object Dedup {
          |         FROM sig a JOIN sig b
          |           ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id),
          |${jaccardVerifyDuck("a_id", "b_id")}""".stripMargin) { (s, d) =>
-      val sh = shingles5(s, d)
-      // Signatures from the one-pass codegen kernel
-      // [[graft.functions.MinHash16]] — bit-identical to the oracle's
-      // explode → 16 wide-agg mins (MIN is order-free and
-      // duplicate-insensitive), with no shingle explode or aggregation
-      // exchange: 128 signature bytes per doc leave the scan.
-      graft.functions.VectorExpressions.register(s)
-      // The signature stage is persisted: 128 B/doc feeds THREE
-      // consumers inside the banding join (hot-bucket probe + both join
-      // sides), and caching it runs the text scan + minhash kernel once
-      // — the signature-table materialization you'd stage to parquet in
-      // a 100 TB pipeline, in-memory here.
-      val sig = Tables.documents(s, d)
-        .select(col("doc_id"), expr("minhash16(text)").as("sig"))
-        .filter(col("sig").isNotNull)
-        .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "mh")))
-        .persist()
-      // Candidate pairs via the skew-aware banding join: a minhash
-      // value shared by a boilerplate cluster would serialize its m²
-      // pair generation on one reducer — Skew.selfPairs salts buckets
-      // past the hot threshold (result-identical; SkewSpec). The pair
-      // set feeds TWO consumers (the id semi-join and the final verify
-      // join); persisting this tiny relation (≈ dup pairs, bytes per
-      // row) runs candidate generation once instead of per consumer.
-      val cand = Skew.selfPairs(sig, "doc_id", Seq("i", "mh")).distinct().persist()
-      jaccardVerify(cand, sh, "a_id", "b_id")
+      minhashPairs(s, d)
     },
 
     // ── SimHash near-dup with pigeonhole banding ───────────────────────
@@ -281,6 +256,32 @@ object Dedup {
        |      JOIN sarr sa ON sa.doc_id = $leftCol
        |      JOIN sarr sb ON sb.doc_id = $rightCol)
        |WHERE c * 1.0 / (na + nb - c) >= 0.5""".stripMargin
+
+  /** The full Spark-side MinHash-LSH near-dup pipeline over
+    * `documents` — shared by q36 and q62's split-leakage audit.
+    * Returns verified (a_id, b_id, jaccard) pairs at the 0.5
+    * threshold.
+    *
+    * Signatures come from the one-pass codegen kernel
+    * [[graft.functions.MinHash16]] — bit-identical to the oracle's
+    * explode → 16 wide-agg mins (MIN is order-free and
+    * duplicate-insensitive), with no shingle explode or aggregation
+    * exchange: 128 signature bytes per doc leave the scan. The
+    * signature stage is persisted — it feeds THREE consumers inside
+    * the skew-aware banding join (hot-bucket probe + both join
+    * sides) — and the (tiny) candidate-pair set is persisted because
+    * [[jaccardVerify]] consumes it twice.
+    */
+  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"), expr("minhash16(text)").as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "mh")))
+      .persist()
+    val cand = Skew.selfPairs(sig, "doc_id", Seq("i", "mh")).distinct().persist()
+    jaccardVerify(cand, shingles5(s, d), "a_id", "b_id")
+  }
 
   /** The full Spark-side SimHash pair pipeline over `documents` —
     * shared by q37 and q53's connected components. Persists the

@@ -144,9 +144,9 @@ object Curation {
            |  (cum - n_tokens) // 2048 AS pack_id,
            |  (cum - n_tokens) % 2048 AS tok_offset
            |FROM (SELECT doc_id, lang, shard, n_tokens,
-           |        sum(n_tokens) OVER (PARTITION BY lang, shard
+           |        CAST(sum(n_tokens) OVER (PARTITION BY lang, shard
            |          ORDER BY h, doc_id
-           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
            |      FROM (SELECT doc_id, lang,
            |              $h % 8 AS shard,
            |              $h AS h,

@@ -9,6 +9,15 @@ package graft.ext
   * fit a signed 64-bit integer:
   *   Spark:  cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint)
   *   DuckDB: ('0x' || substr(md5(x), 1, 15))::BIGINT
+  *
+  * ORACLE-SIDE RULE — integer sums: DuckDB widens integer `sum()` to
+  * HUGEINT (both plain aggregates and `sum(...) OVER` windows), and the
+  * driver's value-hash canonicalizes HUGEINT differently from BIGINT
+  * even when the numbers are identical. Any integer sum in oracle SQL
+  * whose value reaches the output — directly or through derived columns
+  * like `(cum - x) // k` — must be wrapped in `CAST(... AS BIGINT)`.
+  * Local value comparison cannot catch this (values match); diagnose
+  * with `DESCRIBE <oracle sql>` and grep for HUGEINT columns.
   */
 object Portable {
   /** Spark-side 60-bit hash of a string SQL expression. */

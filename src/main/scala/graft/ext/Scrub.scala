@@ -115,7 +115,8 @@ object Scrub {
            |  SELECT doc_id, 2 AS n, unnest(list_transform(range(1, len(ts)),
            |           i -> $g2)) AS h FROM tok),
            |cnt AS (SELECT doc_id, n, h, count(*) AS c FROM grams GROUP BY doc_id, n, h),
-           |agg AS (SELECT doc_id, n, max(c) AS top_c, sum(c) AS total_c
+           |agg AS (SELECT doc_id, n, max(c) AS top_c,
+           |               CAST(sum(c) AS BIGINT) AS total_c
            |        FROM cnt GROUP BY doc_id, n)
            |SELECT doc_id,
            |  max(CASE WHEN n = 1 THEN total_c END) AS n_tokens,

@@ -173,18 +173,23 @@ object Dedup {
     // ── Incremental near-dup: new batch vs existing corpus ─────────────
     // The PRODUCTION shape of dedup: a daily ingest batch is checked
     // against the already-ingested corpus, not the corpus against
-    // itself. Batch = the top decile of doc_ids (stands in for "newest
-    // ingest"; the cut derives from max(doc_id) so it scales with the
-    // table). The batch's minhash signatures BROADCAST against the
-    // corpus signature relation — the corpus never shuffles, which is
-    // what makes the daily job O(batch) instead of O(corpus): at 100 TB
-    // the corpus side is a bucketed signature table and the batch side
-    // is small by definition. Exact-Jaccard verify on candidates only,
-    // arrays built via the q36 semi-join pattern.
+    // itself. Batch = the last 50 doc_ids — an ABSOLUTE batch width
+    // ("yesterday's ingest"), deliberately not a fraction of the
+    // corpus: a decile-style cut would make the broadcast side grow
+    // with the table and OOM executors at 100×, whereas a fixed-width
+    // batch keeps the broadcast O(batch) by construction no matter how
+    // large the corpus grows. The batch's minhash signatures BROADCAST
+    // against the corpus signature relation — the corpus never
+    // shuffles, which is what makes the daily job O(batch) instead of
+    // O(corpus): at 100 TB the corpus side is a bucketed signature
+    // table and the batch side is small by definition (PlanShapeSpec
+    // asserts the broadcast build side is the batch filter). Exact-
+    // Jaccard verify on candidates only, arrays built via the q36
+    // semi-join pattern.
     Q(
       "q58_incremental_neardup",
       s"""WITH $shingles5Duck,
-         |mx AS (SELECT (max(doc_id) * 9) // 10 AS cut FROM documents),
+         |mx AS (SELECT max(doc_id) - 49 AS cut FROM documents),
          |hh AS (SELECT doc_id, sh AS h FROM sh),
          |sig AS (SELECT doc_id, i, min(${Portable.permDuck("h", "i")}) AS mh
          |        FROM hh, generate_series(0, 15) g(i) GROUP BY doc_id, i),
@@ -197,7 +202,7 @@ object Dedup {
       val docs = Tables.documents(s, d)
       // pure-plan scalar: the cut broadcasts as a 1-row dimension
       // instead of a driver collect
-      val cut = docs.agg(expr("(max(doc_id) * 9) div 10").as("cut"))
+      val cut = docs.agg(expr("max(doc_id) - 49").as("cut"))
       val sig = docs
         .select(col("doc_id"), expr("minhash16(text)").as("sig"))
         .filter(col("sig").isNotNull)

@@ -166,11 +166,16 @@ object TextAnalysis {
     // The tokenizer-building / Zipf-audit aggregate: one corpus-wide
     // token count with map-side combine (the exchange carries
     // already-reduced (token, count) rows, not token instances), then a
-    // top-K over the VOCABULARY — which is sublinear in corpus size
-    // (Heaps' law), so the final single-partition ranking window sorts
-    // a relation many orders of magnitude smaller than the input. The
-    // (count DESC, token) tiebreak makes the K-boundary deterministic
-    // on both engines.
+    // top-K over the vocabulary. The top-K is orderBy(...).limit(K),
+    // which Spark plans as TakeOrderedAndProject — each partition keeps
+    // its own K best rows and the driver merges K·partitions candidates
+    // — NOT a global ranking window, which would funnel the entire
+    // vocabulary (sublinear in corpus size per Heaps' law, but still
+    // ~10⁸ rows at 100 TB) through one task's sort. Ranks are then
+    // numbered over the 20 survivors — a window over K rows, constant
+    // cost. The (count DESC, token) tiebreak makes the K-boundary
+    // deterministic on both engines. PlanShapeSpec asserts the
+    // TakeOrderedAndProject node.
     Q(
       "q56_vocabulary",
       """SELECT rank, token, n FROM (
@@ -182,10 +187,11 @@ object TextAnalysis {
       Tables.documents(s, d)
         .select(explode(expr("split(text, ' ')")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("n").desc, col("token"))))
-        .filter(col("rank") <= 20)
         .select("rank", "token", "n")
     })
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions for the queries whose 100 TB story
+  * depends on a specific operator choice — the properties that stay
+  * invisible to the value-level oracle gate (a single-partition global
+  * sort or a corpus-sized broadcast returns the same rows; it just
+  * falls over at scale).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Every node in the plan, descending through cached subplans
+    * (persist() hides its subtree inside an InMemoryRelation) and
+    * unfinalized AQE wrappers — plain `collect` stops at both.
+    */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val extra = p match {
+      case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+      case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)
+      case _ => Nil
+    }
+    p +: (p.children ++ extra).flatMap(allNodes)
+  }
+
+  test("q56 vocabulary top-K plans as TakeOrderedAndProject, not a global window") {
+    val plan = SparkEntry.queries("q56_vocabulary")(spark, sf)
+      .queryExecution.sparkPlan
+    val topK = plan.collect { case t: TakeOrderedAndProjectExec => t }
+    assert(topK.nonEmpty, s"no TakeOrderedAndProject in plan:\n$plan")
+    // the top-K must sit ABOVE the token-count aggregate: each partition
+    // keeps its own K best vocabulary rows and the driver merges
+    // K·partitions candidates — the full vocabulary never funnels
+    // through one task's sort
+    assert(topK.exists(_.collect { case a: HashAggregateExec => a }.nonEmpty),
+      s"TakeOrderedAndProject does not cover the vocabulary aggregate:\n$plan")
+    // any ranking window may only number the K survivors (its input
+    // subtree already contains the limit), never the whole vocabulary
+    val unlimited = plan.collect { case w: WindowExec => w }
+      .filterNot(_.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty)
+    assert(unlimited.isEmpty,
+      s"ranking window not bounded by a top-K limit:\n$plan")
+  }
+
+  test("q58 incremental near-dup broadcasts the batch side, never the corpus") {
+    val plan = SparkEntry.queries("q58_incremental_neardup")(spark, sf)
+      .queryExecution.sparkPlan
+    // the banding join is the only 2-key equi-join (i, mh)
+    val banding = allNodes(plan).collect {
+      case j: BroadcastHashJoinExec if j.leftKeys.size == 2 => j
+    }
+    assert(banding.nonEmpty, s"no broadcast banding join in plan:\n$plan")
+    banding.foreach { j =>
+      // build side = the fixed-width ingest batch (doc_id >= cut);
+      // probe side = the unbounded corpus (doc_id < cut). A broadcast
+      // of the corpus filter would grow with the table and OOM
+      // executors at 100× — exactly what this pins down.
+      val (buildPlan, probePlan) = j.buildSide match {
+        case BuildLeft  => (j.left, j.right)
+        case BuildRight => (j.right, j.left)
+      }
+      val build = buildPlan.toString
+      val probe = probePlan.toString
+      assert(build.contains(">= cut") && !build.contains("< cut"),
+        s"broadcast build side is not the batch filter:\n$build")
+      assert(probe.contains("< cut"),
+        s"probe side is not the corpus filter:\n$probe")
+    }
+    // and the cut itself must be an absolute batch width, not a
+    // corpus fraction: guard the query text against a decile regression
+    val oracle = SparkEntry.oracleSql("q58_incremental_neardup")
+    assert(oracle.contains("max(doc_id) - 49"),
+      "q58 oracle cut is no longer an absolute batch width")
+  }
+}

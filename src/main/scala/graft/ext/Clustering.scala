@@ -22,18 +22,30 @@ import graft.{Q, Tables}
   * shuffle-on-id of the (id, label) relation — 16 bytes/doc — plus the
   * edge join. The driver only reads a one-row convergence count per
   * round (the same scalar-read shape as Incremental.watermark), never
-  * data. For adversarial long-chain graphs the literature upgrade is
-  * large-star/small-star (Kiveris et al., "Connected Components in
-  * MapReduce", SOCC'14), which squares path lengths per round; not
-  * needed for near-dup workloads.
+  * data. For adversarial long-chain graphs (crawl chains, templated
+  * doc series) propagation needs diameter rounds, so past a round
+  * budget [[components]] switches to large-star/small-star contraction
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SOCC'14), whose alternating rounds square path lengths —
+  * O(log² n) rounds on any graph instead of O(diameter).
   */
 object Clustering {
 
-  /** Connected components by min-label propagation over an undirected
-    * edge list (a_id, b_id). Returns (doc_id, cluster_id) for every id
-    * in `nodes` (singletons keep their own id as cluster).
+  /** Connected components over an undirected edge list (a_id, b_id).
+    * Returns (doc_id, cluster_id) for every id in `nodes` (singletons
+    * keep their own id as cluster; cluster_id = component min id).
+    *
+    * Strategy: min-label propagation — one cheap shuffle per round,
+    * converges in diameter rounds, optimal for the clique-shaped
+    * components near-dup graphs actually have — for up to
+    * `propagationRounds` rounds, then [[starComponents]] for whatever
+    * adversarial long-path residue didn't converge (rather than the
+    * pre-r5 loud failure: a 100 TB job that aborts at hour N on a
+    * crawl-chain component is worse than one that switches algorithm).
     */
-  private[graft] def components(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+  private[graft] def components(
+      nodes: DataFrame, pairs: DataFrame,
+      propagationRounds: Int = 12): DataFrame = {
     // both directions once; labels flow along edges either way
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -56,7 +68,7 @@ object Clustering {
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (changed > 0 && rounds < propagationRounds) {
       val prop = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
       val next = labels.union(prop)
@@ -69,18 +81,75 @@ object Clustering {
       labels = next
       rounds += 1
     }
-    // A silent cap would emit split clusters with wrong survivors in a
-    // setting with no oracle to catch it — fail loudly instead. A graph
-    // needing 50+ rounds means path-like components far outside the
-    // near-dup regime; the algorithmic answer there is large-star/
-    // small-star (Kiveris et al., SOCC'14), not more rounds.
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connected components did not converge in $rounds rounds " +
-          s"($changed labels still changing); component diameter exceeds " +
-          "the near-dup regime — use a star-contraction variant")
+    val out =
+      if (changed == 0) labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      else starComponents(nodes, pairs)
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    out
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., SOCC'14, Algorithm 2 "Two-Phase").
+    * Each round rewires edges toward per-neighborhood minima, squaring
+    * path lengths: any graph converges in O(log² n) rounds regardless
+    * of diameter, at the cost of ~2 shuffles per round (vs 1 for
+    * propagation) — the fallback for path-like components outside the
+    * near-dup regime. At the fixpoint every component is a star whose
+    * center is its min id, so the edge list IS the cluster map.
+    */
+  private[graft] def starComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    // canonical undirected form: (src > dst), no self-loops, distinct
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
+
+    // large-star: every node u links its LARGER neighbors to the min of
+    // its closed neighborhood m = min(Γ(u) ∪ {u}); emitted (v, m) is
+    // canonical because m ≤ u < v
+    def largeStar(e: DataFrame): DataFrame = canon {
+      e.select(col("src").as("u"), col("dst").as("v"))
+        .union(e.select(col("dst").as("u"), col("src").as("v")))
+        .withColumn("m", least(min("v").over(w), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+    }
+    // small-star: orient edges toward the larger endpoint; every node u
+    // links its SMALLER neighbors (and itself) to their min m
+    def smallStar(e: DataFrame): DataFrame = canon {
+      val m = e.select(col("src").as("u"), col("dst").as("v"))
+        .withColumn("m", min("v").over(w))
+      m.select(col("v").as("src"), col("m").as("dst"))
+        .union(m.select(col("u").as("src"), col("m").as("dst")))
+    }
+
+    var edges = canon(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))).localCheckpoint()
+    var rounds = 0
+    var stable = edges.isEmpty
+    while (!stable && rounds < 60) {
+      // same lineage-truncation discipline as the propagation loop
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // fixpoint test on canonical edge sets; both relations are the
+      // (tiny) near-dup subgraph, so the two anti-joins are cheap
+      stable = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
+      rounds += 1
+    }
+    // O(log² n) rounds is ≤ ~40 for any graph that fits on hardware;
+    // 60 only trips on a logic bug, and splitting clusters silently
+    // would be worse than failing
+    if (!stable)
+      throw new IllegalStateException(
+        s"star contraction did not converge in $rounds rounds")
+    // fixpoint edges are (member, component-min) stars; nodes absent
+    // from the edge list are their own cluster
+    nodes.join(
+        edges.select(col("src").as("doc_id"), col("dst").as("lbl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
   }
 
   val all: Seq[Q] = Seq(

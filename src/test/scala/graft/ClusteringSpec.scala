@@ -4,10 +4,13 @@ import graft.ext.Clustering
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Min-label propagation connected components: transitive merging
-  * (A~B, B~C ⇒ one cluster even though A, C never collided), chain
-  * graphs needing multiple propagation rounds, singletons, and
-  * determinism of the min-id cluster labeling.
+/** Connected components: transitive merging (A~B, B~C ⇒ one cluster
+  * even when A, C never collided), chain graphs needing multiple
+  * propagation rounds, singletons, determinism of the min-id cluster
+  * labeling, and the large-star/small-star fallback (Kiveris et al.,
+  * SOCC'14) — property-tested against a local union-find oracle on
+  * random graphs and driven end-to-end on a 1000-node path, the
+  * adversarial shape that exceeds any propagation round budget.
   */
 class ClusteringSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -17,6 +20,29 @@ class ClusteringSpec extends AnyFunSuite {
     Clustering.components(
         nodes.toDF("doc_id"), pairs.toDF("a_id", "b_id"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def starCC(nodes: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Clustering.starComponents(
+        nodes.toDF("doc_id"), pairs.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Ground truth: path-compressed union-find, labels = component min. */
+  private def unionFind(nodes: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      if (parent(x) != x) parent(x) = find(parent(x))
+      parent(x)
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    // second pass so every root is the true component min
+    val members = nodes.groupBy(find)
+    members.flatMap { case (_, ms) => ms.map(_ -> ms.min) }.toMap
   }
 
   test("transitive closure across indirect pairs") {
@@ -42,5 +68,37 @@ class ClusteringSpec extends AnyFunSuite {
   test("empty pair set leaves every doc a singleton") {
     val m = cc(Seq(1L, 2L, 3L), Seq.empty)
     assert(m === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("star contraction handles the empty graph and singletons") {
+    assert(starCC(Seq(4L, 9L), Seq.empty) === Map(4L -> 4L, 9L -> 9L))
+  }
+
+  test("star contraction matches union-find on random graphs") {
+    // seeded: mixed shapes — sparse forests, denser multi-cluster
+    // graphs, duplicate and reversed edges
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val n = 10 + rnd.nextInt(30)
+      val nodes = (1L to n.toLong)
+      val nEdges = rnd.nextInt(2 * n)
+      val pairs = Seq.fill(nEdges) {
+        (1L + rnd.nextInt(n), 1L + rnd.nextInt(n))
+      }.filter { case (a, b) => a != b }
+      val expect = unionFind(nodes, pairs)
+      assert(starCC(nodes, pairs) === expect, s"trial $trial: $pairs")
+      // and the public entry point (propagation + fallback) agrees
+      assert(cc(nodes, pairs) === expect, s"trial $trial (components): $pairs")
+    }
+  }
+
+  test("1000-node path: components falls back to star contraction and completes") {
+    // diameter 999 — propagation alone would need 999 rounds; the
+    // star-contraction fallback squares path lengths per round and
+    // finishes in O(log² n). Pre-r5 this graph threw.
+    val ids = 1L to 1000L
+    val m = cc(ids, ids.init.map(i => (i, i + 1)))
+    assert(m.keySet === ids.toSet)
+    assert(m.values.toSet === Set(1L))
   }
 }

@@ -73,6 +73,31 @@ object Statistics {
           col("n"))
     },
 
+    // ── Sketch-path percentile profile (the 100 TB form of q43) ────────
+    // Same query shape as q43 but through approx_percentile: a KLL-type
+    // quantile sketch that aggregates map-side in bounded memory and
+    // MERGES across partitions, where q43's exact form collects each
+    // group's full value array — fine per-group at test scale, not at
+    // 100 TB. accuracy=10000 bounds the rank error at 1/10000 of the
+    // group. No oracle SQL on purpose: quantile sketches are not
+    // cross-engine hash-exact (DuckDB's approx_quantile is a different
+    // sketch with different tie behavior), so the driver records the
+    // rows-only check; StatisticsSpec pins the real contract instead —
+    // the sketch value must sit within rank-error distance of the exact
+    // q43 percentile on the same data.
+    Q.noOracle("q63_percentile_sketch") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          expr("approx_percentile(value, array(0.5D, 0.95D, 0.99D), 10000)").as("pct"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"),
+          col("pct").getItem(0).as("p50"),
+          col("pct").getItem(1).as("p95"),
+          col("pct").getItem(2).as("p99"),
+          col("n"))
+    },
+
     // ── ROLLUP drill-down totals (type → type×hour → grand total) ──────
     Q(
       "q44_rollup_totals",

@@ -26,4 +26,28 @@ class StatisticsSpec extends AnyFunSuite {
     assert(rows("a") === Some(2.5))
     assert(rows("b") === None)
   }
+
+  test("sketch percentiles sit within rank-error of the exact distribution") {
+    // q63 has no DuckDB oracle (quantile sketches are not cross-engine
+    // hash-exact), so THIS is its correctness contract: every sketch
+    // percentile must be an actual data value whose rank is within the
+    // sketch's guaranteed error (1/accuracy) of the target, plus one
+    // element of discreteness slack.
+    val sf = "/root/testdata/sf0.001"
+    val sketch = SparkEntry.queries("q63_percentile_sketch")(spark, sf).collect()
+    assert(sketch.nonEmpty)
+    val exact = Tables.events(spark, sf)
+      .select("event_type", "value").where(col("value").isNotNull)
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    for (r <- sketch; (p, i) <- Seq(0.5 -> 1, 0.95 -> 2, 0.99 -> 3)) {
+      val arr = exact(r.getString(0))
+      val v = r.getDouble(i)
+      assert(arr.contains(v), s"sketch p$p for ${r.getString(0)} is not a data value")
+      val rank = arr.count(_ <= v).toDouble / arr.length
+      assert(math.abs(rank - p) <= 1e-4 + 1.0 / arr.length + 1e-9,
+        s"p$p for ${r.getString(0)}: sketch rank $rank (n=${arr.length})")
+    }
+  }
 }

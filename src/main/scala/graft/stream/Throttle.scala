@@ -3,7 +3,7 @@ package graft.stream
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Per-key stateful alert throttling — the reference's
   * `check_and_send_alert` (`Lambda/lamda.py:246-283`, SURVEY.md §2.7
@@ -175,5 +175,77 @@ object Throttle {
           OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
           processGroupSorted)
     }
+  }
+
+  /** The same state machine on Spark 4's `transformWithState` — the
+    * arbitrary-stateful-processing API that supersedes
+    * flatMapGroupsWithState (SPARK-40434; SURVEY §2.7 ST2 names it).
+    * What it buys at scale: typed composable state on the RocksDB
+    * store (which transformWithState requires — keyed state spills to
+    * executor-local disk instead of the heap) and explicit per-key
+    * timers, which make the event-time TTL a first-class timer instead
+    * of fMGWS's single timeout slot.
+    *
+    * Same contract as [[apply]]'s streaming path, spec'd by the same
+    * fixtures in ThrottleSpec: CRITICAL bypass, 5-min suppression
+    * across micro-batches, per-key independence, event-time TTL 1h
+    * past the key's newest occurrence.
+    */
+  class ThrottleProcessor extends StatefulProcessor[(String, String), Occurrence, Sent] {
+    @transient private var st: ValueState[ThrottleState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      // no store-level TTL: expiry is the explicit event-time timer
+      // below (store TTL is processing-time — not replayable)
+      st = getHandle.getValueState[ThrottleState](
+        "throttle", Encoders.product[ThrottleState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: (String, String),
+        rows: Iterator[Occurrence],
+        timerValues: TimerValues): Iterator[Sent] = {
+      var s = if (st.exists()) st.get() else ThrottleState(-1L, 0)
+      // micro-batch group: bounded by the trigger, sorted in memory
+      // (the stateful shuffle delivers arbitrary within-key order)
+      var lastMs = Long.MinValue
+      val sent = rows.toSeq.sortBy(_.eventTime.getTime).flatMap { occ =>
+        val nowMs = occ.eventTime.getTime
+        lastMs = nowMs
+        val (next, fire) = step(s, occ.priority, nowMs)
+        s = next
+        if (fire)
+          Some(Sent(occ.locId, occ.alertType, occ.priority, occ.description,
+            occ.eventId, occ.eventTime, new Timestamp(nowMs)))
+        else None
+      }
+      st.update(s)
+      if (lastMs != Long.MinValue) {
+        // slide the key's single TTL timer forward: drop any stale one,
+        // re-register at (newest occurrence + 1h) — fires when the
+        // watermark passes it, exactly fMGWS's setTimeoutTimestamp
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(lastMs + StateTtlMs)
+      }
+      sent.iterator
+    }
+
+    override def handleExpiredTimer(
+        key: (String, String),
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Sent] = {
+      st.clear()
+      Iterator.empty
+    }
+  }
+
+  /** [[apply]] via [[ThrottleProcessor]]. Streaming only
+    * (TimeMode.EventTime needs an upstream watermark), and the session
+    * must run the RocksDB state store provider.
+    */
+  def transformWithState(ds: Dataset[Occurrence]): Dataset[Sent] = {
+    implicit val outEnc = Encoders.product[Sent]
+    implicit val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    ds.groupByKey(o => (o.locId, o.alertType))
+      .transformWithState(new ThrottleProcessor, TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -102,4 +102,47 @@ class ThrottleSpec extends AnyFunSuite {
       assert(sent === List(t0, t0 + min(6)))
     } finally q.stop()
   }
+
+  test("transformWithState: same contract on the Spark 4 arbitrary-state API") {
+    // The successor API (SPARK-40434): CRITICAL bypass + interval
+    // suppression + cross-micro-batch state, on the RocksDB store it
+    // requires. Same fixtures as the fMGWS path above.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Occurrence]
+      val q = Throttle.transformWithState(
+          input.toDS().withWatermark("eventTime", "10 minutes"))
+        .writeStream.format("memory").queryName("throttle_tws")
+        .outputMode("append").start()
+      try {
+        input.addData(occ(t0)) // first occurrence → sends, stamps t0
+        q.processAllAvailable()
+        input.addData(occ(t0 + min(1))) // 1 min since t0 → suppressed
+        input.addData(occ(t0 + min(2), priority = "CRITICAL")) // bypass, stamps t0+2
+        q.processAllAvailable()
+        input.addData(occ(t0 + min(6))) // 4 min since t0+2 → suppressed
+        input.addData(occ(t0 + min(8))) // 6 min since t0+2 → sends
+        q.processAllAvailable()
+        val sent = spark.table("throttle_tws")
+          .collect().map(_.getAs[Timestamp]("sentTime").getTime).sorted.toList
+        assert(sent === List(t0, t0 + min(2), t0 + min(8)))
+        // the state operator really ran on RocksDB
+        val metrics = q.recentProgress.flatMap(_.stateOperators)
+          .flatMap(_.customMetrics.keySet().toArray(Array.empty[String]))
+        assert(metrics.exists(_.startsWith("rocksdb")),
+          s"no rocksdb state metrics in progress: ${metrics.toSet}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }

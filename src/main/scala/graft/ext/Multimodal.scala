@@ -7,14 +7,25 @@ import graft.{Q, Tables}
   * opaque `binary` columns with typed metadata, and run batch
   * "decode → feature-extract" as a typed partition-local pipeline.
   *
-  * No media codecs exist in this environment, so the decode step is a
-  * clearly-marked DETERMINISTIC STUB ([[MultimodalStub.decodeStub]]):
-  * it derives fake dimensions and a 16-bin byte histogram from the raw
-  * bytes. Everything around the stub — the binary schema, the
-  * batch-shaped `mapPartitions` (the Scala analog of `mapInPandas`
-  * batches), the feature schema, and the metadata projection — is real
-  * Spark plumbing and is what this module demonstrates/tests. Swapping
-  * the stub for a real JPEG/ffmpeg decoder changes one function.
+  * The decode step is PLUGGABLE behind the session flag
+  * `spark.graft.multimodal.codec` (see [[MultimodalStub.features]]):
+  *  - `stub` (default): a clearly-marked DETERMINISTIC STUB
+  *    ([[MultimodalStub.decodeStub]]) deriving fake dimensions and a
+  *    16-bin byte histogram from the raw bytes — oracle-checkable, no
+  *    codec libs needed.
+  *  - `imageio`: a REAL decode path ([[MultimodalStub.decodeImage]])
+  *    through the JDK's javax.imageio (jpeg/png/gif/bmp readers ship
+  *    with the JVM): actual pixel dimensions and a 16-bin luminance
+  *    histogram. This is the production shape — external codecs
+  *    (ffmpeg, libjpeg-turbo) slot in as further cases of
+  *    [[MultimodalStub.decoder]] without touching the pipeline.
+  * Everything around the codec — the binary schema, the batch-shaped
+  * `mapPartitions` (the Scala analog of `mapInPandas` batches), the
+  * feature schema, and the metadata projection — is identical for
+  * every codec; MultimodalSpec runs the same pipeline under both
+  * flags. q42 pins `stub` explicitly: its DuckDB oracle re-derives the
+  * stub's byte-level features, which a real codec by design does not
+  * produce.
   *
   * Scale notes: payload columns dominate scan width at 100 TB — the
   * metadata query (q41) never materializes payloads beyond the hash/
@@ -84,7 +95,7 @@ object Multimodal {
              .mkString(",\n")}
          |FROM b LEFT JOIN n ON b.doc_id = n.doc_id
          |GROUP BY b.doc_id, b.len""".stripMargin) { (s, d) =>
-      MultimodalStub.features(Tables.documents(s, d))
+      MultimodalStub.features(Tables.documents(s, d), codec = Some("stub"))
         .select(col("doc_id") +: col("n_bytes") +: col("width") +: col("height") +:
           (0 until 16).map(k => col("histogram").getItem(k).as(s"h$k")): _*)
     })
@@ -125,19 +136,70 @@ object MultimodalStub {
       histogram = hist)
   }
 
-  /** documents → binary payload → batched partition-local decode.
+  /** REAL decode path through the JDK's javax.imageio: actual pixel
+    * dimensions plus a 16-bin Rec.601 luminance histogram (integer
+    * weights — deterministic across JVMs, unlike float luma). Fails
+    * loudly on an undecodable payload: a corrupt asset silently
+    * producing zeros would poison downstream training-data filters.
+    */
+  def decodeImage(docId: Long, bytes: Array[Byte]): AssetFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image payload for doc $docId (${bytes.length} bytes)")
+    val hist = new Array[Double](16)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        hist(lum >> 4) += 1.0
+        x += 1
+      }
+      y += 1
+    }
+    val n = img.getWidth.toLong * img.getHeight
+    if (n > 0) { var k = 0; while (k < 16) { hist(k) /= n; k += 1 } }
+    AssetFeatures(docId, bytes.length, img.getWidth, img.getHeight, hist)
+  }
+
+  /** Codec registry for [[features]]. Names resolve to static pure
+    * functions (nothing captured → trivially serializable to
+    * executors); unknown names fail on the driver before any task
+    * launches.
+    */
+  def decoder(name: String): (Long, Array[Byte]) => AssetFeatures = name match {
+    case "stub"    => decodeStub
+    case "imageio" => decodeImage
+    case other => throw new IllegalArgumentException(
+      s"unknown multimodal codec '$other' (expected stub|imageio)")
+  }
+
+  /** Flag selecting the decode implementation (see [[decoder]]). */
+  val CodecFlag = "spark.graft.multimodal.codec"
+
+  /** assets → binary payload → batched partition-local decode.
     * `grouped(64)` gives the decoder batch shape (amortizes real-codec
     * setup per batch, bounds memory), mirroring Arrow-batch semantics
-    * of `mapInPandas`.
+    * of `mapInPandas`. The codec comes from the explicit `codec`
+    * argument when given (q42 pins the stub its oracle mirrors),
+    * otherwise from the [[CodecFlag]] session conf — the production
+    * feature-flag path.
     */
-  def features(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def features(
+      docs: org.apache.spark.sql.DataFrame,
+      payloadCol: String = "text",
+      codec: Option[String] = None): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("data"))
+    // resolve on the driver: bad codec names fail fast, and the
+    // resolved function (not the conf lookup) ships to executors
+    val decode = decoder(codec.getOrElse(spark.conf.get(CodecFlag, "stub")))
+    docs.select(col("doc_id"), col(payloadCol).cast("binary").as("data"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(64).flatMap { batch =>
-          batch.map { case (id, bytes) => decodeStub(id, bytes) }
+          batch.map { case (id, bytes) => decode(id, bytes) }
         }
       }
       .toDF()

@@ -48,4 +48,52 @@ class MultimodalSpec extends AnyFunSuite {
       .select("histogram").head().getSeq[Double](0)
     assert(h.forall(_ == 0.0))
   }
+
+  /** A real in-memory PNG: `w`×`h`, every pixel the same gray level. */
+  private def png(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("codec feature flag: the same pipeline runs a real imageio decode") {
+    // the production shape behind spark.graft.multimodal.codec —
+    // identical schema/batching, real pixel dimensions and a luminance
+    // histogram instead of stub byte features
+    import spark.implicits._
+    val assets = Seq(
+      (10L, png(8, 4, gray = 40)),   // luma 40 → bin 2
+      (11L, png(3, 5, gray = 250))   // luma 250 → bin 15
+    ).toDF("doc_id", "data")
+    val prev = spark.conf.getOption(MultimodalStub.CodecFlag)
+    spark.conf.set(MultimodalStub.CodecFlag, "imageio")
+    try {
+      val rows = MultimodalStub.features(assets, payloadCol = "data")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getInt(2), r.getInt(3)), r.getSeq[Double](4)))
+        .toMap
+      assert(rows(10L)._1 === ((8, 4)))   // REAL dimensions, not stub hash
+      assert(rows(11L)._1 === ((3, 5)))
+      // solid-gray image: all luminance mass in one bin
+      assert(rows(10L)._2(2) === 1.0 && rows(10L)._2.sum === 1.0)
+      assert(rows(11L)._2(15) === 1.0 && rows(11L)._2.sum === 1.0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(MultimodalStub.CodecFlag, v)
+        case None => spark.conf.unset(MultimodalStub.CodecFlag)
+      }
+    }
+  }
+
+  test("unknown codec names fail on the driver, not mid-job") {
+    val e = intercept[IllegalArgumentException] {
+      MultimodalStub.features(docs, codec = Some("ffmpeg"))
+    }
+    assert(e.getMessage.contains("unknown multimodal codec"))
+  }
 }

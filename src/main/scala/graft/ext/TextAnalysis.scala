@@ -193,5 +193,101 @@ object TextAnalysis {
           org.apache.spark.sql.expressions.Window
             .orderBy(col("n").desc, col("token"))))
         .select("rank", "token", "n")
+    },
+
+    // ── Boilerplate n-gram detection: cross-doc repeated shingles ──────
+    // The template/boilerplate signal (the cross-document cousin of
+    // q55's within-document repetition, cf. Lee et al. 2021's repeated
+    // n-gram analysis): a shingle appearing in ≥ K distinct docs is
+    // "common", and a doc's boilerplate_ratio is the fraction of its
+    // shingles that are common — the filter signal for dropping
+    // templated/mirrored pages. Two counting exchanges over 8-byte
+    // shingle hashes (never text) with map-side combine, then one join
+    // of the corpus shingle stream against the common set. NO broadcast
+    // hint on that join on purpose: the df≥K set is bounded by
+    // total-shingle-mass/K, which still grows with the corpus — AQE
+    // broadcasts it while it fits and falls back to a hash join when it
+    // doesn't, instead of an OOM'd hint. K=3 suits the test corpus; at
+    // production scale K is the boilerplate-frequency knob.
+    Q(
+      "q64_boilerplate_ngrams",
+      s"""WITH ${Dedup.shingles5Duck},
+         |common AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+         |           WHERE df >= 3),
+         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+         |com AS (SELECT s.doc_id, count(*) AS n_common
+         |        FROM sh s JOIN common c ON c.sh = s.sh GROUP BY s.doc_id)
+         |SELECT doc_id, n_shingles, n_common,
+         |  floor(n_common * 1000000.0 / n_shingles) / 1000000.0 AS boilerplate_ratio
+         |FROM (SELECT t.doc_id, t.n_shingles,
+         |        COALESCE(com.n_common, CAST(0 AS BIGINT)) AS n_common
+         |      FROM tot t LEFT JOIN com ON com.doc_id = t.doc_id)""".stripMargin) { (s, d) =>
+      // the shingle stream feeds three consumers (df count, per-doc
+      // totals, common join) — persist the 16-byte rows, not the text
+      val sh = Dedup.shingles5(s, d).persist()
+      val common = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3).select("sh")
+      val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val com = sh.join(common, "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+      tot.join(com.withColumnRenamed("doc_id", "c_id"),
+          col("doc_id") === col("c_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_common"), expr("CAST(0 AS BIGINT)")).as("n_common"))
+        .select(col("doc_id"), col("n_shingles"), col("n_common"),
+          expr("floor(n_common * 1000000.0D / n_shingles) / 1000000.0D")
+            .as("boilerplate_ratio"))
+    },
+
+    // ── Gopher-rule document filter with per-rule attrition funnel ─────
+    // The lexical quality gate of Rae et al. 2021 §A.1.1 (the rules a
+    // pipeline applies BEFORE expensive dedup/scoring), reported as the
+    // attrition funnel data engineers actually read: per lang, how many
+    // docs pass each rule and how many survive all of them. All rules
+    // are INTEGER comparisons (ratio thresholds cross-multiplied, e.g.
+    // mean word length in [3,10] as 3·n_tokens ≤ chars ≤ 10·n_tokens),
+    // so the oracle is bit-exact with no float contract at all. One
+    // aggregation exchange on lang; counts via count(CASE …) — BIGINT
+    // on both engines (sum(CASE) would widen to HUGEINT in DuckDB).
+    Q(
+      "q65_gopher_filters", {
+        val stopsAll = s"$stopEn,$stopDe,$stopFr,$stopEs,$stopZh"
+        s"""SELECT lang, count(*) AS n_docs,
+           |  count(CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 END) AS n_len_ok,
+           |  count(CASE WHEN chars BETWEEN 3 * n_tokens AND 10 * n_tokens THEN 1 END) AS n_wordlen_ok,
+           |  count(CASE WHEN punct * 10 <= n_tokens THEN 1 END) AS n_symbol_ok,
+           |  count(CASE WHEN stops >= 2 THEN 1 END) AS n_stop_ok,
+           |  count(CASE WHEN n_tokens BETWEEN 50 AND 100000
+           |              AND chars BETWEEN 3 * n_tokens AND 10 * n_tokens
+           |              AND punct * 10 <= n_tokens
+           |              AND stops >= 2 THEN 1 END) AS n_pass
+           |FROM (SELECT lang,
+           |        len(string_split(text, ' ')) AS n_tokens,
+           |        length(text) - (len(string_split(text, ' ')) - 1) AS chars,
+           |        length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS punct,
+           |        len(list_filter(string_split(text, ' '), t -> t IN ($stopsAll))) AS stops
+           |      FROM documents)
+           |GROUP BY lang""".stripMargin
+      }) { (s, d) =>
+      val stopsAll = s"$stopEn,$stopDe,$stopFr,$stopEs,$stopZh"
+      Tables.documents(s, d)
+        .select(col("lang"),
+          expr("size(split(text, ' '))").as("n_tokens"),
+          // single-space-separated text: chars = length minus the
+          // n_tokens-1 separators, without a second regex pass
+          expr("length(text) - (size(split(text, ' ')) - 1)").as("chars"),
+          expr("length(text) - length(regexp_replace(text, '[^a-z0-9 ]', ''))").as("punct"),
+          expr(s"size(filter(split(text, ' '), t -> t IN ($stopsAll)))").as("stops"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(expr("CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 END")).as("n_len_ok"),
+          count(expr("CASE WHEN chars BETWEEN 3 * n_tokens AND 10 * n_tokens THEN 1 END")).as("n_wordlen_ok"),
+          count(expr("CASE WHEN punct * 10 <= n_tokens THEN 1 END")).as("n_symbol_ok"),
+          count(expr("CASE WHEN stops >= 2 THEN 1 END")).as("n_stop_ok"),
+          count(expr("""CASE WHEN n_tokens BETWEEN 50 AND 100000
+                       |      AND chars BETWEEN 3 * n_tokens AND 10 * n_tokens
+                       |      AND punct * 10 <= n_tokens
+                       |      AND stops >= 2 THEN 1 END""".stripMargin)).as("n_pass"))
     })
 }

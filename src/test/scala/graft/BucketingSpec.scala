@@ -44,4 +44,46 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bkt_dims")
     }
   }
+
+  test("q58 production layout: bucketed corpus signatures join a daily batch shuffle-free") {
+    // Substantiates q58's scale claim ("at 100 TB the corpus side is a
+    // bucketed signature table"): persist the MinHash signature
+    // relation bucketed+sorted on the banding keys (i, mh), and the
+    // daily batch's banding join reads the corpus buckets straight
+    // into the sort-merge join — the only exchange in the plan is the
+    // (small) batch side re-hashing into the bucket layout. Broadcast
+    // disabled so the corpus side can't hide behind a BHJ: this proves
+    // the layout works even when the batch outgrows broadcast.
+    val dir = Files.createTempDirectory("graft-sigtable")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1L)
+    try {
+      graft.functions.VectorExpressions.register(spark)
+      val sig = Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(col("doc_id"), expr("minhash16(text)").as("sig"))
+        .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "mh")))
+      sig.filter(col("doc_id") < 450).write.mode("overwrite")
+        .bucketBy(8, "i", "mh").sortBy("i", "mh")
+        .option("path", s"$dir/sig_corpus")
+        .saveAsTable("sig_corpus")
+      val batch = sig.filter(col("doc_id") >= 450) // the daily ingest
+      val cand = spark.table("sig_corpus").as("c")
+        .join(batch.as("b"), Seq("i", "mh"))
+        .select(col("b.doc_id").as("new_id"), col("c.doc_id").as("dup_of"))
+        .distinct()
+      assert(cand.count() > 0) // the layout actually finds candidates
+      val plan = cand.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin"), plan)
+      // corpus side: bucket-pruned scan, no exchange; the join's only
+      // exchange is the batch side conforming to the bucket layout
+      // (+ the distinct's own aggregate exchange above the join)
+      val joinPart = plan.split("SortMergeJoin")(1)
+      assert(joinPart.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+        s"corpus side of the banding join shuffled:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"), plan)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS sig_corpus")
+    }
+  }
 }

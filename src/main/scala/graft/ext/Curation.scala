@@ -184,20 +184,8 @@ object Curation {
         val split = s"CASE WHEN $coin % 100 < 90 THEN 'train' " +
           s"WHEN $coin % 100 < 95 THEN 'val' ELSE 'test' END"
         s"""WITH ${Dedup.shingles5Duck},
-           |hh AS (SELECT doc_id, sh AS h FROM sh),
-           |sig AS (SELECT doc_id, i, min(${Portable.permDuck("h", "i")}) AS mh
-           |        FROM hh, generate_series(0, 15) g(i) GROUP BY doc_id, i),
-           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |         FROM sig a JOIN sig b
-           |           ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id),
-           |sarr AS (SELECT doc_id, list(sh) AS arr, count(*) AS n FROM sh GROUP BY doc_id),
-           |pairs AS (SELECT a_id, b_id
-           |          FROM (SELECT a_id, b_id, sa.n AS na, sb.n AS nb,
-           |                  len(list_intersect(sa.arr, sb.arr)) AS c
-           |                FROM cand
-           |                JOIN sarr sa ON sa.doc_id = a_id
-           |                JOIN sarr sb ON sb.doc_id = b_id)
-           |          WHERE c * 1.0 / (na + nb - c) >= 0.5),
+           |${Dedup.minhashCandDuck},
+           |${Dedup.minhashPairsThresholdDuck},
            |sp AS (SELECT doc_id, $split AS split FROM documents)
            |SELECT a_id, b_id, spa.split AS a_split, spb.split AS b_split
            |FROM pairs

@@ -52,6 +52,33 @@ object Dedup {
        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts) - 3),
        |         i -> ${Portable.h60Duck("array_to_string(ts[i:i+4], ' ')")}))) AS sh FROM tok)""".stripMargin
 
+  /** DuckDB mirror of the MinHash candidate chain (follows
+    * [[shingles5Duck]]): CTEs hh, sig, cand(a_id, b_id) — the oracle
+    * side of [[minhashPairs]]'s signature + banding stages, shared by
+    * q36/q62/q66.
+    */
+  private[ext] val minhashCandDuck =
+    s"""hh AS (SELECT doc_id, sh AS h FROM sh),
+       |sig AS (SELECT doc_id, i, min(${Portable.permDuck("h", "i")}) AS mh
+       |        FROM hh, generate_series(0, 15) g(i) GROUP BY doc_id, i),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM sig a JOIN sig b
+       |           ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** DuckDB mirror of the exact-Jaccard threshold over `cand`,
+    * yielding pairs(a_id, b_id) at ≥ 0.5 — the tail of
+    * [[minhashPairs]] without the jaccard output column (q62/q66).
+    */
+  private[ext] val minhashPairsThresholdDuck =
+    """sarr AS (SELECT doc_id, list(sh) AS arr, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a_id, b_id
+      |          FROM (SELECT a_id, b_id, sa.n AS na, sb.n AS nb,
+      |                  len(list_intersect(sa.arr, sb.arr)) AS c
+      |                FROM cand
+      |                JOIN sarr sa ON sa.doc_id = a_id
+      |                JOIN sarr sb ON sb.doc_id = b_id)
+      |          WHERE c * 1.0 / (na + nb - c) >= 0.5)""".stripMargin
+
   /** DuckDB mirror of the whole SimHash banding pipeline as a CTE body
     * ending in `spairs(a_id, b_id, hamming)` — the q37 oracle, shared
     * with q53's connected-components oracle.
@@ -138,14 +165,40 @@ object Dedup {
     Q(
       "q36_minhash_lsh",
       s"""WITH $shingles5Duck,
-         |hh AS (SELECT doc_id, sh AS h FROM sh),
-         |sig AS (SELECT doc_id, i, min(${Portable.permDuck("h", "i")}) AS mh
-         |        FROM hh, generate_series(0, 15) g(i) GROUP BY doc_id, i),
-         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |         FROM sig a JOIN sig b
-         |           ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id),
+         |$minhashCandDuck,
          |${jaccardVerifyDuck("a_id", "b_id")}""".stripMargin) { (s, d) =>
       minhashPairs(s, d)
+    },
+
+    // ── Near-dup rate per source (the drop-this-crawl signal) ──────────
+    // The reporting op a curation team reads before dropping or
+    // down-weighting a source: per source, the fraction of docs that
+    // participate in at least one verified near-dup pair. Reuses the
+    // full q36 machinery; the extra work is one dup-participant
+    // distinct (dup-rate-sized) and one narrow (doc_id, source) join —
+    // no hint, the dup set can be a double-digit corpus fraction on a
+    // mirror-heavy crawl, so AQE must be free to pick a hash join.
+    Q(
+      "q66_dup_rate_by_source",
+      s"""WITH $shingles5Duck,
+         |$minhashCandDuck,
+         |$minhashPairsThresholdDuck,
+         |dup AS (SELECT a_id AS doc_id FROM pairs UNION SELECT b_id FROM pairs)
+         |SELECT source, count(*) AS n_docs,
+         |  count(dup.doc_id) AS n_dup_docs,
+         |  floor(count(dup.doc_id) * 1000000.0 / count(*)) / 1000000.0 AS dup_rate
+         |FROM documents dd LEFT JOIN dup ON dup.doc_id = dd.doc_id
+         |GROUP BY source""".stripMargin) { (s, d) =>
+      val pairs = minhashPairs(s, d).select("a_id", "b_id")
+      val dup = pairs.select(col("a_id").as("doc_id"))
+        .union(pairs.select(col("b_id")))
+        .distinct()
+      Tables.documents(s, d).select("doc_id", "source")
+        .join(dup.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), count(col("hit")).as("n_dup_docs"))
+        .select(col("source"), col("n_docs"), col("n_dup_docs"),
+          expr("floor(n_dup_docs * 1000000.0D / n_docs) / 1000000.0D").as("dup_rate"))
     },
 
     // ── SimHash near-dup with pigeonhole banding ───────────────────────

@@ -43,22 +43,30 @@ object Bench {
     // round can't read as a performance win.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to repeats).map { _ =>
+      val timed = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
-        try run(fn, sfDir) catch {
-          case e: Throwable =>
-            failed += name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
+        val ok =
+          try { run(fn, sfDir); true } catch {
+            case e: Throwable =>
+              failed += name
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // outside the timed section: drop caches a query persisted for
         // its own multi-consumer stages (signature tables etc.) so later
         // runs are neither helped by warm blocks nor squeezed by
         // accumulated ones
         spark.catalog.clearCache()
-        dt
+        (dt, ok)
       }
-      name -> times.min
+      // min over SUCCESSFUL runs only: a repeat that fast-fails (e.g. a
+      // transient FS error after 0.3 s) must not undercut real
+      // measurements and read as a perf win. Only when every repeat
+      // failed does the failure time stand — and then the name is in
+      // "errors" anyway.
+      val good = timed.collect { case (dt, true) => dt }
+      name -> (if (good.nonEmpty) good.min else timed.map(_._1).min)
     }.toMap
     val qs = results.map { case (k, v) => s"${Json.str(k)}:$v" }
       .mkString("{", ",", "}")

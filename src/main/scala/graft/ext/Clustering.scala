@@ -81,8 +81,18 @@ object Clustering {
       labels = next
       rounds += 1
     }
+    // Restrict to `nodes` so both algorithm paths honor the documented
+    // contract ("every id in nodes"): the label seed unions edge
+    // endpoints, so `labels` can carry ids outside `nodes` when the
+    // caller passes a pair list with endpoints missing from it — the
+    // star fallback (which joins FROM nodes) would silently drop those
+    // rows, making the output depend on graph diameter.
     val out =
-      if (changed == 0) labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      if (changed == 0)
+        nodes.join(
+            labels.select(col("id").as("doc_id"), col("lbl")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
       else starComponents(nodes, pairs)
     edges.unpersist()
     out

@@ -145,12 +145,20 @@ object MultimodalStub {
   def decodeImage(docId: Long, bytes: Array[Byte]): AssetFeatures = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, s"undecodable image payload for doc $docId (${bytes.length} bytes)")
+    val w = img.getWidth
+    val h = img.getHeight
     val hist = new Array[Double](16)
+    // bulk row fetch: per-pixel getRGB(x, y) pays bounds checks and a
+    // ColorModel conversion per call — an order of magnitude slower on
+    // megapixel assets, and decode dominates this pipeline's cost. One
+    // row at a time bounds the scratch buffer at O(width), not O(w*h).
+    val row = new Array[Int](w)
     var y = 0
-    while (y < img.getHeight) {
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
       var x = 0
-      while (x < img.getWidth) {
-        val rgb = img.getRGB(x, y)
+      while (x < w) {
+        val rgb = row(x)
         val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
           (rgb & 0xff) * 114) / 1000
         hist(lum >> 4) += 1.0
@@ -158,9 +166,9 @@ object MultimodalStub {
       }
       y += 1
     }
-    val n = img.getWidth.toLong * img.getHeight
+    val n = w.toLong * h
     if (n > 0) { var k = 0; while (k < 16) { hist(k) /= n; k += 1 } }
-    AssetFeatures(docId, bytes.length, img.getWidth, img.getHeight, hist)
+    AssetFeatures(docId, bytes.length, w, h, hist)
   }
 
   /** Codec registry for [[features]]. Names resolve to static pure

@@ -70,6 +70,24 @@ class ClusteringSpec extends AnyFunSuite {
     assert(m === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("output is exactly `nodes` regardless of algorithm path") {
+    // a pair endpoint absent from `nodes` (id 7) must not add a row on
+    // the propagation path, and the result must not depend on which
+    // algorithm ran — pre-fix, propagation emitted 7 while the star
+    // fallback dropped it, so row count depended on graph diameter
+    val nodes = Seq(1L, 2L)
+    val pairs = Seq((1L, 2L), (2L, 7L))
+    val fast = cc(nodes, pairs)
+    val viaFallback = {
+      import spark.implicits._
+      Clustering.components(
+          nodes.toDF("doc_id"), pairs.toDF("a_id", "b_id"), propagationRounds = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(fast.keySet === nodes.toSet)
+    assert(fast === viaFallback)
+  }
+
   test("star contraction handles the empty graph and singletons") {
     assert(starCC(Seq(4L, 9L), Seq.empty) === Map(4L -> 4L, 9L -> 9L))
   }

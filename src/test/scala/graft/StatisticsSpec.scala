@@ -45,9 +45,15 @@ class StatisticsSpec extends AnyFunSuite {
       val arr = exact(r.getString(0))
       val v = r.getDouble(i)
       assert(arr.contains(v), s"sketch p$p for ${r.getString(0)} is not a data value")
-      val rank = arr.count(_ <= v).toDouble / arr.length
-      assert(math.abs(rank - p) <= 1e-4 + 1.0 / arr.length + 1e-9,
-        s"p$p for ${r.getString(0)}: sketch rank $rank (n=${arr.length})")
+      // a tied value occupies the whole rank interval [count(<v),
+      // count(<=v)]; testing only the upper bound would charge the
+      // duplicate count against the error budget and could reject a
+      // sketch that is within its guarantee
+      val lo = arr.count(_ < v).toDouble / arr.length
+      val hi = arr.count(_ <= v).toDouble / arr.length
+      val tol = 1e-4 + 1.0 / arr.length + 1e-9
+      assert(p >= lo - tol && p <= hi + tol,
+        s"p$p for ${r.getString(0)}: sketch rank interval [$lo,$hi] (n=${arr.length})")
     }
   }
 }

@@ -162,48 +162,101 @@ object Clustering {
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
   }
 
+  /** DuckDB mirror of the corpus-wide cluster map: the SimHash-pair
+    * fixpoint as a recursive CTE (follows [[Dedup.simhashPairsDuck]]'s
+    * `spairs`, needs `WITH RECURSIVE`). `walk` enumerates
+    * (id, reachable-label) over the undirected edges with set semantics
+    * (UNION dedups, so it terminates), and min(label) per id is exactly
+    * the propagated fixpoint label. Shared by q53 and q67.
+    */
+  private val ccDuck =
+    """edges AS (SELECT a_id AS src, b_id AS dst FROM spairs
+      |          UNION ALL SELECT b_id, a_id FROM spairs),
+      |walk(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
+      |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id)""".stripMargin
+
+  /** Corpus-wide (doc_id, cluster_id) from the SimHash near-dup pairs —
+    * the Spark side of [[ccDuck]], shared by q53 and q67.
+    *
+    * Iterates ONLY the pair-participant subgraph: a doc in no pair is
+    * its own cluster by construction, so the propagation loop shuffles
+    * the near-dup subgraph (dup-rate × corpus) instead of every doc —
+    * at 100 TB that is the difference between iterating gigabytes and
+    * iterating the corpus. Singletons union in after the fixpoint with
+    * cluster_id = doc_id.
+    */
+  private def simhashClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.simhashPairs(s, d).persist()
+    val participants = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id")))
+      .distinct()
+    val docs = Tables.documents(s, d).select("doc_id")
+    val singletons = docs.join(participants, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    components(participants, pairs).unionByName(singletons)
+  }
+
   val all: Seq[Q] = Seq(
     // ── Near-dup clusters from SimHash pairs + canonical survivors ─────
-    // The oracle states the same fixpoint as a recursive CTE: walk
-    // enumerates (id, reachable-label) over the undirected edges with
-    // set semantics (UNION dedups, so it terminates), and min(label)
-    // per id is exactly the propagated fixpoint label.
     Q(
       "q53_dedup_clusters",
       s"""WITH RECURSIVE ${Dedup.simhashPairsDuck},
-         |edges AS (SELECT a_id AS src, b_id AS dst FROM spairs
-         |          UNION ALL SELECT b_id, a_id FROM spairs),
-         |walk(id, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
-         |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+         |$ccDuck,
          |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
          |SELECT cc.doc_id, cc.cluster_id, sizes.cluster_size,
          |       cc.doc_id = cc.cluster_id AS is_canonical
          |FROM cc JOIN sizes USING (cluster_id)""".stripMargin) { (s, d) =>
-      // Iterate ONLY the pair-participant subgraph: a doc in no pair is
-      // its own cluster by construction, so the propagation loop
-      // shuffles the near-dup subgraph (dup-rate × corpus) instead of
-      // every doc — at 100 TB that is the difference between iterating
-      // gigabytes and iterating the corpus. Singletons union in after
-      // the fixpoint with cluster_id = doc_id.
-      val pairs = Dedup.simhashPairs(s, d).persist()
-      val participants = pairs.select(col("a_id").as("doc_id"))
-        .union(pairs.select(col("b_id").as("doc_id")))
-        .distinct()
-      val docs = Tables.documents(s, d).select("doc_id")
-      val singletons = docs.join(participants, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      val cc = components(participants, pairs)
-        .unionByName(singletons)
       // cluster_size via a window, not a join against a per-cluster
       // aggregate: the cluster relation is mostly singletons (~one row
       // per doc), so a broadcast would not fit and a join would shuffle
       // twice — the window shuffles the 16-byte (id, label) rows once.
-      cc.withColumn("cluster_size", count(lit(1)).over(
+      simhashClusters(s, d)
+        .withColumn("cluster_size", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           (col("doc_id") === col("cluster_id")).as("is_canonical"))
+    },
+
+    // ── Canonical-survivor selection: best-quality doc per cluster ─────
+    // The retention DECISION a dedup pipeline actually ships: q53 names
+    // the clusters, this op picks WHICH member survives — the
+    // highest-quality doc (q32's composite lexical score; floor-
+    // truncated so the ordering is engine-exact), doc_id as the
+    // deterministic tiebreak. Downstream keeps `keep = true` rows; the
+    // cluster map plus losers stay queryable for lineage/debugging.
+    // Scale shape: the cluster relation and the quality projection are
+    // both narrow (~24 B/doc); their join shuffles ids+scores, never
+    // text, and the survivor window partitions by cluster_id — clusters
+    // are tiny (near-dup cliques), so no partition skew. At 100 TB this
+    // is one narrow shuffle over the corpus id space on top of the
+    // (dup-rate-sized) pair machinery it shares with q53.
+    Q(
+      "q67_canonical_docs",
+      s"""WITH RECURSIVE ${Dedup.simhashPairsDuck},
+         |$ccDuck,
+         |${TextAnalysis.qualityFeaturesDuck},
+         |qual AS (SELECT doc_id,
+         |           floor((${TextAnalysis.qualityScoreDuck}) * 10000.0) / 10000.0 AS quality
+         |         FROM qfeat)
+         |SELECT doc_id, cluster_id, quality, r = 1 AS keep
+         |FROM (SELECT cc.doc_id, cc.cluster_id, qual.quality,
+         |        row_number() OVER (PARTITION BY cc.cluster_id
+         |          ORDER BY qual.quality DESC, cc.doc_id) AS r
+         |      FROM cc JOIN qual ON qual.doc_id = cc.doc_id)""".stripMargin) { (s, d) =>
+      val qual = TextAnalysis.qualityFeatures(s, d)
+        .select(col("doc_id"),
+          expr(s"floor((${TextAnalysis.qualityScoreSpark}) * 10000.0D) / 10000.0D")
+            .as("quality"))
+      simhashClusters(s, d)
+        .join(qual, "doc_id")
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("cluster_id")
+            .orderBy(col("quality").desc, col("doc_id"))))
+        .select(col("doc_id"), col("cluster_id"), col("quality"),
+          (col("r") === 1).as("keep"))
     })
 }

@@ -235,5 +235,48 @@ object Curation {
           expr(s"w div 1000 + CASE WHEN $coin % 1000 < w % 1000 THEN 1 ELSE 0 END").as("n_copies"))
         .select(col("doc_id"), col("lang"),
           explode(expr("sequence(1, n_copies)")).as("copy"))
+    },
+
+    // ── Sequence-length histogram: the packing-planner's profile ───────
+    // Power-of-two length bins per lang with doc counts, token mass,
+    // cumulative docs and share-of-lang — the distribution a packing
+    // job (q60) reads to pick its sequence budget and shard count, and
+    // the truncation-loss estimate for any candidate max_len. The bin
+    // index is length(bin(n)) = ⌊log₂ n⌋ + 1 computed on the BINARY
+    // STRING, not floor(log2(n)): float log returns 4.999… at power-of-
+    // two boundaries on some libm builds, and the two engines need not
+    // share one — string length is integer-exact on both. One
+    // aggregation exchange on (lang, bin); the windows then run over
+    // the ~langs×bins aggregate, not the corpus. Integer sums wrapped
+    // CAST AS BIGINT in the oracle (DuckDB widens sum() to HUGEINT,
+    // which the driver canonicalizes differently — the q55/q60 rule).
+    Q(
+      "q69_length_histogram",
+      s"""SELECT lang, bin_id, (1::BIGINT << CAST(bin_id - 1 AS INT)) AS bin_lo,
+         |  n_docs, n_tokens_total,
+         |  CAST(sum(n_docs) OVER (PARTITION BY lang ORDER BY bin_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+         |  floor(n_docs * 1000000.0
+         |    / CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)) / 1000000.0 AS doc_share
+         |FROM (SELECT lang, length(bin(n_tokens)) AS bin_id,
+         |        count(*) AS n_docs,
+         |        CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
+         |      FROM (SELECT lang, len(string_split(text, ' ')) AS n_tokens FROM documents)
+         |      GROUP BY lang, length(bin(n_tokens)))""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byBin = Tables.documents(s, d)
+        .select(col("lang"), expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"))
+        .groupBy(col("lang"),
+          expr("cast(length(bin(n_tokens)) as bigint)").as("bin_id"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens_total"))
+      byBin
+        .withColumn("cum_docs", sum("n_docs").over(
+          Window.partitionBy("lang").orderBy("bin_id")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("lang_docs", sum("n_docs").over(Window.partitionBy("lang")))
+        .select(col("lang"), col("bin_id"),
+          expr("shiftleft(cast(1 as bigint), cast(bin_id - 1 as int))").as("bin_lo"),
+          col("n_docs"), col("n_tokens_total"), col("cum_docs"),
+          expr("floor(n_docs * 1000000.0D / lang_docs) / 1000000.0D").as("doc_share"))
     })
 }

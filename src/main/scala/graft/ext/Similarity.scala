@@ -271,6 +271,49 @@ object Similarity {
           expr("floor(cos * 1000000.0D) / 1000000.0D").as("cosine"))
     },
 
+    // ── Semantic dedup within coarse clusters (SemDeDup shape) ─────────
+    // The embedding-space dedup of Abbas et al. 2023 ("SemDeDup"):
+    // partition the corpus into coarse clusters (here `label`, the same
+    // coarse partitioning q40's IVF uses), compare pairs ONLY within a
+    // cluster, and drop every vector that has a lower-id neighbor above
+    // the cosine threshold — keeping exactly one representative per
+    // duplicate neighborhood, deterministically (lowest vec_id). The
+    // within-cluster restriction is what makes this the 100 TB path:
+    // pairwise cost is Σ n_c² over cluster sizes, bounded by choosing k
+    // so n_c stays ~constant as the corpus grows, vs q38's corpus-wide
+    // n². The pair join goes through [[Skew.selfPairs]] keyed on label,
+    // so an over-dense cluster salts across reducers instead of
+    // serializing its n_c² on one task. Threshold 0.4 matches q38's
+    // demonstration operating point (corpus max cos ≈ 0.6; production
+    // SemDeDup uses ~0.95 on real embeddings).
+    Q(
+      "q68_semantic_dedup",
+      s"""WITH $nvDuck,
+         |close AS (SELECT b.vec_id AS vec_id, count(*) AS n_close_lower
+         |          FROM nv a JOIN nv b
+         |            ON a.label = b.label AND a.vec_id < b.vec_id
+         |          WHERE CAST(${qdotD("a.embedding", "b.embedding")} AS DOUBLE) / (a.nrm * b.nrm) >= 0.4
+         |          GROUP BY b.vec_id)
+         |SELECT nv.vec_id, nv.label,
+         |  COALESCE(close.n_close_lower, CAST(0 AS BIGINT)) AS n_close_lower,
+         |  close.vec_id IS NULL AS keep
+         |FROM nv LEFT JOIN close ON close.vec_id = nv.vec_id""".stripMargin) { (s, d) =>
+      // persisted: feeds both sides of the pair join AND the final
+      // keep/drop left join — three consumers of one kernel projection
+      val e = nv(s, d).persist()
+      val close = Skew.selfPairs(
+          e.select("vec_id", "label", "qe", "nrm"),
+          "vec_id", Seq("label"), payloadCols = Seq("qe", "nrm"))
+        .filter(expr("cast(vec_ldot(a_qe, b_qe) as double) / (a_nrm * b_nrm) >= 0.4D"))
+        .groupBy("b_id").agg(count(lit(1)).as("n_close_lower"))
+        .withColumnRenamed("b_id", "vec_id")
+      e.select("vec_id", "label")
+        .join(close, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"),
+          coalesce(col("n_close_lower"), expr("CAST(0 AS BIGINT)")).as("n_close_lower"),
+          col("n_close_lower").isNull.as("keep"))
+    },
+
     // ── Per-group embedding centroids (semantic profile / drift) ───────
     // The corpus-monitoring aggregate: mean vector per label, exact
     // across engines because each component is a [[Portable.qavg]]

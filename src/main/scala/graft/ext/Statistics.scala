@@ -98,6 +98,31 @@ object Statistics {
           col("n"))
     },
 
+    // ── HLL cardinality profile per source (the 100 TB distinct path) ──
+    // The corpus-profiling numbers a curation team tracks per source:
+    // doc count, approximate distinct contents (dup mass), approximate
+    // distinct tokens (vocabulary growth). Both distinct counts go
+    // through approx_count_distinct — HyperLogLog++ sketches whose
+    // fixed-size registers merge map-side and across partitions, so the
+    // exchange carries ~1.5 KB per (group, agg) no matter how many
+    // distinct values exist. The exact forms (count(DISTINCT text),
+    // distinct-token counts) shuffle every distinct value — fine here,
+    // corpus-sized at 100 TB. Like q63, sketches are not cross-engine
+    // hash-exact, so no oracle SQL: the driver records rows-only and
+    // StatisticsSpec pins the real contract (relative error vs the
+    // exact cardinalities within the HLL++ guarantee).
+    Q.noOracle("q70_hll_cardinality") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val perDoc = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(md5(col("text"))).as("approx_distinct_texts"))
+      val tok = docs
+        .select(col("source"), explode(expr("split(text, ' ')")).as("tok"))
+        .groupBy("source")
+        .agg(approx_count_distinct(col("tok")).as("approx_distinct_tokens"))
+      perDoc.join(tok, "source")
+    },
+
     // ── ROLLUP drill-down totals (type → type×hour → grand total) ──────
     Q(
       "q44_rollup_totals",

@@ -14,11 +14,47 @@ import graft.{Q, Tables}
   */
 object TextAnalysis {
 
-  private val stopEn = "'the','a','of','to','and','is'"
+  private[ext] val stopEn = "'the','a','of','to','and','is'"
   private val stopDe = "'der','die','das','und','ist','ein'"
   private val stopFr = "'le','la','les','et','est','un'"
   private val stopEs = "'el','los','las','es','y','un'"
   private val stopZh = "'的','是','了','在','我','有'"
+
+  /** Shared quality-score pieces (q32's scoring + q67's survivor
+    * selection): the lexical feature projection and the composite score
+    * over its columns. One definition on each side keeps the two
+    * queries' notion of "quality" identical by construction; the score
+    * is floor-truncated at use sites (see q32's truncation note).
+    */
+  private[ext] val qualityFeaturesDuck =
+    s"""qfeat AS (SELECT doc_id, n_chars,
+       |            len(string_split(text, ' ')) AS n_tokens,
+       |            length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS punct,
+       |            len(list_filter(string_split(text, ' '), t -> t IN ($stopEn))) AS stops
+       |          FROM documents)""".stripMargin
+  private[ext] val qualityScoreDuck =
+    "0.5 * least(n_chars / 200.0, 1.0)" +
+      " + 0.25 * (1.0 - punct * 1.0 / n_chars)" +
+      " + 0.25 * least(stops * 5.0 / n_tokens, 1.0)"
+  // D-suffixed literals force DOUBLE: Spark would otherwise parse
+  // `200.0` as DECIMAL and do exact decimal arithmetic where DuckDB
+  // does IEEE double — same formula, different last-ulp results.
+  private[ext] val qualityScoreSpark =
+    "0.5D * least(n_chars / 200.0D, 1.0D)" +
+      " + 0.25D * (1.0D - punct * 1.0D / n_chars)" +
+      " + 0.25D * least(stops * 5.0D / n_tokens, 1.0D)"
+
+  /** Spark mirror of [[qualityFeaturesDuck]] — a narrow per-doc
+    * projection (no shuffle; the text column never leaves the scan).
+    */
+  private[ext] def qualityFeatures(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"), col("n_chars"),
+        expr("size(split(text, ' '))").as("n_tokens"),
+        expr("length(text) - length(regexp_replace(text, '[^a-z0-9 ]', ''))").as("punct"),
+        expr(s"size(filter(split(text, ' '), t -> t IN ($stopEn)))").as("stops"))
 
   val all: Seq[Q] = Seq(
     // ── Token counting: whitespace tokens + a BPE-ish regex pass ───────
@@ -92,36 +128,17 @@ object TextAnalysis {
     // rule, so truncation is exactly portable.
     Q(
       "q32_quality_score",
-      s"""SELECT doc_id, n_tokens,
+      s"""WITH $qualityFeaturesDuck
+         |SELECT doc_id, n_tokens,
          |  floor(punct * 1000000.0 / n_chars) / 1000000.0  AS punct_ratio,
          |  floor(stops * 1000000.0 / n_tokens) / 1000000.0 AS stop_ratio,
-         |  floor((0.5 * least(n_chars / 200.0, 1.0)
-         |      + 0.25 * (1.0 - punct * 1.0 / n_chars)
-         |      + 0.25 * least(stops * 5.0 / n_tokens, 1.0)) * 10000.0) / 10000.0 AS quality,
-         |  CASE WHEN 0.5 * least(n_chars / 200.0, 1.0)
-         |          + 0.25 * (1.0 - punct * 1.0 / n_chars)
-         |          + 0.25 * least(stops * 5.0 / n_tokens, 1.0) >= 0.8 THEN 'high'
-         |       WHEN 0.5 * least(n_chars / 200.0, 1.0)
-         |          + 0.25 * (1.0 - punct * 1.0 / n_chars)
-         |          + 0.25 * least(stops * 5.0 / n_tokens, 1.0) >= 0.5 THEN 'medium'
+         |  floor(($qualityScoreDuck) * 10000.0) / 10000.0 AS quality,
+         |  CASE WHEN $qualityScoreDuck >= 0.8 THEN 'high'
+         |       WHEN $qualityScoreDuck >= 0.5 THEN 'medium'
          |       ELSE 'low' END AS quality_bucket
-         |FROM (SELECT doc_id, n_chars,
-         |        len(string_split(text, ' ')) AS n_tokens,
-         |        length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS punct,
-         |        len(list_filter(string_split(text, ' '), t -> t IN ($stopEn))) AS stops
-         |      FROM documents)""".stripMargin) { (s, d) =>
-      // D-suffixed literals force DOUBLE: Spark would otherwise parse
-      // `200.0` as DECIMAL and do exact decimal arithmetic where DuckDB
-      // does IEEE double — same formula, different last-ulp results.
-      val q = "0.5D * least(n_chars / 200.0D, 1.0D)" +
-        " + 0.25D * (1.0D - punct * 1.0D / n_chars)" +
-        " + 0.25D * least(stops * 5.0D / n_tokens, 1.0D)"
-      Tables.documents(s, d)
-        .select(
-          col("doc_id"), col("n_chars"),
-          expr("size(split(text, ' '))").as("n_tokens"),
-          expr("length(text) - length(regexp_replace(text, '[^a-z0-9 ]', ''))").as("punct"),
-          expr(s"size(filter(split(text, ' '), t -> t IN ($stopEn)))").as("stops"))
+         |FROM qfeat""".stripMargin) { (s, d) =>
+      val q = qualityScoreSpark
+      qualityFeatures(s, d)
         .select(
           col("doc_id"), col("n_tokens"),
           expr("floor(punct * 1000000.0D / n_chars) / 1000000.0D").as("punct_ratio"),

@@ -92,6 +92,24 @@ class ClusteringSpec extends AnyFunSuite {
     assert(starCC(Seq(4L, 9L), Seq.empty) === Map(4L -> 4L, 9L -> 9L))
   }
 
+  test("q67 keeps exactly one survivor per cluster, the best-quality member") {
+    // the oracle verifies values; this pins the operator's invariants
+    // on real data: per cluster exactly one keep=true, and no kept doc
+    // is beaten by a dropped doc of the same cluster on
+    // (quality, doc_id) order
+    val rows = SparkEntry.queries("q67_canonical_docs")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (cid, ms) =>
+      val kept = ms.filter(_._4)
+      assert(kept.size === 1, s"cluster $cid has ${kept.size} survivors")
+      val best = ms.minBy(m => (-m._3, m._1))
+      assert(kept.head._1 === best._1,
+        s"cluster $cid kept ${kept.head._1} but best is ${best._1}")
+    }
+  }
+
   test("star contraction matches union-find on random graphs") {
     // seeded: mixed shapes — sparse forests, denser multi-cluster
     // graphs, duplicate and reversed edges

@@ -56,4 +56,33 @@ class StatisticsSpec extends AnyFunSuite {
         s"p$p for ${r.getString(0)}: sketch rank interval [$lo,$hi] (n=${arr.length})")
     }
   }
+
+  test("HLL cardinalities sit within relative error of the exact counts") {
+    // q70 has no DuckDB oracle (HLL sketches are not cross-engine
+    // hash-exact), so THIS is its correctness contract: each
+    // approx_count_distinct must be within the HLL++ guarantee of the
+    // exact distinct count. Spark's default rsd is 0.05 (one standard
+    // deviation); 3σ = 15% bounds effectively all runs, and the sketch
+    // is deterministic for a given input, so this is not flaky.
+    val sf = "/root/testdata/sf0.001"
+    val approx = SparkEntry.queries("q70_hll_cardinality")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(approx.nonEmpty)
+    val exactRows = Tables.documents(spark, sf)
+      .select(col("source"), md5(col("text")).as("ch"), expr("split(text, ' ')").as("ts"))
+      .select(col("source"), col("ch"), explode(col("ts")).as("tok"))
+      .groupBy("source")
+      .agg(countDistinct("ch").as("texts"), countDistinct("tok").as("toks"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    for ((src, (_, aTexts, aToks)) <- approx) {
+      val (eTexts, eToks) = exactRows(src)
+      assert(math.abs(aTexts - eTexts).toDouble / eTexts <= 0.15,
+        s"$src texts: approx $aTexts vs exact $eTexts")
+      assert(math.abs(aToks - eToks).toDouble / eToks <= 0.15,
+        s"$src tokens: approx $aToks vs exact $eToks")
+    }
+  }
 }

@@ -256,6 +256,95 @@ object TextAnalysis {
             .as("boilerplate_ratio"))
     },
 
+    // ── BPE merge-pair counting (one tokenizer-fit iteration) ──────────
+    // The inner loop of byte-pair-encoding tokenizer training (Sennrich
+    // et al. 2016): count adjacent symbol pairs across the corpus,
+    // weighted by word frequency, and rank merge candidates. Computed
+    // the way real BPE trainers do — over WORD TYPES (the vocabulary)
+    // with a corpus-frequency weight, not over every token instance:
+    // the pair-explode touches vocab-sized data (sublinear in the
+    // corpus per Heaps' law) while the corpus-sized work is one
+    // map-side-combined word count. Top-20 via orderBy().limit() →
+    // TakeOrderedAndProject (q56's discipline — no global ranking
+    // window); rank numbering then runs over 20 rows. Weighted sums
+    // CAST AS BIGINT in the oracle (DuckDB widens sum() to HUGEINT).
+    Q(
+      "q71_bpe_merge_pairs",
+      """WITH words AS (SELECT word, count(*) AS freq
+        |               FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |               GROUP BY word),
+        |wpairs AS (SELECT freq,
+        |             unnest(list_transform(range(1, length(word)), i -> word[i:i+1])) AS pair
+        |           FROM words WHERE length(word) > 1)
+        |SELECT rank, pair, n FROM (
+        |  SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rank
+        |  FROM (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM wpairs GROUP BY pair))
+        |WHERE rank <= 20""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(expr("split(text, ' ')")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        // length-1 words have no pairs; the filter also dodges Spark's
+        // descending sequence(1, 0) on them (DuckDB's range(1,1) is
+        // empty — the engines disagree on that edge)
+        .filter(length(col("word")) > 1)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("pair"))))
+        .select("rank", "pair", "n")
+    },
+
+    // ── TF-IDF top terms per doc (keyword extraction, no float log) ────
+    // The classic distinguishing-term signal with an ENGINE-EXACT
+    // scoring twist: idf is the rational N/df instead of log(N/df) —
+    // libm log need not agree across engines in the last ulp, while
+    // floor(tf·N·10⁶/df) is pure BIGINT math. Overflow bound:
+    // tf·N·10⁶ must stay under 2⁶³ — at N=10¹⁰ docs that caps tf at
+    // ~900, so production would pre-scale the constant (qval's
+    // documented trade). Shapes: one corpus-sized (doc, token) tf
+    // count with map-side combine; df via a count window PARTITION BY
+    // token over the tf relation — ONE exchange on token serves both
+    // df and the join that a groupBy-then-join formulation would pay
+    // twice for; N broadcasts as a 1-row dimension (q58's cut
+    // pattern, no driver collect); per-doc top-3 is a rank-filter →
+    // WindowGroupLimit, so each partition ships ≤3 rows per doc into
+    // the final window exchange.
+    Q(
+      "q72_tfidf_terms",
+      """WITH inst AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM inst GROUP BY doc_id, token),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, token, tf,
+        |             count(*) OVER (PARTITION BY token) AS df
+        |           FROM tf)
+        |SELECT doc_id, token, tf, df,
+        |  CAST(tf * nn.n * 1000000 // df AS DOUBLE) / 1000000.0 AS score, rank
+        |FROM (SELECT doc_id, token, tf, df,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY tf * nn.n * 1000000 // df DESC, token) AS rank
+        |      FROM scored, nn), nn
+        |WHERE rank <= 3""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n"))
+      val tf = docs
+        .select(col("doc_id"), explode(expr("split(text, ' ')")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+        .crossJoin(broadcast(n))
+        .withColumn("iscore", expr("(tf * n * 1000000) div df"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("iscore").desc, col("token"))))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          expr("cast(iscore as double) / 1000000.0D").as("score"), col("rank"))
+    },
+
     // ── Gopher-rule document filter with per-rule attrition funnel ─────
     // The lexical quality gate of Rae et al. 2021 §A.1.1 (the rules a
     // pipeline applies BEFORE expensive dedup/scoring), reported as the

@@ -81,4 +81,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(oracle.contains("max(doc_id) - 49"),
       "q58 oracle cut is no longer an absolute batch width")
   }
+
+  test("q71 merge-pair top-K plans as TakeOrderedAndProject over the pair aggregate") {
+    val plan = SparkEntry.queries("q71_bpe_merge_pairs")(spark, sf)
+      .queryExecution.sparkPlan
+    val topK = plan.collect { case t: TakeOrderedAndProjectExec => t }
+    assert(topK.nonEmpty, s"no TakeOrderedAndProject in plan:\n$plan")
+    assert(topK.exists(_.collect { case a: HashAggregateExec => a }.nonEmpty),
+      s"TakeOrderedAndProject does not cover the pair aggregate:\n$plan")
+  }
+
+  test("q72 per-doc top-3 plans with WindowGroupLimit before the exchange") {
+    // the rank-filter shape must trigger WindowGroupLimit so each
+    // partition ships at most 3 rows per doc into the ranking window's
+    // exchange — without it the full (doc, token) tf relation sorts
+    // inside the window
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val plan = SparkEntry.queries("q72_tfidf_terms")(spark, sf)
+      .queryExecution.sparkPlan
+    val limits = allNodes(plan).collect { case w: WindowGroupLimitExec => w }
+    assert(limits.nonEmpty, s"no WindowGroupLimit in plan:\n$plan")
+  }
 }

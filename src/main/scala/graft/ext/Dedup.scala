@@ -39,12 +39,23 @@ object Dedup {
     * sequence in Spark, not an empty one.
     */
   private[ext] def shingles5(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), expr("split(text, ' ')").as("ts"))
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, size(ts) - 4), " +
-          s"i -> ${Portable.h60Spark("array_join(slice(ts, i, 5), ' ')")}))"))
-        .as("sh"))
+    shinglesOf(Tables.documents(s, d))
+
+  /** [[shingles5]] over an arbitrary (doc_id, text, …) relation —
+    * static or STREAMING (narrow projection + explode, no state), with
+    * `keep` columns carried through (e.g. the event-time column a
+    * streaming consumer needs for its watermark).
+    */
+  private[graft] def shinglesOf(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val head = col("doc_id") +: keep.map(col)
+    // underscore-prefixed token alias: `keep` carries caller columns
+    // (event time etc.) that must not collide with it
+    docs.select(head :+ expr("split(text, ' ')").as("_toks"): _*)
+      .select(head :+ explode(expr(
+        "array_distinct(transform(sequence(1, size(_toks) - 4), " +
+          s"i -> ${Portable.h60Spark("array_join(slice(_toks, i, 5), ' ')")}))"))
+        .as("sh"): _*)
+  }
 
   /** DuckDB mirror of [[shingles5]] as a CTE body. */
   private[ext] val shingles5Duck =

@@ -20,6 +20,11 @@ object TextAnalysis {
   private val stopEs = "'el','los','las','es','y','un'"
   private val stopZh = "'的','是','了','在','我','有'"
 
+  /** All candidate-language stopwords as one IN-list (q65's rule input;
+    * also the streaming curation gate's).
+    */
+  private[graft] val stopAll = s"$stopEn,$stopDe,$stopFr,$stopEs,$stopZh"
+
   /** Shared quality-score pieces (q32's scoring + q67's survivor
     * selection): the lexical feature projection and the composite score
     * over its columns. One definition on each side keeps the two
@@ -357,7 +362,7 @@ object TextAnalysis {
     // on both engines (sum(CASE) would widen to HUGEINT in DuckDB).
     Q(
       "q65_gopher_filters", {
-        val stopsAll = s"$stopEn,$stopDe,$stopFr,$stopEs,$stopZh"
+        val stopsAll = stopAll
         s"""SELECT lang, count(*) AS n_docs,
            |  count(CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 END) AS n_len_ok,
            |  count(CASE WHEN chars BETWEEN 3 * n_tokens AND 10 * n_tokens THEN 1 END) AS n_wordlen_ok,
@@ -375,7 +380,7 @@ object TextAnalysis {
            |      FROM documents)
            |GROUP BY lang""".stripMargin
       }) { (s, d) =>
-      val stopsAll = s"$stopEn,$stopDe,$stopFr,$stopEs,$stopZh"
+      val stopsAll = stopAll
       Tables.documents(s, d)
         .select(col("lang"),
           expr("size(split(text, ' '))").as("n_tokens"),

@@ -212,6 +212,66 @@ object Dedup {
           expr("floor(n_dup_docs * 1000000.0D / n_docs) / 1000000.0D").as("dup_rate"))
     },
 
+    // ── LSH recall audit: MinHash candidates vs exact ground truth ─────
+    // The guardrail a dedup pipeline runs on a sample before trusting
+    // its LSH knobs (k, bands, threshold) at full scale: compare the
+    // MinHash-LSH pair set against the exact-Jaccard ground truth and
+    // report missed pairs. On a 100 TB corpus this runs over a
+    // stratified sample (q49's operator) — here the whole test corpus
+    // IS the sample. Both pair sets are dup-rate-sized, so the audit
+    // join is tiny regardless of corpus size; the cost is the two
+    // generators it composes. Counts stay BIGINT via count(CASE),
+    // recall is floor-truncated off integer counts — engine-exact.
+    Q(
+      "q73_lsh_recall_audit",
+      s"""WITH $shingles5Duck,
+         |$minhashCandDuck,
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |exact AS (SELECT a_id, b_id
+         |          FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+         |                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |                GROUP BY 1, 2) p
+         |          JOIN sz sa ON sa.doc_id = a_id
+         |          JOIN sz sb ON sb.doc_id = b_id
+         |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+         |flags AS (SELECT e.a_id, e.b_id,
+         |            CASE WHEN cand.a_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |          FROM exact e LEFT JOIN cand
+         |            ON cand.a_id = e.a_id AND cand.b_id = e.b_id)
+         |SELECT count(*) AS n_exact,
+         |  count(CASE WHEN hit = 1 THEN 1 END) AS n_found,
+         |  count(CASE WHEN hit = 0 THEN 1 END) AS n_missed,
+         |  floor(count(CASE WHEN hit = 1 THEN 1 END) * 1000000.0 / count(*)) / 1000000.0 AS recall
+         |FROM flags""".stripMargin) { (s, d) =>
+      graft.functions.VectorExpressions.register(s)
+      val sh = shingles5(s, d).persist()
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val exact = sh.as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("c"))
+        .join(broadcast(sz.as("sa")), col("sa.doc_id") === col("a_id"))
+        .join(broadcast(sz.as("sb")), col("sb.doc_id") === col("b_id"))
+        .filter(expr("c * 1.0D / (sa.n + sb.n - c) >= 0.5D"))
+        .select("a_id", "b_id")
+      // candidate generation only (pre-verify): recall of the BLOCKING
+      // stage is the knob being audited — verification never loses pairs
+      val sig = Tables.documents(s, d)
+        .select(col("doc_id"), expr("minhash16(text)").as("sig"))
+        .filter(col("sig").isNotNull)
+        .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "mh")))
+      val cand = Skew.selfPairs(sig, "doc_id", Seq("i", "mh")).distinct()
+        .withColumn("hit", lit(1))
+      exact.join(cand, Seq("a_id", "b_id"), "left")
+        .agg(
+          count(lit(1)).as("n_exact"),
+          count(expr("CASE WHEN hit = 1 THEN 1 END")).as("n_found"),
+          count(expr("CASE WHEN hit IS NULL THEN 1 END")).as("n_missed"),
+          expr("floor(count(CASE WHEN hit = 1 THEN 1 END) * 1000000.0D / count(1)) / 1000000.0D")
+            .as("recall"))
+    },
+
     // ── SimHash near-dup with pigeonhole banding ───────────────────────
     // 60-bit fingerprint over word 3-gram features (frequency-weighted);
     // 7 bands (4×9 bits + 3×8 bits) guarantee any pair with hamming ≤ 6

@@ -98,6 +98,39 @@ object Multimodal {
       MultimodalStub.features(Tables.documents(s, d), codec = Some("stub"))
         .select(col("doc_id") +: col("n_bytes") +: col("width") +: col("height") +:
           (0 until 16).map(k => col("histogram").getItem(k).as(s"h$k")): _*)
+    },
+
+    // ── Video frame sampling: 1:N batch decode (every-Nth-frame) ───────
+    // The video-pipeline primitive the image path (q42) can't model:
+    // one asset fans out to MANY rows. The payload is treated as a
+    // fixed-stride frame container (128-byte frames; a real demuxer
+    // parses the container header instead — it slots into the same
+    // decoder seam), every 4th frame is sampled and its 32-byte prefix
+    // ("thumbnail read") summarized. The emission is a partition-local
+    // batched flatMap — the Scala analog of a mapInPandas explode, no
+    // shuffle, memory bounded by batch × frames-per-asset. Every output
+    // is integer byte math, so the oracle re-derives it from
+    // hex(encode(text)) byte values exactly (q42's hex trick, two
+    // digits per byte this time).
+    Q(
+      "q74_frame_sample",
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS len
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+        |         ('0x' || substr(hx, 2*CAST(t.i AS INT) - 1, 2))::INT AS byteval
+        |  FROM b, UNNEST(range(1, len + 1)) AS t(i)
+        |)
+        |SELECT doc_id, (i - 1) // 128 AS frame_idx,
+        |  ((i - 1) // 128) * 128 AS byte_offset,
+        |  count(*) AS n_bytes,
+        |  CAST(sum(byteval) AS BIGINT) AS byte_sum
+        |FROM n
+        |WHERE ((i - 1) // 128) % 4 = 0 AND (i - 1) % 128 < 32
+        |GROUP BY doc_id, (i - 1) // 128""".stripMargin) { (s, d) =>
+      MultimodalStub.frameSamples(Tables.documents(s, d))
     })
 }
 
@@ -185,6 +218,59 @@ object MultimodalStub {
 
   /** Flag selecting the decode implementation (see [[decoder]]). */
   val CodecFlag = "spark.graft.multimodal.codec"
+
+  /** One sampled video frame summary (see [[frameSamples]]). */
+  final case class FrameSample(
+      doc_id: Long,
+      frame_idx: Long,
+      byte_offset: Long,
+      n_bytes: Long,
+      byte_sum: Long)
+
+  /** Fixed-stride frame extraction from one payload: frames of
+    * `frameBytes`, every `every`-th sampled, `readBytes` prefix
+    * summarized by its exact byte sum. A real demuxer replaces the
+    * stride arithmetic with container parsing behind the same
+    * signature.
+    */
+  def sampleFrames(
+      docId: Long, bytes: Array[Byte],
+      frameBytes: Int = 128, every: Int = 4, readBytes: Int = 32): Seq[FrameSample] = {
+    val out = Seq.newBuilder[FrameSample]
+    var off = 0
+    var idx = 0L
+    while (off < bytes.length) {
+      var sum = 0L
+      var n = 0
+      while (n < readBytes && off + n < bytes.length) {
+        sum += bytes(off + n) & 0xff
+        n += 1
+      }
+      out += FrameSample(docId, idx, off.toLong, n.toLong, sum)
+      off += frameBytes * every
+      idx += every
+    }
+    out.result()
+  }
+
+  /** assets → binary payload → batched 1:N frame-sample emission (the
+    * video analog of [[features]]'s 1:1 decode; same batch discipline,
+    * `flatMap` instead of `map`).
+    */
+  def frameSamples(
+      docs: org.apache.spark.sql.DataFrame,
+      payloadCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col(payloadCol).cast("binary").as("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.flatMap { case (id, bytes) => sampleFrames(id, bytes) }
+        }
+      }
+      .toDF()
+  }
 
   /** assets → binary payload → batched partition-local decode.
     * `grouped(64)` gives the decoder batch shape (amortizes real-codec

@@ -96,4 +96,22 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("unknown multimodal codec"))
   }
+
+  test("frame sampling: every 4th 128-byte frame, 32-byte prefix, exact sums") {
+    // 600 bytes of value 1: frames 0 (offset 0, full 32-byte read) and
+    // 4 (offset 512, truncated to the remaining 88 bytes → 32-byte read
+    // still fits); frame 8 would start at 1024 > len, so exactly 2 rows
+    val bytes = Array.fill[Byte](600)(1)
+    val frames = MultimodalStub.sampleFrames(7L, bytes)
+    assert(frames.map(f => (f.frame_idx, f.byte_offset, f.n_bytes, f.byte_sum)) ===
+      Seq((0L, 0L, 32L, 32L), (4L, 512L, 32L, 32L)))
+    // a short tail frame truncates its read
+    val tail = MultimodalStub.sampleFrames(8L, Array.fill[Byte](530)(2))
+    assert(tail.last === MultimodalStub.FrameSample(8L, 4L, 512L, 18L, 36L))
+    // sub-frame payloads emit exactly one frame
+    assert(MultimodalStub.sampleFrames(9L, Array.fill[Byte](5)(3)) ===
+      Seq(MultimodalStub.FrameSample(9L, 0L, 0L, 5L, 15L)))
+    // empty payloads emit none
+    assert(MultimodalStub.sampleFrames(10L, Array.empty[Byte]) === Seq.empty)
+  }
 }

@@ -314,6 +314,49 @@ object Similarity {
           col("n_close_lower").isNull.as("keep"))
     },
 
+    // ── int8 embedding quantization audit (storage-scale path) ─────────
+    // The standard 4× embedding-storage reduction at corpus scale:
+    // per-vector symmetric int8 quantization (scale = max|component| /
+    // 127) with the reconstruction-error audit a pipeline runs before
+    // switching its ANN index to the compact format. All math stays in
+    // the 2²⁰ fixed-point integer domain — the int8 code is
+    // sign(x)·(|x|·127 div max) (div on NON-NEGATIVE operands only:
+    // Spark's `div` truncates toward zero while DuckDB's `//` floors,
+    // so they agree only away from negatives), and the error is
+    // |x·127 − code·max|, exact BIGINT — which makes even this
+    // lossy-compression audit hash-exact cross-engine. Pure per-row
+    // projection, no shuffle.
+    Q(
+      "q75_embedding_quantization",
+      s"""WITH qv AS (SELECT vec_id, label,
+         |             list_transform(embedding, x -> ${qD("x")}) AS qe FROM embeddings),
+         |m AS (SELECT vec_id, label, qe,
+         |        list_max(list_transform(qe, x -> abs(x))) AS qmax FROM qv)
+         |SELECT vec_id, label, qmax,
+         |  CASE WHEN qmax = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(list_max(list_transform(qe, x ->
+         |         abs(x * 127 - (CASE WHEN x < 0 THEN -1 ELSE 1 END)
+         |           * ((abs(x) * 127) // qmax) * qmax))) AS BIGINT) END AS max_scaled_err,
+         |  CASE WHEN qmax = 0 THEN 0.0
+         |       ELSE floor(CAST(list_max(list_transform(qe, x ->
+         |         abs(x * 127 - (CASE WHEN x < 0 THEN -1 ELSE 1 END)
+         |           * ((abs(x) * 127) // qmax) * qmax))) AS BIGINT)
+         |         * 1000000.0 / (qmax * 127)) / 1000000.0 END AS rel_err
+         |FROM m""".stripMargin) { (s, d) =>
+      VectorExpressions.register(s)
+      val errArr = "transform(qe, x -> abs(x * 127 - (CASE WHEN x < 0 THEN -1L ELSE 1L END)" +
+        " * ((abs(x) * 127) div qmax) * qmax))"
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), expr(qeSpark).as("qe"))
+        .withColumn("qmax", expr("array_max(transform(qe, x -> abs(x)))"))
+        .select(col("vec_id"), col("label"), col("qmax"),
+          expr(s"CASE WHEN qmax = 0 THEN 0L ELSE array_max($errArr) END")
+            .as("max_scaled_err"),
+          expr(s"CASE WHEN qmax = 0 THEN 0.0D ELSE " +
+            s"floor(array_max($errArr) * 1000000.0D / (qmax * 127)) / 1000000.0D END")
+            .as("rel_err"))
+    },
+
     // ── Per-group embedding centroids (semantic profile / drift) ───────
     // The corpus-monitoring aggregate: mean vector per label, exact
     // across engines because each component is a [[Portable.qavg]]

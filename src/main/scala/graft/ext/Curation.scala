@@ -169,6 +169,43 @@ object Curation {
           expr("(cum - n_tokens) % 2048").as("tok_offset"))
     },
 
+    // ── Packing-efficiency audit (the q60 layout's report card) ────────
+    // Tokens, used packs, and fill ratio per (lang, shard): the metric
+    // that decides whether the 2048-token budget and shard count are
+    // right BEFORE a 100 TB packing run. Because q60 lays tokens out
+    // contiguously (offsets continue across pack boundaries), used
+    // packs is exactly ceil(total/2048) — no window needed, just ONE
+    // map-side-combined aggregation over the narrow (lang, shard,
+    // n_tokens) projection. All integer; sums CAST AS BIGINT per the
+    // HUGEINT rule.
+    Q(
+      "q76_packing_efficiency", {
+        val h = Portable.h60Duck("concat('pack|', doc_id::VARCHAR)")
+        s"""SELECT lang, shard, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           |  (CAST(sum(n_tokens) AS BIGINT) + 2047) // 2048 AS n_packs,
+           |  (CAST(sum(n_tokens) AS BIGINT) + 2047) // 2048 * 2048
+           |    - CAST(sum(n_tokens) AS BIGINT) AS waste_tokens,
+           |  floor(CAST(sum(n_tokens) AS BIGINT) * 1000000.0
+           |    / ((CAST(sum(n_tokens) AS BIGINT) + 2047) // 2048 * 2048)) / 1000000.0 AS fill_ratio
+           |FROM (SELECT lang, $h % 8 AS shard,
+           |        len(string_split(text, ' ')) AS n_tokens
+           |      FROM documents)
+           |GROUP BY lang, shard""".stripMargin
+      }) { (s, d) =>
+      val h = Portable.h60Spark("concat('pack|', cast(doc_id as string))")
+      Tables.documents(s, d)
+        .select(col("lang"), expr(s"$h % 8").as("shard"),
+          expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"))
+        .groupBy("lang", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        .select(col("lang"), col("shard"), col("n_docs"), col("total_tokens"),
+          expr("(total_tokens + 2047) div 2048").as("n_packs"),
+          expr("(total_tokens + 2047) div 2048 * 2048 - total_tokens").as("waste_tokens"),
+          expr("floor(total_tokens * 1000000.0D / ((total_tokens + 2047) div 2048 * 2048)) / 1000000.0D")
+            .as("fill_ratio"))
+    },
+
     // ── Split-leakage audit: near-dup pairs straddling splits ──────────
     // The eval-hygiene closer: content-hash splitting (q52) assigns
     // docs independently, so two near-duplicates can land in train and

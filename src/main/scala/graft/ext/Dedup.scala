@@ -243,7 +243,6 @@ object Dedup {
          |  count(CASE WHEN hit = 0 THEN 1 END) AS n_missed,
          |  floor(count(CASE WHEN hit = 1 THEN 1 END) * 1000000.0 / count(*)) / 1000000.0 AS recall
          |FROM flags""".stripMargin) { (s, d) =>
-      graft.functions.VectorExpressions.register(s)
       val sh = shingles5(s, d).persist()
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val exact = sh.as("a")
@@ -257,12 +256,7 @@ object Dedup {
         .select("a_id", "b_id")
       // candidate generation only (pre-verify): recall of the BLOCKING
       // stage is the knob being audited — verification never loses pairs
-      val sig = Tables.documents(s, d)
-        .select(col("doc_id"), expr("minhash16(text)").as("sig"))
-        .filter(col("sig").isNotNull)
-        .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "mh")))
-      val cand = Skew.selfPairs(sig, "doc_id", Seq("i", "mh")).distinct()
-        .withColumn("hit", lit(1))
+      val cand = minhashCandidates(s, d).withColumn("hit", lit(1))
       exact.join(cand, Seq("a_id", "b_id"), "left")
         .agg(
           count(lit(1)).as("n_exact"),
@@ -401,14 +395,25 @@ object Dedup {
     * sides) — and the (tiny) candidate-pair set is persisted because
     * [[jaccardVerify]] consumes it twice.
     */
-  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  /** The MinHash BLOCKING stage alone: persisted one-pass `minhash16`
+    * signatures → skew-aware banding join → distinct candidate pairs.
+    * The signature persist matters: [[Skew.selfPairs]] consumes its
+    * input three times (hot-bucket probe + both join sides), so an
+    * unpersisted signature relation re-runs the text scan + kernel
+    * per consumer. Shared by [[minhashPairs]] and q73's recall audit.
+    */
+  private def minhashCandidates(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val sig = Tables.documents(s, d)
       .select(col("doc_id"), expr("minhash16(text)").as("sig"))
       .filter(col("sig").isNotNull)
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "mh")))
       .persist()
-    val cand = Skew.selfPairs(sig, "doc_id", Seq("i", "mh")).distinct().persist()
+    Skew.selfPairs(sig, "doc_id", Seq("i", "mh")).distinct()
+  }
+
+  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val cand = minhashCandidates(s, d).persist()
     jaccardVerify(cand, shingles5(s, d), "a_id", "b_id")
   }
 

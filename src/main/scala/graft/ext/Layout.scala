@@ -39,7 +39,11 @@ object Layout {
     * step is one shift, one OR, one AND — all whole-stage codegen).
     */
   private def spread16(c: Column): Column = {
-    val x0 = c.cast("long")
+    // mask first: bits ≥ 16 would otherwise alias into the interleave
+    // and silently garble the curve (files still write "successfully",
+    // pruning just stops working) — masking makes the documented
+    // 16-bit contract total, at zero cost inside codegen
+    val x0 = c.cast("long").bitwiseAND(lit(0xFFFFL))
     val x1 = (x0.bitwiseOR(shiftleft(x0, 8))).bitwiseAND(lit(0x00FF00FFL))
     val x2 = (x1.bitwiseOR(shiftleft(x1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
     val x3 = (x2.bitwiseOR(shiftleft(x2, 2))).bitwiseAND(lit(0x33333333L))
@@ -72,6 +76,10 @@ object Layout {
     */
   def clusterByZ(
       df: DataFrame, a: Column, b: Column, numFiles: Int): DataFrame = {
+    // fail fast instead of silently replacing-then-dropping a caller's
+    // _z column (e.g. a kept z-value from a previous layout pass)
+    require(!df.columns.contains("_z"),
+      "input already has a _z column; rename it before clusterByZ")
     val z = df.withColumn("_z", zvalue2(a, b))
     z.repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))

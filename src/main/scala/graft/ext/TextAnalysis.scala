@@ -25,6 +25,30 @@ object TextAnalysis {
     */
   private[graft] val stopAll = s"$stopEn,$stopDe,$stopFr,$stopEs,$stopZh"
 
+  /** Gopher-rule building blocks (Rae et al. 2021 §A.1.1), ONE
+    * definition for the batch funnel (q65) and the streaming gate
+    * ([[graft.stream.StreamingCuration]]): the integer feature
+    * projection and the (rule-name, predicate) list. Tuning a threshold
+    * here changes both surfaces together — they must not drift.
+    */
+  private[graft] def gopherFeatures(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("n_tokens", expr("size(split(text, ' '))"))
+      // single-space-separated text: chars = length minus the
+      // n_tokens-1 separators, without a second regex pass
+      .withColumn("chars", expr("length(text) - (n_tokens - 1)"))
+      .withColumn("punct",
+        expr("length(text) - length(regexp_replace(text, '[^a-z0-9 ]', ''))"))
+      .withColumn("stops",
+        expr(s"size(filter(split(text, ' '), t -> t IN ($stopAll)))"))
+
+  private[graft] val gopherRules: Seq[(String, String)] = Seq(
+    "doc_length" -> "n_tokens BETWEEN 50 AND 100000",
+    "mean_word_length" -> "chars BETWEEN 3 * n_tokens AND 10 * n_tokens",
+    "symbol_ratio" -> "punct * 10 <= n_tokens",
+    "stopword_floor" -> "stops >= 2")
+
   /** Shared quality-score pieces (q32's scoring + q67's survivor
     * selection): the lexical feature projection and the composite score
     * over its columns. One definition on each side keeps the two
@@ -362,43 +386,35 @@ object TextAnalysis {
     // on both engines (sum(CASE) would widen to HUGEINT in DuckDB).
     Q(
       "q65_gopher_filters", {
-        val stopsAll = stopAll
+        // the rule predicates are dialect-neutral integer comparisons,
+        // so the ORACLE counts reference the same gopherRules strings
+        // the Spark side (and the streaming gate) compile — only the
+        // feature projection needs a DuckDB mirror
+        val r = gopherRules.toMap
         s"""SELECT lang, count(*) AS n_docs,
-           |  count(CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 END) AS n_len_ok,
-           |  count(CASE WHEN chars BETWEEN 3 * n_tokens AND 10 * n_tokens THEN 1 END) AS n_wordlen_ok,
-           |  count(CASE WHEN punct * 10 <= n_tokens THEN 1 END) AS n_symbol_ok,
-           |  count(CASE WHEN stops >= 2 THEN 1 END) AS n_stop_ok,
-           |  count(CASE WHEN n_tokens BETWEEN 50 AND 100000
-           |              AND chars BETWEEN 3 * n_tokens AND 10 * n_tokens
-           |              AND punct * 10 <= n_tokens
-           |              AND stops >= 2 THEN 1 END) AS n_pass
+           |  count(CASE WHEN ${r("doc_length")} THEN 1 END) AS n_len_ok,
+           |  count(CASE WHEN ${r("mean_word_length")} THEN 1 END) AS n_wordlen_ok,
+           |  count(CASE WHEN ${r("symbol_ratio")} THEN 1 END) AS n_symbol_ok,
+           |  count(CASE WHEN ${r("stopword_floor")} THEN 1 END) AS n_stop_ok,
+           |  count(CASE WHEN ${gopherRules.map(_._2).mkString(" AND ")} THEN 1 END) AS n_pass
            |FROM (SELECT lang,
            |        len(string_split(text, ' ')) AS n_tokens,
            |        length(text) - (len(string_split(text, ' ')) - 1) AS chars,
            |        length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS punct,
-           |        len(list_filter(string_split(text, ' '), t -> t IN ($stopsAll))) AS stops
+           |        len(list_filter(string_split(text, ' '), t -> t IN ($stopAll))) AS stops
            |      FROM documents)
            |GROUP BY lang""".stripMargin
       }) { (s, d) =>
-      val stopsAll = stopAll
-      Tables.documents(s, d)
-        .select(col("lang"),
-          expr("size(split(text, ' '))").as("n_tokens"),
-          // single-space-separated text: chars = length minus the
-          // n_tokens-1 separators, without a second regex pass
-          expr("length(text) - (size(split(text, ' ')) - 1)").as("chars"),
-          expr("length(text) - length(regexp_replace(text, '[^a-z0-9 ]', ''))").as("punct"),
-          expr(s"size(filter(split(text, ' '), t -> t IN ($stopsAll)))").as("stops"))
+      val r = gopherRules.toMap
+      gopherFeatures(Tables.documents(s, d))
         .groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),
-          count(expr("CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 END")).as("n_len_ok"),
-          count(expr("CASE WHEN chars BETWEEN 3 * n_tokens AND 10 * n_tokens THEN 1 END")).as("n_wordlen_ok"),
-          count(expr("CASE WHEN punct * 10 <= n_tokens THEN 1 END")).as("n_symbol_ok"),
-          count(expr("CASE WHEN stops >= 2 THEN 1 END")).as("n_stop_ok"),
-          count(expr("""CASE WHEN n_tokens BETWEEN 50 AND 100000
-                       |      AND chars BETWEEN 3 * n_tokens AND 10 * n_tokens
-                       |      AND punct * 10 <= n_tokens
-                       |      AND stops >= 2 THEN 1 END""".stripMargin)).as("n_pass"))
+          count(expr(s"CASE WHEN ${r("doc_length")} THEN 1 END")).as("n_len_ok"),
+          count(expr(s"CASE WHEN ${r("mean_word_length")} THEN 1 END")).as("n_wordlen_ok"),
+          count(expr(s"CASE WHEN ${r("symbol_ratio")} THEN 1 END")).as("n_symbol_ok"),
+          count(expr(s"CASE WHEN ${r("stopword_floor")} THEN 1 END")).as("n_stop_ok"),
+          count(expr(s"CASE WHEN ${gopherRules.map(_._2).mkString(" AND ")} THEN 1 END"))
+            .as("n_pass"))
     })
 }

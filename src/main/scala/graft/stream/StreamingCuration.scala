@@ -34,23 +34,18 @@ object StreamingCuration {
     * relations, and every rule is an integer comparison (ratio
     * thresholds cross-multiplied), fully codegen'd.
     */
-  def gate(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("n_tokens", expr("size(split(text, ' '))"))
-      .withColumn("chars", expr("length(text) - (n_tokens - 1)"))
-      .withColumn("punct",
-        expr("length(text) - length(regexp_replace(text, '[^a-z0-9 ]', ''))"))
-      .withColumn("stops",
-        expr(s"size(filter(split(text, ' '), t -> t IN (${TextAnalysis.stopAll})))"))
-      .withColumn("reasons", expr(
-        """filter(array(
-          |  CASE WHEN n_tokens NOT BETWEEN 50 AND 100000 THEN 'doc_length' END,
-          |  CASE WHEN chars NOT BETWEEN 3 * n_tokens AND 10 * n_tokens THEN 'mean_word_length' END,
-          |  CASE WHEN punct * 10 > n_tokens THEN 'symbol_ratio' END,
-          |  CASE WHEN stops < 2 THEN 'stopword_floor' END
-          |), x -> x IS NOT NULL)""".stripMargin))
+  def gate(docs: DataFrame): DataFrame = {
+    // the SAME feature projection and rule predicates as q65's batch
+    // funnel (TextAnalysis.gopherFeatures/gopherRules) — tuning a
+    // threshold there moves both surfaces, they cannot drift
+    val reasons = TextAnalysis.gopherRules
+      .map { case (name, pred) => s"CASE WHEN NOT ($pred) THEN '$name' END" }
+      .mkString("filter(array(", ", ", "), x -> x IS NOT NULL)")
+    TextAnalysis.gopherFeatures(docs)
+      .withColumn("reasons", expr(reasons))
       .withColumn("quality_pass", size(col("reasons")) === 0)
       .drop("chars", "punct", "stops")
+  }
 
   /** Streaming doc_ids sharing ≥1 word-5-gram with the static benchmark
     * shingle relation (`bench`: one `sh` column, globally distinct).

@@ -131,6 +131,38 @@ object Multimodal {
         |WHERE ((i - 1) // 128) % 4 = 0 AND (i - 1) % 128 < 32
         |GROUP BY doc_id, (i - 1) // 128""".stripMargin) { (s, d) =>
       MultimodalStub.frameSamples(Tables.documents(s, d))
+    },
+
+    // ── Resize / thumbnail pipeline (fixed-budget downsample) ──────────
+    // The remaining multimodal verb: map each payload onto a FIXED
+    // 64-sample budget (stride positions (i·len)//n — strictly
+    // increasing for len > n, identity below) and summarize the
+    // samples. The stub resamples raw bytes (integer-exact, so the
+    // oracle re-derives every output from hex byte values); the real
+    // image path ([[MultimodalStub.resizeImage]], MultimodalSpec) does
+    // an actual Graphics2D scale behind the same seam. Fixed-budget
+    // downsampling is the 100 TB property: downstream cost per asset is
+    // O(64) regardless of source size, decided at the scan.
+    Q(
+      "q77_thumbnails",
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS len
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, hx, CAST(t.i AS BIGINT) AS i,
+        |         (CAST(t.i AS BIGINT) * len) // least(64, len) AS p
+        |  FROM b, UNNEST(range(0, least(64, len))) AS t(i)
+        |), v AS (
+        |  SELECT doc_id, ('0x' || substr(hx, 2*CAST(p AS INT) + 1, 2))::INT AS byteval
+        |  FROM pos
+        |)
+        |SELECT doc_id, count(*) AS n_sampled,
+        |  CAST(sum(byteval) AS BIGINT) AS thumb_sum,
+        |  CAST(min(byteval) AS BIGINT) AS thumb_min,
+        |  CAST(max(byteval) AS BIGINT) AS thumb_max
+        |FROM v GROUP BY doc_id""".stripMargin) { (s, d) =>
+      MultimodalStub.thumbnails(Tables.documents(s, d))
     })
 }
 
@@ -267,6 +299,72 @@ object MultimodalStub {
       .mapPartitions { it =>
         it.grouped(64).flatMap { batch =>
           batch.flatMap { case (id, bytes) => sampleFrames(id, bytes) }
+        }
+      }
+      .toDF()
+  }
+
+  /** One fixed-budget thumbnail summary (see [[thumbnails]]). */
+  final case class Thumb(
+      doc_id: Long,
+      n_sampled: Long,
+      thumb_sum: Long,
+      thumb_min: Long,
+      thumb_max: Long)
+
+  /** STUB resize: downsample the payload to ≤`n` bytes at stride
+    * positions (i·len)//m, m = min(n, len) — strictly increasing for
+    * len > n, identity below — and summarize. Empty payloads emit
+    * nothing (no samples to summarize).
+    */
+  def resampleStub(docId: Long, bytes: Array[Byte], n: Int = 64): Option[Thumb] = {
+    val m = math.min(n, bytes.length)
+    if (m == 0) None
+    else {
+      var sum = 0L; var mn = 255L; var mx = 0L
+      var i = 0
+      while (i < m) {
+        val v = bytes(((i.toLong * bytes.length) / m).toInt) & 0xff
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      Some(Thumb(docId, m.toLong, sum, mn, mx))
+    }
+  }
+
+  /** REAL resize through Graphics2D: decode via [[decodeImage]]'s
+    * reader, scale to `w`×`h`, and return the thumbnail's features —
+    * the production resize slotting behind the same fixed-budget seam
+    * as [[resampleStub]] (MultimodalSpec drives it on a generated
+    * image).
+    */
+  def resizeImage(docId: Long, bytes: Array[Byte], w: Int, h: Int): AssetFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image payload for doc $docId (${bytes.length} bytes)")
+    val thumb = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = thumb.createGraphics()
+    try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(thumb, "png", buf)
+    decodeImage(docId, buf.toByteArray)
+  }
+
+  /** assets → binary payload → batched fixed-budget thumbnail summary
+    * (same batch discipline as [[features]]/[[frameSamples]]).
+    */
+  def thumbnails(
+      docs: org.apache.spark.sql.DataFrame,
+      payloadCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col(payloadCol).cast("binary").as("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.flatMap { case (id, bytes) => resampleStub(id, bytes) }
         }
       }
       .toDF()

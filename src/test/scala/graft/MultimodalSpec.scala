@@ -114,4 +114,31 @@ class MultimodalSpec extends AnyFunSuite {
     // empty payloads emit none
     assert(MultimodalStub.sampleFrames(10L, Array.empty[Byte]) === Seq.empty)
   }
+
+  test("resize: stub strides are identity below budget, monotone above; real path scales") {
+    // below the 64-byte budget the sample IS the payload
+    val small = Array.tabulate[Byte](10)(i => (i + 1).toByte)
+    assert(MultimodalStub.resampleStub(1L, small) ===
+      Some(MultimodalStub.Thumb(1L, 10L, 55L, 1L, 10L)))
+    // above budget: exactly 64 strictly-increasing positions
+    val big = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
+    val t = MultimodalStub.resampleStub(2L, big).get
+    assert(t.n_sampled === 64L)
+    val ref = (0 until 64).map(i => big((i * 1000) / 64) & 0xff)
+    assert(t.thumb_sum === ref.map(_.toLong).sum)
+    assert(t.thumb_min === ref.min.toLong && t.thumb_max === ref.max.toLong)
+    assert(MultimodalStub.resampleStub(3L, Array.empty[Byte]) === None)
+
+    // the REAL resize: a generated 32×32 image scales to an 8×8 thumb
+    // whose features come from the same decode path
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 32).foreach(y => (0 until 32).foreach(x =>
+      img.setRGB(x, y, if ((x + y) % 2 == 0) 0xFFFFFF else 0x000000)))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val thumb = MultimodalStub.resizeImage(4L, buf.toByteArray, 8, 8)
+    assert(thumb.width === 8 && thumb.height === 8)
+    assert(math.abs(thumb.histogram.sum - 1.0) < 1e-9)
+  }
 }

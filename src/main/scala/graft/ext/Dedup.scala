@@ -380,27 +380,16 @@ object Dedup {
        |      JOIN sarr sb ON sb.doc_id = $rightCol)
        |WHERE c * 1.0 / (na + nb - c) >= 0.5""".stripMargin
 
-  /** The full Spark-side MinHash-LSH near-dup pipeline over
-    * `documents` — shared by q36 and q62's split-leakage audit.
-    * Returns verified (a_id, b_id, jaccard) pairs at the 0.5
-    * threshold.
-    *
-    * Signatures come from the one-pass codegen kernel
-    * [[graft.functions.MinHash16]] — bit-identical to the oracle's
-    * explode → 16 wide-agg mins (MIN is order-free and
+  /** The MinHash BLOCKING stage alone: one-pass `minhash16` signatures
+    * → skew-aware banding join → distinct (unverified) candidate
+    * pairs. Signatures come from the codegen kernel — bit-identical to
+    * the oracle's explode → 16 wide-agg mins (MIN is order-free and
     * duplicate-insensitive), with no shingle explode or aggregation
     * exchange: 128 signature bytes per doc leave the scan. The
-    * signature stage is persisted — it feeds THREE consumers inside
-    * the skew-aware banding join (hot-bucket probe + both join
-    * sides) — and the (tiny) candidate-pair set is persisted because
-    * [[jaccardVerify]] consumes it twice.
-    */
-  /** The MinHash BLOCKING stage alone: persisted one-pass `minhash16`
-    * signatures → skew-aware banding join → distinct candidate pairs.
-    * The signature persist matters: [[Skew.selfPairs]] consumes its
-    * input three times (hot-bucket probe + both join sides), so an
-    * unpersisted signature relation re-runs the text scan + kernel
-    * per consumer. Shared by [[minhashPairs]] and q73's recall audit.
+    * signature persist matters: [[Skew.selfPairs]] consumes its input
+    * three times (hot-bucket probe + both join sides), so an
+    * unpersisted signature relation re-runs the text scan + kernel per
+    * consumer. Shared by [[minhashPairs]] and q73's recall audit.
     */
   private def minhashCandidates(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
@@ -412,6 +401,12 @@ object Dedup {
     Skew.selfPairs(sig, "doc_id", Seq("i", "mh")).distinct()
   }
 
+  /** The full MinHash-LSH near-dup pipeline — [[minhashCandidates]]
+    * plus exact-Jaccard verification at the 0.5 threshold, returning
+    * verified (a_id, b_id, jaccard) pairs. Shared by q36, q62, q66.
+    * The (tiny) candidate set persists because [[jaccardVerify]]
+    * consumes it twice.
+    */
   private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val cand = minhashCandidates(s, d).persist()
     jaccardVerify(cand, shingles5(s, d), "a_id", "b_id")

@@ -150,7 +150,7 @@ object Multimodal {
         |         octet_length(encode(text)) AS len
         |  FROM documents
         |), pos AS (
-        |  SELECT doc_id, hx, CAST(t.i AS BIGINT) AS i,
+        |  SELECT doc_id, hx,
         |         (CAST(t.i AS BIGINT) * len) // least(64, len) AS p
         |  FROM b, UNNEST(range(0, least(64, len))) AS t(i)
         |), v AS (
@@ -291,18 +291,8 @@ object MultimodalStub {
     */
   def frameSamples(
       docs: org.apache.spark.sql.DataFrame,
-      payloadCol: String = "text"): org.apache.spark.sql.DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id"), col(payloadCol).cast("binary").as("data"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.grouped(64).flatMap { batch =>
-          batch.flatMap { case (id, bytes) => sampleFrames(id, bytes) }
-        }
-      }
-      .toDF()
-  }
+      payloadCol: String = "text"): org.apache.spark.sql.DataFrame =
+    perPayload(docs, payloadCol)((id, bytes) => sampleFrames(id, bytes))
 
   /** One fixed-budget thumbnail summary (see [[thumbnails]]). */
   final case class Thumb(
@@ -357,18 +347,8 @@ object MultimodalStub {
     */
   def thumbnails(
       docs: org.apache.spark.sql.DataFrame,
-      payloadCol: String = "text"): org.apache.spark.sql.DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id"), col(payloadCol).cast("binary").as("data"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.grouped(64).flatMap { batch =>
-          batch.flatMap { case (id, bytes) => resampleStub(id, bytes) }
-        }
-      }
-      .toDF()
-  }
+      payloadCol: String = "text"): org.apache.spark.sql.DataFrame =
+    perPayload(docs, payloadCol)((id, bytes) => resampleStub(id, bytes))
 
   /** assets → binary payload → batched partition-local decode.
     * `grouped(64)` gives the decoder batch shape (amortizes real-codec
@@ -382,16 +362,32 @@ object MultimodalStub {
       docs: org.apache.spark.sql.DataFrame,
       payloadCol: String = "text",
       codec: Option[String] = None): org.apache.spark.sql.DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     // resolve on the driver: bad codec names fail fast, and the
     // resolved function (not the conf lookup) ships to executors
-    val decode = decoder(codec.getOrElse(spark.conf.get(CodecFlag, "stub")))
+    val decode = decoder(
+      codec.getOrElse(docs.sparkSession.conf.get(CodecFlag, "stub")))
+    perPayload(docs, payloadCol)((id, bytes) => Seq(decode(id, bytes)))
+  }
+
+  /** The ONE batched payload-decode wrapper behind features /
+    * frameSamples / thumbnails: (doc_id, payload) batches of 64 through
+    * a per-asset function emitting 0..N typed rows. Batch discipline
+    * (shape, size) lives here only, so the three pipelines cannot
+    * drift.
+    */
+  private def perPayload[T <: Product: _root_.scala.reflect.runtime.universe.TypeTag](
+      docs: org.apache.spark.sql.DataFrame,
+      payloadCol: String)(
+      f: (Long, Array[Byte]) => IterableOnce[T]): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val enc: org.apache.spark.sql.Encoder[T] =
+      org.apache.spark.sql.Encoders.product[T]
     docs.select(col("doc_id"), col(payloadCol).cast("binary").as("data"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(64).flatMap { batch =>
-          batch.map { case (id, bytes) => decode(id, bytes) }
+          batch.flatMap { case (id, bytes) => f(id, bytes) }
         }
       }
       .toDF()

@@ -335,6 +335,81 @@ object Dedup {
         .distinct()
         .persist()
       jaccardVerify(cand, shingles5(s, d), "new_id", "dup_of")
+    },
+
+    // ── Duplicated-span audit: cross-doc exact substring coverage ──────
+    // The span-level view of exact duplication (Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better"):
+    // instead of whole-doc near-dup verdicts, measure HOW MUCH of each
+    // doc is covered by word-5-gram spans that also appear in some
+    // OTHER doc — the signal behind substring-level dedup, which
+    // removes boilerplate passages from otherwise-unique documents.
+    // POSITIONAL shingles (doc_id, i, hash) — not [[shingles5]]'s
+    // distinct set — because coverage needs positions; overlapping dup
+    // spans [i, i+5) are merged by the classic sorted-interval trick
+    // (cover(i) = 5 for the first hit, else min(5, i − prev)), a
+    // per-doc window whose partition is bounded by doc length. Scale:
+    // exchanges carry (doc_id, i, 8-byte hash); the cross-doc test is
+    // count(DISTINCT doc_id) ≥ 2 per hash (two-phase distinct agg on
+    // the hash exchange); the dup-set join gets NO broadcast hint —
+    // on a boilerplate-heavy corpus the duplicated-shingle set is a
+    // material fraction of total shingle mass, so AQE must be free to
+    // pick a hash join. All math is integer; the fraction is
+    // floor-truncated off BIGINT counts.
+    Q(
+      "q78_duplicated_spans", {
+        val h = Portable.h60Duck("array_to_string(ts[i:i+4], ' ')")
+        s"""WITH tokp AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+           |psh AS (SELECT doc_id,
+           |          unnest(range(1, len(ts) - 3)) AS i,
+           |          unnest(list_transform(range(1, len(ts) - 3), i -> $h)) AS sh
+           |        FROM tokp),
+           |dup AS (SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS nd
+           |                        FROM psh GROUP BY sh) WHERE nd >= 2),
+           |hits AS (SELECT p.doc_id, p.i FROM psh p JOIN dup USING (sh)),
+           |cov AS (SELECT doc_id, i,
+           |          CASE WHEN lag(i) OVER w IS NULL THEN 5
+           |               ELSE least(5, i - lag(i) OVER w) END AS cover
+           |        FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+           |agg AS (SELECT doc_id, count(*) AS n_dup_pos,
+           |               CAST(sum(cover) AS BIGINT) AS dup_tokens
+           |        FROM cov GROUP BY doc_id),
+           |nt AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+           |SELECT nt.doc_id, nt.n_tokens,
+           |  COALESCE(n_dup_pos, CAST(0 AS BIGINT)) AS n_dup_pos,
+           |  COALESCE(dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+           |  floor(COALESCE(dup_tokens, CAST(0 AS BIGINT)) * 1000000.0 / nt.n_tokens)
+           |    / 1000000.0 AS dup_token_frac
+           |FROM nt LEFT JOIN agg ON agg.doc_id = nt.doc_id""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = Portable.h60Spark("array_join(slice(ts, i, 5), ' ')")
+      val psh = Tables.documents(s, d)
+        .select(col("doc_id"), expr("split(text, ' ')").as("ts"))
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(1, size(ts) - 4), i -> $h)")).as(Seq("pos", "sh")))
+        .select(col("doc_id"), (col("pos") + 1).as("i"), col("sh"))
+        .persist() // two consumers: the dup-set count and the hits join
+      val dup = psh.groupBy("sh")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2).select("sh")
+      val cov = psh.join(dup, "sh")
+        .select(col("doc_id"), col("i"))
+        .withColumn("prev", lag("i", 1).over(
+          Window.partitionBy("doc_id").orderBy("i")))
+        .withColumn("cover", expr(
+          "CASE WHEN prev IS NULL THEN 5 ELSE least(5, i - prev) END"))
+      val agg = cov.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_pos"), sum("cover").as("dup_tokens"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"))
+        .join(agg.withColumnRenamed("doc_id", "a_id"),
+          col("doc_id") === col("a_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_dup_pos"), expr("CAST(0 AS BIGINT)")).as("n_dup_pos"),
+          coalesce(col("dup_tokens"), expr("CAST(0 AS BIGINT)")).as("dup_tokens"))
+        .withColumn("dup_token_frac",
+          expr("floor(dup_tokens * 1000000.0D / n_tokens) / 1000000.0D"))
     })
 
   /** Exact-Jaccard verification of a candidate-pair relation against

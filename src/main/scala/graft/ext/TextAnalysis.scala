@@ -416,5 +416,59 @@ object TextAnalysis {
           count(expr(s"CASE WHEN ${r("stopword_floor")} THEN 1 END")).as("n_stop_ok"),
           count(expr(s"CASE WHEN ${gopherRules.map(_._2).mkString(" AND ")} THEN 1 END"))
             .as("n_pass"))
+    },
+
+    // ── Unigram-LM quality score (CCNet-style frequency filter) ────────
+    // The cheap stand-in for a KenLM perplexity filter (Wenzek et al.
+    // 2020's CCNet scores docs by LM perplexity; the unigram version
+    // needs only corpus statistics): score each doc by the mean corpus
+    // frequency of its tokens and its mass of corpus-rare tokens.
+    // Unusually low mean frequency or high rare mass flags gibberish /
+    // OCR noise / wrong-tokenization docs. ALL math is integer — no
+    // log(): per-token relative mass rel = cf·10⁶ ∕∕ total (≤ 10⁶, so
+    // tf·rel sums stay under 2⁶³ at ANY corpus size — the division
+    // happens before the doc-level sum precisely so the operator has
+    // no overflow bound, unlike a sum-then-divide formulation), and
+    // "rare" is rel < 2000 ppm — a corpus-RELATIVE threshold, scale-
+    // free where an absolute count cutoff is not. Shapes: one
+    // map-side-combined (doc, token) tf count; corpus frequency via
+    // sum(tf) OVER (PARTITION BY token) — ONE token exchange serves
+    // both cf and the implicit join a groupBy-then-join would pay
+    // twice for (q72's discipline); corpus total broadcasts as a
+    // 1-row dimension. Integer sums CAST AS BIGINT in the oracle
+    // (HUGEINT rule).
+    Q(
+      "q79_unigram_lm_score",
+      """WITH inst AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM inst GROUP BY doc_id, token),
+        |tot AS (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t FROM documents),
+        |wf AS (SELECT doc_id, tf,
+        |         CAST(sum(tf) OVER (PARTITION BY token) AS BIGINT) * 1000000 // tot.t AS rel
+        |       FROM tf, tot),
+        |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |          CAST(sum(tf * rel) AS BIGINT) AS wsum,
+        |          CAST(sum(CASE WHEN rel < 2000 THEN tf ELSE 0 END) AS BIGINT) AS rare
+        |        FROM wf GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  wsum // n_tokens AS mean_freq_ppm,
+        |  floor(rare * 1000000.0 / n_tokens) / 1000000.0 AS rare_frac
+        |FROM agg""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tot = docs.agg(expr("cast(sum(size(split(text, ' '))) as bigint)").as("t"))
+      docs
+        .select(col("doc_id"), explode(expr("split(text, ' ')")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .withColumn("cf", sum("tf").over(Window.partitionBy("token")))
+        .crossJoin(broadcast(tot))
+        .withColumn("rel", expr("(cf * 1000000) div t"))
+        .groupBy("doc_id")
+        .agg(
+          sum("tf").as("n_tokens"),
+          expr("sum(tf * rel)").as("wsum"),
+          expr("sum(CASE WHEN rel < 2000 THEN tf ELSE 0 END)").as("rare"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("wsum div n_tokens").as("mean_freq_ppm"),
+          expr("floor(rare * 1000000.0D / n_tokens) / 1000000.0D").as("rare_frac"))
     })
 }

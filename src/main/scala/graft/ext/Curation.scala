@@ -315,5 +315,57 @@ object Curation {
           expr("shiftleft(cast(1 as bigint), cast(bin_id - 1 as int))").as("bin_lo"),
           col("n_docs"), col("n_tokens_total"), col("cum_docs"),
           expr("floor(n_docs * 1000000.0D / lang_docs) / 1000000.0D").as("doc_share"))
+    },
+
+    // ── Pack materialization: the packing layout's OUTPUT step ─────────
+    // q60 assigns docs to packs; this op actually BUILDS each training
+    // sequence: concatenate the pack's docs in the layout order and
+    // emit per-pack rows. The comparison column is md5 of the
+    // concatenated text — any divergence in membership, order, or
+    // content shows up as a hash mismatch, without corpus-sized output
+    // rows. Spark has no ORDER BY inside string_agg, so the ordered
+    // concat is array_sort(collect_list(struct(h, doc_id, text))) →
+    // transform → array_join: struct sort is lexicographic by field,
+    // exactly the oracle's ORDER BY h, doc_id. Scale: the window is
+    // q60's per-(lang, shard) pass; the final groupBy's clustering
+    // keys extend the window's partitioning keys, so it introduces NO
+    // new exchange (partial agg feeds the same layout), and the text
+    // movement it does is the op's intrinsic output cost. Per-group
+    // state is one pack ≈ 2048 tokens — bounded regardless of corpus
+    // size.
+    Q(
+      "q81_pack_materialize", {
+        val h = Portable.h60Duck("concat('pack|', doc_id::VARCHAR)")
+        s"""WITH base AS (SELECT doc_id, lang, text, $h % 8 AS shard, $h AS h,
+           |                len(string_split(text, ' ')) AS n_tokens
+           |              FROM documents),
+           |w AS (SELECT doc_id, lang, shard, text, h, n_tokens,
+           |        CAST(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY h, doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           |      FROM base)
+           |SELECT lang, shard, pack_id, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           |  md5(string_agg(text, ' ' ORDER BY h, doc_id)) AS pack_md5
+           |FROM (SELECT lang, shard, (cum - n_tokens) // 2048 AS pack_id,
+           |        text, h, doc_id, n_tokens FROM w)
+           |GROUP BY lang, shard, pack_id""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = Portable.h60Spark("concat('pack|', cast(doc_id as string))")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          expr(s"$h % 8").as("shard"), expr(h).as("h"),
+          expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(
+          Window.partitionBy("lang", "shard")
+            .orderBy(col("h"), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("pack_id", expr("(cum - n_tokens) div 2048"))
+        .groupBy("lang", "shard", "pack_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("pack_tokens"),
+          md5(expr("array_join(transform(array_sort(collect_list(struct(h, doc_id, text)))," +
+            " x -> x.text), ' ')")).as("pack_md5"))
     })
 }

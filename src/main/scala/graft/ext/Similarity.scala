@@ -383,5 +383,85 @@ object Similarity {
           s"stack(64, ${(1 to 64).map(i => s"$i, c$i").mkString(", ")}) as (dim, centroid)",
           "n")
         .select("label", "dim", "centroid", "n")
+    },
+
+    // ── K-means training (2 Lloyd iterations — the IVF index builder) ──
+    // The missing piece between "embeddings" and q40's IVF search: TRAIN
+    // the coarse quantizer. Deterministic seeding (vec_id < 8), two full
+    // Lloyd rounds, entirely in the 2²⁰ fixed-point integer domain:
+    // squared distance expands to vec_ldot(q,q) − 2·vec_ldot(q,c) +
+    // vec_ldot(c,c) (exact integer identity with Σ(qᵢ−cᵢ)²), and the
+    // argmin is encoded as min(dist·8 + cl) — one BIGINT min with the
+    // lowest-cluster tiebreak built into the low bits, so assignment
+    // needs NO window and NO join disambiguation. New centroids are
+    // floor(Σv / n) per dimension (one correctly-rounded double div of
+    // a < 2⁵³ integer — portable). Per-iteration cost at 100 TB: the
+    // k=8 centroid table BROADCASTS; assignment is a narrow map over
+    // the corpus (k dot products/vector); the recompute exchange
+    // carries (cl, dim, partial-sum) with map-side combine. Reported:
+    // per-cluster membership, inertia (Σ min-dist, the convergence
+    // metric a trainer monitors per round), and an md5 fingerprint of
+    // the final centroid — comparison over the whole 64-d vector
+    // without 512 output rows. sum(dist) ≤ n·64·2⁴² needs the HUGEINT
+    // CAST in the oracle; Spark's BIGINT sum wraps at ~2⁶³ — at 10¹²
+    // vectors the trainer would report inertia in a wider unit (the
+    // documented qval-style trade).
+    Q(
+      "q80_kmeans_train", {
+        val dist = s"(${idotD("qv.qe", "cc.c")} * (-2) + ${idotD("qv.qe", "qv.qe")} + ${idotD("cc.c", "cc.c")})"
+        s"""WITH qv AS (SELECT vec_id, list_transform(embedding, x -> ${qD("x")}) AS qe FROM embeddings),
+           |c0 AS (SELECT vec_id AS cl, qe AS c FROM qv WHERE vec_id < 8),
+           |a1 AS (SELECT qv.vec_id, CAST(min($dist * 8 + cc.cl) AS BIGINT) AS k
+           |       FROM qv, c0 cc GROUP BY qv.vec_id),
+           |s1 AS (SELECT vec_id, k % 8 AS cl FROM a1),
+           |pos1 AS (SELECT s1.cl, g.i, qv.qe[g.i] AS v
+           |         FROM s1 JOIN qv USING (vec_id), generate_series(1, 64) g(i)),
+           |m1 AS (SELECT cl, i,
+           |         CAST(floor(CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+           |       FROM pos1 GROUP BY cl, i),
+           |c1 AS (SELECT cl, list(cv ORDER BY i) AS c FROM m1 GROUP BY cl),
+           |a2 AS (SELECT qv.vec_id, CAST(min($dist * 8 + cc.cl) AS BIGINT) AS k
+           |       FROM qv, c1 cc GROUP BY qv.vec_id),
+           |s2 AS (SELECT vec_id, k % 8 AS cl, k // 8 AS dist FROM a2),
+           |pos2 AS (SELECT s2.cl, g.i, qv.qe[g.i] AS v
+           |         FROM s2 JOIN qv USING (vec_id), generate_series(1, 64) g(i)),
+           |m2 AS (SELECT cl, i,
+           |         CAST(floor(CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+           |       FROM pos2 GROUP BY cl, i),
+           |c2 AS (SELECT cl, list(cv ORDER BY i) AS c FROM m2 GROUP BY cl),
+           |agg AS (SELECT cl AS cluster, count(*) AS n_members,
+           |               CAST(sum(dist) AS BIGINT) AS sse
+           |        FROM s2 GROUP BY cl)
+           |SELECT cluster, n_members, sse,
+           |  md5(array_to_string(c2.c, ',')) AS centroid_md5
+           |FROM agg JOIN c2 ON c2.cl = cluster""".stripMargin
+      }) { (s, d) =>
+      VectorExpressions.register(s)
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(qeSpark).as("qe"))
+        .persist() // consumed by seeding + 2 assignment passes + 2 recomputes
+      val c0 = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cl"), col("qe").as("c"))
+      def assign(cent: org.apache.spark.sql.DataFrame) =
+        v.crossJoin(broadcast(cent))
+          .select(col("vec_id"), expr(
+            "(vec_ldot(qe, qe) - 2 * vec_ldot(qe, c) + vec_ldot(c, c)) * 8 + cl").as("key"))
+          .groupBy("vec_id").agg(min("key").as("k"))
+          .select(col("vec_id"), expr("k % 8").as("cl"), expr("k div 8").as("dist"))
+      def centroids(asg: org.apache.spark.sql.DataFrame) =
+        asg.join(v, "vec_id")
+          .select(col("cl"), posexplode(col("qe")).as(Seq("p", "vv")))
+          .groupBy("cl", "p").agg(sum("vv").as("cs"), count(lit(1)).as("n"))
+          .select(col("cl"), col("p"),
+            expr("cast(floor(cast(cs as double) / n) as bigint)").as("cv"))
+          .groupBy("cl")
+          .agg(expr("transform(array_sort(collect_list(struct(p, cv))), x -> x.cv)").as("c"))
+      val a2 = assign(centroids(assign(c0))).persist() // stats + c2 membership
+      a2.groupBy(col("cl").as("cluster"))
+        .agg(count(lit(1)).as("n_members"), sum("dist").as("sse"))
+        .join(centroids(a2).withColumnRenamed("cl", "c_cl"),
+          col("cluster") === col("c_cl"))
+        .select(col("cluster"), col("n_members"), col("sse"),
+          md5(expr("array_join(c, ',')")).as("centroid_md5"))
     })
 }

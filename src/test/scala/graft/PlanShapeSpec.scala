@@ -102,4 +102,40 @@ class PlanShapeSpec extends AnyFunSuite {
     val limits = allNodes(plan).collect { case w: WindowGroupLimitExec => w }
     assert(limits.nonEmpty, s"no WindowGroupLimit in plan:\n$plan")
   }
+
+  test("q81 pack groupBy reuses the window exchange — one shuffle total") {
+    // the pack aggregation's clustering keys (lang, shard, pack_id)
+    // extend the window's partitioning keys (lang, shard), so the
+    // groupBy must NOT introduce a second shuffle: at 100 TB a
+    // re-exchange would move the whole corpus TEXT twice
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // executedPlan, not sparkPlan: exchanges are inserted by
+    // EnsureRequirements during preparation
+    val plan = SparkEntry.queries("q81_pack_materialize")(spark, sf)
+      .queryExecution.executedPlan
+    val shuffles = allNodes(plan).collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size === 1,
+      s"expected exactly 1 shuffle (the window's), found ${shuffles.size}:\n$plan")
+  }
+
+  test("q80 k-means broadcasts centroids; the corpus is never a build side") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val plan = SparkEntry.queries("q80_kmeans_train")(spark, sf)
+      .queryExecution.sparkPlan
+    // assignment = crossJoin(broadcast(k=8 centroid rows)): every
+    // nested-loop join must broadcast, and the broadcast subtree must
+    // be an aggregate result (centroids) or the seed filter — a plain
+    // corpus scan as build side would OOM at scale
+    val nl = allNodes(plan).collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(nl.nonEmpty, s"no broadcast assignment join in plan:\n$plan")
+    nl.foreach { j =>
+      val build = (j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }).toString
+      assert(build.contains("vec_id < 8") || build.contains("sort_array") ||
+        build.contains("array_sort") || build.contains("transform"),
+        s"broadcast build side is not a centroid table:\n$build")
+    }
+  }
 }

@@ -367,5 +367,64 @@ object Curation {
           sum("n_tokens").as("pack_tokens"),
           md5(expr("array_join(transform(array_sort(collect_list(struct(h, doc_id, text)))," +
             " x -> x.text), ' ')")).as("pack_md5"))
+    },
+
+    // ── Snapshot diff: what changed between two corpus versions ────────
+    // The data-versioning audit run before re-training on a refreshed
+    // corpus: per source, how many docs were added, removed, edited, or
+    // untouched between yesterday's snapshot and today's. The two
+    // snapshots here are deterministic derivations of the one test
+    // table (v1 = docs below the q58-style absolute cut, with
+    // doc_id ≡ 0 mod 7 "edited since"; v2 = today's corpus minus
+    // doc_id ≡ 5 mod 13 "deleted today") standing in for two real
+    // manifests. The operator proper is the hash-diff: ONE narrow scan
+    // computes both versions' content md5s, and the full-outer join
+    // moves (doc_id, 32-byte hash, source, count) — never text — so at
+    // 100 TB the diff costs one id-keyed exchange of hash rows; class
+    // counts then combine map-side. The cut broadcasts as a 1-row
+    // dimension (no driver collect).
+    Q(
+      "q82_snapshot_diff",
+      """WITH cut AS (SELECT max(doc_id) - 49 AS c FROM documents),
+        |v1 AS (SELECT doc_id, source,
+        |         md5(CASE WHEN doc_id % 7 = 0 THEN concat(text, ' rev1') ELSE text END) AS h,
+        |         len(string_split(text, ' ')) AS n_tokens
+        |       FROM documents, cut WHERE doc_id < cut.c),
+        |v2 AS (SELECT doc_id, source, md5(text) AS h,
+        |         len(string_split(text, ' ')) AS n_tokens
+        |       FROM documents WHERE doc_id % 13 <> 5),
+        |d AS (SELECT COALESCE(v2.source, v1.source) AS source,
+        |        COALESCE(v2.n_tokens, v1.n_tokens) AS n_tokens,
+        |        CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |             WHEN v2.doc_id IS NULL THEN 'removed'
+        |             WHEN v1.h <> v2.h THEN 'changed'
+        |             ELSE 'unchanged' END AS change
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT source, change, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM d GROUP BY source, change""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cut = docs.agg(expr("max(doc_id) - 49").as("c"))
+      val base = docs.select(col("doc_id"), col("source"),
+          md5(col("text")).as("h2"),
+          md5(expr("CASE WHEN doc_id % 7 = 0 THEN concat(text, ' rev1') ELSE text END"))
+            .as("h1"),
+          expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"))
+        .crossJoin(broadcast(cut))
+        .persist() // one text scan + md5 pass serves both snapshot views
+      val v1 = base.filter(col("doc_id") < col("c"))
+        .select(col("doc_id").as("id1"), col("source").as("src1"),
+          col("h1"), col("n_tokens").as("nt1"))
+      val v2 = base.filter(expr("doc_id % 13 <> 5"))
+        .select(col("doc_id").as("id2"), col("source").as("src2"),
+          col("h2"), col("n_tokens").as("nt2"))
+      v1.join(v2, col("id1") === col("id2"), "full_outer")
+        .select(
+          coalesce(col("src2"), col("src1")).as("source"),
+          expr("CASE WHEN id1 IS NULL THEN 'added' WHEN id2 IS NULL THEN 'removed' " +
+            "WHEN h1 <> h2 THEN 'changed' ELSE 'unchanged' END").as("change"),
+          coalesce(col("nt2"), col("nt1")).as("toks"))
+        .groupBy("source", "change")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
     })
 }

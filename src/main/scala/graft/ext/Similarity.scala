@@ -463,5 +463,76 @@ object Similarity {
           col("cluster") === col("c_cl"))
         .select(col("cluster"), col("n_members"), col("sse"),
           md5(expr("array_join(c, ',')")).as("centroid_md5"))
+    },
+
+    // ── Dimension-truncation audit (matryoshka fidelity check) ─────────
+    // The evaluation a pipeline runs before storing truncated
+    // embeddings (Kusupati et al. 2022's matryoshka representations:
+    // keep the first k dims, cut index + compute cost): for a query
+    // sample, exact top-5 under the full 64-d cosine vs top-5 under
+    // the first-16-dims cosine, reported as per-query overlap —
+    // recall@5 of the cheap representation against the true ranking.
+    // Both rankings derive from integer vec_ldot dots over the SAME
+    // quantized vectors (the truncated norm is just a slice's dot),
+    // so both engines rank identically and the audit is hash-exact.
+    // Scale: a fixed query sample broadcasts (q39's pattern) and the
+    // corpus streams ONCE — the persisted ext relation feeds both
+    // rankings; everything after the two rank-filters is
+    // sample-sized. On this corpus recall@5 ≈ 0.1–0.4: the audit
+    // SHOWS 16 dims are not enough here, which is exactly the
+    // decision signal the operator exists to produce.
+    Q(
+      "q83_dim_truncation", {
+        val dotF = s"CAST(${idotD("q.qe", "e.qe")} AS DOUBLE) / (q.nrm * e.nrm)"
+        val dotT = s"CAST(${idotD("q.qe16", "e.qe16")} AS DOUBLE) / (q.nrm16 * e.nrm16)"
+        s"""WITH qv AS (SELECT vec_id, list_transform(embedding, x -> ${qD("x")}) AS qe FROM embeddings),
+           |ext AS (SELECT vec_id, qe, qe[1:16] AS qe16,
+           |          sqrt(CAST(${idotD("qe", "qe")} AS DOUBLE)) AS nrm,
+           |          sqrt(CAST(${idotD("qe[1:16]", "qe[1:16]")} AS DOUBLE)) AS nrm16
+           |        FROM qv),
+           |q AS (SELECT * FROM ext WHERE vec_id < 10),
+           |t64 AS (SELECT qid, neighbor_id
+           |        FROM (SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
+           |                row_number() OVER (PARTITION BY q.vec_id
+           |                  ORDER BY $dotF DESC, e.vec_id) AS r
+           |              FROM q, ext e WHERE e.vec_id <> q.vec_id)
+           |        WHERE r <= 5),
+           |t16 AS (SELECT qid, neighbor_id
+           |        FROM (SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
+           |                row_number() OVER (PARTITION BY q.vec_id
+           |                  ORDER BY $dotT DESC, e.vec_id) AS r
+           |              FROM q, ext e WHERE e.vec_id <> q.vec_id)
+           |        WHERE r <= 5),
+           |ov AS (SELECT t64.qid, count(t16.neighbor_id) AS n_overlap
+           |       FROM t64 LEFT JOIN t16
+           |         ON t16.qid = t64.qid AND t16.neighbor_id = t64.neighbor_id
+           |       GROUP BY t64.qid)
+           |SELECT qid, n_overlap,
+           |  floor(n_overlap * 1000000.0 / 5) / 1000000.0 AS recall_at_5
+           |FROM ov""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ext = nv(s, d)
+        .withColumn("qe16", expr("slice(qe, 1, 16)"))
+        .withColumn("nrm16", expr("sqrt(cast(vec_ldot(qe16, qe16) as double))"))
+        .persist() // one corpus pass feeds both rankings
+      val q = ext.filter(col("vec_id") < 10)
+      def top5(scoreExpr: String): org.apache.spark.sql.DataFrame =
+        broadcast(q.as("q")).join(ext.as("e"), col("e.vec_id") =!= col("q.vec_id"))
+          .select(col("q.vec_id").as("qid"), col("e.vec_id").as("neighbor_id"),
+            expr(scoreExpr).as("cos"))
+          .withColumn("r", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cos").desc, col("neighbor_id"))))
+          .filter(col("r") <= 5)
+          .select("qid", "neighbor_id")
+      val t64 = top5("cast(vec_ldot(q.qe, e.qe) as double) / (q.nrm * e.nrm)")
+      val t16 = top5("cast(vec_ldot(q.qe16, e.qe16) as double) / (q.nrm16 * e.nrm16)")
+        .select(col("qid").as("t_qid"), col("neighbor_id").as("t_nid"), lit(1).as("hit"))
+      t64.join(t16,
+          col("t_qid") === col("qid") && col("t_nid") === col("neighbor_id"), "left")
+        .groupBy("qid")
+        .agg(count(col("hit")).as("n_overlap"))
+        .select(col("qid"), col("n_overlap"),
+          expr("floor(n_overlap * 1000000.0D / 5) / 1000000.0D").as("recall_at_5"))
     })
 }

@@ -71,6 +71,52 @@ object StreamingCuration {
       .dropDuplicatesWithinWatermark(Seq("doc_id"))
       .select("doc_id", eventTimeCol)
 
+  /** The corpus MinHash signature relation (corpus_id, i, mh) a
+    * streaming ingest probes for near-duplicates — the static side of
+    * [[nearDupCandidateIds]]. In production this is written ONCE as a
+    * bucketed+sorted table on (i, mh) (BucketingSpec proves that
+    * layout joins shuffle-free), then every micro-batch probes it
+    * without moving the corpus.
+    */
+  def signatureTable(docs: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id").as("corpus_id"), expr("minhash16(text)").as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("corpus_id"), posexplode(col("sig")).as(Seq("i", "mh")))
+  }
+
+  /** Streaming near-dup gate — the STREAMING shape of q58's
+    * incremental dedup: incoming docs compute their 16 MinHash
+    * signature positions with the one-pass `minhash16` kernel (128
+    * bytes/doc, no shingle explode) and semi-join the static corpus
+    * signature relation on (i, mh); any collision marks the doc a
+    * near-dup CANDIDATE, emitted once per watermark horizon. Candidate
+    * — not verified — on purpose: exact-Jaccard verification needs
+    * corpus text, which a per-batch stream job must not scan; the gate
+    * routes candidates to a (tiny, candidate-rate-sized) downstream
+    * verify job, the q36 discipline split across the stream/batch
+    * boundary. Stream-static joins are stateless (each micro-batch
+    * re-plans against the static side); the only state is the dedup's,
+    * bounded by the watermark horizon.
+    */
+  def nearDupCandidateIds(
+      stream: DataFrame,
+      corpusSig: DataFrame,
+      eventTimeCol: String,
+      delay: String): DataFrame = {
+    graft.functions.VectorExpressions.register(stream.sparkSession)
+    stream.withWatermark(eventTimeCol, delay)
+      // minhash16 needs ≥1 shingle; sub-5-token docs can't collide
+      .filter(expr("size(split(text, ' ')) >= 5"))
+      .select(col("doc_id"), col(eventTimeCol), expr("minhash16(text)").as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col(eventTimeCol), posexplode(col("sig")).as(Seq("i", "mh")))
+      .join(corpusSig.select("i", "mh"), Seq("i", "mh"), "left_semi")
+      .dropDuplicatesWithinWatermark(Seq("doc_id"))
+      .select("doc_id", eventTimeCol)
+  }
+
   /** Deployable gate: verdict-partitioned parquet sink over micro
     * batches. `bench` is the static benchmark shingle set (`sh`
     * column); inside each batch the contamination join is hint-free —

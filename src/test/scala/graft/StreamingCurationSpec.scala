@@ -75,6 +75,32 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(ids === Seq(1L))
   }
 
+  test("streaming near-dup gate flags a corpus duplicate once, passes novel docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static corpus: goodText is already ingested (doc 500)
+    val corpusSig = StreamingCuration.signatureTable(
+      Seq((500L, goodText), (501L, benchText)).toDF("doc_id", "text"))
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val flagged = StreamingCuration.nearDupCandidateIds(
+      in.toDF.toDF("doc_id", "ts", "text"),
+      corpusSig, "ts", "10 minutes")
+    in.addData(
+      (1L, ts("2025-08-09 12:00:00"), goodText),  // exact re-ingest: all 16 positions collide
+      (2L, ts("2025-08-09 12:00:10"), cleanText), // novel vocabulary: no collision
+      (3L, ts("2025-08-09 12:00:20"), "one two")) // sub-shingle, must not crash
+    val q = flagged.writeStream
+      .format("memory").queryName("neardup_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val ids = spark.table("neardup_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    // doc 1 collides in all 16 signature positions yet appears exactly once
+    assert(ids === Seq(1L))
+  }
+
   test("end-to-end sink routes by verdict; accepted partition is clean") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -105,5 +105,65 @@ object Temporal {
         "ts", "value_q", keyCols = Seq("user_id"))
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"), expr(Portable.qscale("sum_value", 2)).as("session_value"))
+    },
+
+    // ── Ordered-funnel conversion (view → click → purchase) ────────────
+    // The product-analytics staple over the event stream: users who
+    // completed each step of an ORDERED sequence, each step within one
+    // day of the previous (unbounded windows don't discriminate on a
+    // long-running stream — every user eventually does everything).
+    // Chained conditional-min formulation instead of a per-user
+    // sort-and-scan: step N = min(ts of its event type strictly after
+    // step N−1's ts, within the window), so each step is one
+    // TYPE-FILTERED scan (predicate pushed to parquet) joined to the
+    // previous step's user-cardinality (user, t) relation — tiny, and
+    // hint-free so AQE broadcasts it while it fits — then a user-keyed
+    // min with map-side combine. At 100 TB of events: 3 pushed-filter
+    // scans, 3 broadcast joins, 3 combine-reduced aggs; no corpus-wide
+    // window sort anywhere. Comparisons are engine-internal timestamp
+    // orderings (each engine compares its own ts representation), so
+    // per-step user counts match exactly; outputs are counts + one
+    // floor-truncated share.
+    Q(
+      "q84_funnel",
+      """WITH u1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |u2 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM events e JOIN u1 ON u1.user_id = e.user_id
+        |       WHERE e.event_type = 'click'
+        |         AND e.ts > u1.t AND e.ts <= u1.t + INTERVAL 1 DAY
+        |       GROUP BY e.user_id),
+        |u3 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM events e JOIN u2 ON u2.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase'
+        |         AND e.ts > u2.t AND e.ts <= u2.t + INTERVAL 1 DAY
+        |       GROUP BY e.user_id),
+        |n1 AS (SELECT count(*) AS n FROM u1)
+        |SELECT step, n_users,
+        |  floor(n_users * 1000000.0 / n1.n) / 1000000.0 AS conversion
+        |FROM (SELECT '1_view' AS step, count(*) AS n_users FROM u1
+        |      UNION ALL SELECT '2_click', count(*) FROM u2
+        |      UNION ALL SELECT '3_purchase', count(*) FROM u3), n1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val u1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t"))
+      def step(prev: org.apache.spark.sql.DataFrame, etype: String) =
+        ev.filter(col("event_type") === etype)
+          .join(prev.select(col("user_id").as("p_uid"), col("t").as("pt")),
+            col("user_id") === col("p_uid") &&
+              col("ts") > col("pt") && expr("ts <= pt + INTERVAL 1 DAY"))
+          .groupBy("user_id").agg(min("ts").as("t"))
+      val u2 = step(u1, "click")
+      val u3 = step(u2, "purchase")
+      val n1 = u1.agg(count(lit(1)).as("n"))
+      u1.agg(count(lit(1)).as("n_users"))
+        .select(lit("1_view").as("step"), col("n_users"))
+        .union(u2.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("step"), col("n_users")))
+        .union(u3.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("step"), col("n_users")))
+        .crossJoin(broadcast(n1))
+        .select(col("step"), col("n_users"),
+          expr("floor(n_users * 1000000.0D / n) / 1000000.0D").as("conversion"))
     })
 }

@@ -165,5 +165,53 @@ object Temporal {
         .crossJoin(broadcast(n1))
         .select(col("step"), col("n_users"),
           expr("floor(n_users * 1000000.0D / n) / 1000000.0D").as("conversion"))
+    },
+
+    // ── Retention cohorts (first-seen day × weeks-since grid) ──────────
+    // The other product-analytics staple: users grouped by first-seen
+    // day, and for each cohort the share still active N weeks later.
+    // DATE is the cross-engine type for the cohort key (DuckDB's
+    // date_trunc('week') yields DATE where Spark's yields TIMESTAMP —
+    // casting ts to DATE on both sides removes the mismatch), and the
+    // week offset is pure integer day arithmetic ((day − cohort) ∕∕ 7).
+    // A user active on several days of the same offset week counts
+    // once: the DISTINCT runs on (user, cohort, offset) AFTER the
+    // offset is computed, not on raw activity days. Shapes: first-seen
+    // is a user-keyed min with map-side combine; activity is a
+    // distinct over (user, day) pairs — both combine-reduced; the join
+    // is user-keyed and hint-free (user dimension can be huge — AQE
+    // picks); the final grid is cohorts × offsets, tiny at any scale.
+    Q(
+      "q85_retention_cohorts",
+      """WITH wk AS (SELECT user_id, ts::DATE AS w FROM events),
+        |ua AS (SELECT user_id, min(w) AS cohort FROM wk GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, w FROM wk),
+        |uo AS (SELECT DISTINCT act.user_id, ua.cohort,
+        |         (act.w - ua.cohort) // 7 AS week_offset
+        |       FROM act JOIN ua ON ua.user_id = act.user_id),
+        |ret AS (SELECT cohort, week_offset, count(*) AS n_active
+        |        FROM uo GROUP BY cohort, week_offset),
+        |cs AS (SELECT cohort, count(*) AS cohort_size FROM ua GROUP BY cohort)
+        |SELECT ret.cohort AS cohort_day, CAST(week_offset AS BIGINT) AS week_offset,
+        |  n_active, cohort_size,
+        |  floor(n_active * 1000000.0 / cohort_size) / 1000000.0 AS retention
+        |FROM ret JOIN cs ON cs.cohort = ret.cohort""".stripMargin) { (s, d) =>
+      val wk = Tables.events(s, d)
+        .select(col("user_id"), expr("cast(ts as date)").as("w"))
+      val ua = wk.groupBy("user_id").agg(min("w").as("cohort"))
+      val act = wk.distinct()
+      val uo = act.join(ua.withColumnRenamed("user_id", "u_id"),
+          col("user_id") === col("u_id"))
+        .select(col("user_id"), col("cohort"),
+          expr("cast(datediff(w, cohort) div 7 as bigint)").as("week_offset"))
+        .distinct()
+      val ret = uo.groupBy("cohort", "week_offset")
+        .agg(count(lit(1)).as("n_active"))
+      val cs = ua.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+      ret.join(cs.withColumnRenamed("cohort", "c_cohort"),
+          col("cohort") === col("c_cohort"))
+        .select(col("cohort").as("cohort_day"), col("week_offset"),
+          col("n_active"), col("cohort_size"),
+          expr("floor(n_active * 1000000.0D / cohort_size) / 1000000.0D").as("retention"))
     })
 }

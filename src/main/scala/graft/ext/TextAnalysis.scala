@@ -470,5 +470,39 @@ object TextAnalysis {
         .select(col("doc_id"), col("n_tokens"),
           expr("wsum div n_tokens").as("mean_freq_ppm"),
           expr("floor(rare * 1000000.0D / n_tokens) / 1000000.0D").as("rare_frac"))
+    },
+
+    // ── Segmented inverted index (the retrieval-index builder) ─────────
+    // Posting lists per (token, doc_id-range segment) — the Lucene-
+    // style segmented layout, and the reason this op survives 100 TB:
+    // an UNSEGMENTED posting list for a stopword is corpus-sized, so
+    // collect_list on (token) alone OOMs one reducer per hot token.
+    // Segmenting by doc_id range bounds every group at segment_size
+    // docs BY CONSTRUCTION (no skew assumption — 'the' gets many
+    // bounded groups instead of one unbounded one), matches how
+    // segment-local indexes are actually laid out (merge/compaction
+    // works segment-at-a-time), and makes the group key's cardinality
+    // grow with the corpus rather than any single group. Postings are
+    // distinct (token, doc) pairs — combine-reduced before the
+    // exchange; the md5 of the ordered list makes the comparison
+    // total (membership AND order), with min/max_doc as the seekable
+    // range metadata a real segment header carries.
+    Q(
+      "q86_inverted_index",
+      """WITH post AS (SELECT DISTINCT t AS token, doc_id
+        |              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |                    FROM documents))
+        |SELECT token, doc_id // 100 AS segment, count(*) AS n_postings,
+        |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS postings_md5,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM post GROUP BY token, doc_id // 100""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr("array_distinct(split(text, ' '))")).as("token"))
+        .groupBy(col("token"), expr("doc_id div 100").as("segment"))
+        .agg(
+          count(lit(1)).as("n_postings"),
+          md5(expr("array_join(transform(array_sort(collect_list(doc_id))," +
+            " x -> cast(x as string)), ',')")).as("postings_md5"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
     })
 }

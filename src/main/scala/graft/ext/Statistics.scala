@@ -132,5 +132,65 @@ object Statistics {
       Tables.events(s, d)
         .rollup(col("event_type"), hour(col("ts")).as("hour_of_day"))
         .agg(expr(Portable.qsum("value", 2)).as("total"), count(lit(1)).as("n"))
+    },
+
+    // ── Distribution-drift audit (integer L1 / PSI-style alarm) ────────
+    // The monitoring op behind "did this feed change under us": per
+    // event type, compare the value distribution of the first half of
+    // the time range against the second and alarm past a threshold.
+    // PSI's log-ratio needs libm log (not portable bit-for-bit), so
+    // the metric is total-variation-style L1 over binned shares — the
+    // SCALE-SAFE integer form: per-bin shares become ppm integers
+    // (n·10⁶ ∕∕ total, bounded 10⁶ at any corpus size, so nothing
+    // here can overflow no matter how many events), and L1 is a plain
+    // BIGINT sum of absolute ppm differences. The midpoint derives
+    // from min/max epoch-µs as a broadcast 1-row dimension (no
+    // driver collect, no hardcoded date); the contract requires a
+    // type present in BOTH halves (ta, tb > 0) — integer division by
+    // zero errors in DuckDB but NULLs in Spark, so the guard is
+    // what keeps the engines aligned on the edge. Shapes: one scan →
+    // (type, bin) conditional counts with map-side combine; windows
+    // and L1 run over the ~types×10-row aggregate.
+    Q(
+      "q87_drift_l1",
+      """WITH mid AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS m FROM events),
+        |b AS (SELECT event_type,
+        |        CASE WHEN epoch_us(ts) < mid.m THEN 'a' ELSE 'b' END AS period,
+        |        least(greatest(CAST(floor(value / 10.0) AS BIGINT), 0), 9) AS bin
+        |      FROM events, mid WHERE value IS NOT NULL),
+        |cnt AS (SELECT event_type, bin,
+        |          count(CASE WHEN period = 'a' THEN 1 END) AS na,
+        |          count(CASE WHEN period = 'b' THEN 1 END) AS nb
+        |        FROM b GROUP BY event_type, bin),
+        |tot AS (SELECT event_type, bin, na, nb,
+        |          CAST(sum(na) OVER (PARTITION BY event_type) AS BIGINT) AS ta,
+        |          CAST(sum(nb) OVER (PARTITION BY event_type) AS BIGINT) AS tb
+        |        FROM cnt)
+        |SELECT event_type, min(ta) AS n_first_half, min(tb) AS n_second_half,
+        |  CAST(sum(abs(na * 1000000 // ta - nb * 1000000 // tb)) AS BIGINT) AS l1_ppm,
+        |  CAST(sum(abs(na * 1000000 // ta - nb * 1000000 // tb)) AS BIGINT) >= 100000 AS drifted
+        |FROM tot WHERE ta > 0 AND tb > 0
+        |GROUP BY event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val mid = ev.agg(expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").as("m"))
+      val cnt = ev.filter(col("value").isNotNull)
+        .crossJoin(broadcast(mid))
+        .select(col("event_type"),
+          expr("CASE WHEN unix_micros(ts) < m THEN 'a' ELSE 'b' END").as("period"),
+          expr("least(greatest(CAST(floor(value / 10.0D) AS BIGINT), 0L), 9L)").as("bin"))
+        .groupBy("event_type", "bin")
+        .agg(
+          count(expr("CASE WHEN period = 'a' THEN 1 END")).as("na"),
+          count(expr("CASE WHEN period = 'b' THEN 1 END")).as("nb"))
+      cnt
+        .withColumn("ta", sum("na").over(Window.partitionBy("event_type")))
+        .withColumn("tb", sum("nb").over(Window.partitionBy("event_type")))
+        .filter(col("ta") > 0 && col("tb") > 0)
+        .groupBy("event_type")
+        .agg(
+          min("ta").as("n_first_half"), min("tb").as("n_second_half"),
+          expr("sum(abs(na * 1000000 div ta - nb * 1000000 div tb))").as("l1_ppm"),
+          expr("sum(abs(na * 1000000 div ta - nb * 1000000 div tb)) >= 100000L").as("drifted"))
     })
 }

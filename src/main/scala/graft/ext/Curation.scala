@@ -426,5 +426,54 @@ object Curation {
           coalesce(col("nt2"), col("nt1")).as("toks"))
         .groupBy("source", "change")
         .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+    },
+
+    // ── Token-budget apportionment (largest-remainder allocation) ──────
+    // The mix-planning op upstream of q61's replication: split a fixed
+    // training-token budget (10⁶ here) across languages proportionally
+    // to corpus mass so the parts sum to the budget EXACTLY — floor
+    // division alone under-allocates by up to (parts−1) tokens, and
+    // naive rounding can over- or under-shoot. Hamilton's
+    // largest-remainder method is exact and fully relational: base =
+    // B·w ∕∕ W per lang, then the leftover B − Σbase (< #langs) goes
+    // to the largest remainders, ties broken by lang. Every stage is
+    // integer; the ranking window runs over the LANG AGGREGATE
+    // (~languages rows — q56's single-partition concern does not
+    // apply to aggregate-sized windows). Overflow bound: B·w < 2⁶³,
+    // i.e. budget × largest-lang mass under ~9.2×10¹⁸ — production at
+    // 100 TB pre-scales weights to ppm first (the documented qval
+    // trade) at the cost of the exact-sum guarantee's last token.
+    Q(
+      "q89_token_budget",
+      """WITH w AS (SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS w
+        |           FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+        |base AS (SELECT lang, w, CAST(1000000 * w // tot.tw AS BIGINT) AS base_alloc,
+        |           CAST((1000000 * w) % tot.tw AS BIGINT) AS rem
+        |         FROM w, tot),
+        |lo AS (SELECT CAST(1000000 - sum(base_alloc) AS BIGINT) AS leftover FROM base),
+        |r AS (SELECT lang, w, base_alloc, rem,
+        |        CAST(row_number() OVER (ORDER BY rem DESC, lang) AS BIGINT) AS rk FROM base)
+        |SELECT lang, w AS n_tokens, base_alloc,
+        |  CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END AS extra,
+        |  base_alloc + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END AS alloc
+        |FROM r, lo""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Tables.documents(s, d)
+        .select(col("lang"), expr("cast(size(split(text, ' ')) as bigint)").as("n"))
+        .groupBy("lang").agg(sum("n").as("w"))
+        .persist() // tiny lang aggregate, consumed by tot/base/lo chain
+      val tot = w.agg(sum("w").as("tw"))
+      val base = w.crossJoin(broadcast(tot))
+        .select(col("lang"), col("w"),
+          expr("(1000000 * w) div tw").as("base_alloc"),
+          expr("(1000000 * w) % tw").as("rem"))
+      val lo = base.agg(expr("1000000 - sum(base_alloc)").as("leftover"))
+      base
+        .withColumn("rk", expr("cast(row_number() over (order by rem desc, lang) as bigint)"))
+        .crossJoin(broadcast(lo))
+        .select(col("lang"), col("w").as("n_tokens"), col("base_alloc"),
+          expr("CASE WHEN rk <= leftover THEN 1 ELSE 0 END").as("extra"),
+          expr("base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END").as("alloc"))
     })
 }

@@ -410,6 +410,46 @@ object Dedup {
           coalesce(col("dup_tokens"), expr("CAST(0 AS BIGINT)")).as("dup_tokens"))
         .withColumn("dup_token_frac",
           expr("floor(dup_tokens * 1000000.0D / n_tokens) / 1000000.0D"))
+    },
+
+    // ── Normalized ("near-exact") dedup: canonicalize, then hash ───────
+    // The pass every pipeline runs between exact dedup (q34) and fuzzy
+    // dedup (q36): case folds, punctuation strips, and whitespace
+    // collapses so trivial variants (re-encoded mirrors, shouting
+    // reposts, tracker-suffixed copies) hash together. The synthetic
+    // corpus has no such variants, so the query PLANTS deterministic
+    // ones (q54's fixture discipline — every doc_id ≡ 0 mod 10 gains
+    // an uppercased, punctuation-suffixed copy, identical on both
+    // engines) and must cluster each with its original: n_variants = 2
+    // exactly for planted groups, 1 elsewhere, and no accidental
+    // merges. Same exchange discipline as q34: the groupBy moves
+    // (16-byte hash, id), never text. Normalization is ASCII-safe on
+    // this corpus; production Unicode folding (NFC/casefold) slots
+    // into the same seam.
+    Q(
+      "q88_normalized_dedup",
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |                UNION ALL
+        |                SELECT doc_id + 1000000, upper(text) || '!!'
+        |                FROM documents WHERE doc_id % 10 = 0),
+        |n AS (SELECT doc_id,
+        |        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |            ' +', ' ', 'g'))) AS norm_hash
+        |      FROM corpus)
+        |SELECT min(doc_id) AS doc_id, norm_hash, count(*) AS n_variants
+        |FROM n GROUP BY norm_hash""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .union(docs.filter(expr("doc_id % 10 = 0"))
+          .select(expr("doc_id + 1000000").as("doc_id"),
+            expr("concat(upper(text), '!!')").as("text")))
+      corpus
+        .select(col("doc_id"),
+          md5(expr("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' '))"))
+            .as("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_variants"))
+        .select("doc_id", "norm_hash", "n_variants")
     })
 
   /** Exact-Jaccard verification of a candidate-pair relation against

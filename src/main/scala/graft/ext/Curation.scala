@@ -17,6 +17,34 @@ import graft.{Q, Tables}
   */
 object Curation {
 
+  /** The shard-then-pack layout base shared by q60 (pack assignment),
+    * q76 (efficiency report), and q81 (materialization): ONE salt, ONE
+    * shard count, ONE token counter — drift between the three surfaces
+    * would silently de-align pack ids from their efficiency report and
+    * materialized text. Catalyst prunes unused columns per consumer
+    * (q76's plan reads neither text nor doc_id).
+    */
+  private val packHashDuck = Portable.h60Duck("concat('pack|', doc_id::VARCHAR)")
+  private val packHashSpark = Portable.h60Spark("concat('pack|', cast(doc_id as string))")
+
+  private def packLayout(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"), col("text"),
+      expr(s"$packHashSpark % 8").as("shard"),
+      expr(packHashSpark).as("h"),
+      expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"))
+
+  /** Running token count within each (lang, shard) stream — the pack
+    * cut position, shared by q60 and q81.
+    */
+  private def packCum(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("cum", sum("n_tokens").over(
+      Window.partitionBy("lang", "shard")
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
   val all: Seq[Q] = Seq(
     // ── Deterministic stratified sampling ──────────────────────────────
     // Per-stratum rates (en 50%, de 25%, rest 10%) — the "dataset
@@ -138,32 +166,20 @@ object Curation {
     // math is integer (token counts, running sums, integer division):
     // bit-exact across engines by construction.
     Q(
-      "q60_sequence_packing", {
-        val h = Portable.h60Duck("concat('pack|', doc_id::VARCHAR)")
-        s"""SELECT doc_id, lang, shard, n_tokens,
-           |  (cum - n_tokens) // 2048 AS pack_id,
-           |  (cum - n_tokens) % 2048 AS tok_offset
-           |FROM (SELECT doc_id, lang, shard, n_tokens,
-           |        CAST(sum(n_tokens) OVER (PARTITION BY lang, shard
-           |          ORDER BY h, doc_id
-           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-           |      FROM (SELECT doc_id, lang,
-           |              $h % 8 AS shard,
-           |              $h AS h,
-           |              len(string_split(text, ' ')) AS n_tokens
-           |            FROM documents))""".stripMargin
-      }) { (s, d) =>
-      val h = Portable.h60Spark("concat('pack|', cast(doc_id as string))")
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          expr(s"$h % 8").as("shard"),
-          expr(h).as("h"),
-          expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"))
-        .withColumn("cum", sum("n_tokens").over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("lang", "shard")
-            .orderBy(col("h"), col("doc_id"))
-            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      "q60_sequence_packing",
+      s"""SELECT doc_id, lang, shard, n_tokens,
+         |  (cum - n_tokens) // 2048 AS pack_id,
+         |  (cum - n_tokens) % 2048 AS tok_offset
+         |FROM (SELECT doc_id, lang, shard, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY lang, shard
+         |          ORDER BY h, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM (SELECT doc_id, lang,
+         |              $packHashDuck % 8 AS shard,
+         |              $packHashDuck AS h,
+         |              len(string_split(text, ' ')) AS n_tokens
+         |            FROM documents))""".stripMargin) { (s, d) =>
+      packCum(packLayout(s, d))
         .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
           expr("(cum - n_tokens) div 2048").as("pack_id"),
           expr("(cum - n_tokens) % 2048").as("tok_offset"))
@@ -179,24 +195,19 @@ object Curation {
     // n_tokens) projection. All integer; sums CAST AS BIGINT per the
     // HUGEINT rule.
     Q(
-      "q76_packing_efficiency", {
-        val h = Portable.h60Duck("concat('pack|', doc_id::VARCHAR)")
-        s"""SELECT lang, shard, count(*) AS n_docs,
-           |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           |  (CAST(sum(n_tokens) AS BIGINT) + 2047) // 2048 AS n_packs,
-           |  (CAST(sum(n_tokens) AS BIGINT) + 2047) // 2048 * 2048
-           |    - CAST(sum(n_tokens) AS BIGINT) AS waste_tokens,
-           |  floor(CAST(sum(n_tokens) AS BIGINT) * 1000000.0
-           |    / ((CAST(sum(n_tokens) AS BIGINT) + 2047) // 2048 * 2048)) / 1000000.0 AS fill_ratio
-           |FROM (SELECT lang, $h % 8 AS shard,
-           |        len(string_split(text, ' ')) AS n_tokens
-           |      FROM documents)
-           |GROUP BY lang, shard""".stripMargin
-      }) { (s, d) =>
-      val h = Portable.h60Spark("concat('pack|', cast(doc_id as string))")
-      Tables.documents(s, d)
-        .select(col("lang"), expr(s"$h % 8").as("shard"),
-          expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"))
+      "q76_packing_efficiency",
+      s"""SELECT lang, shard, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  (CAST(sum(n_tokens) AS BIGINT) + 2047) // 2048 AS n_packs,
+         |  (CAST(sum(n_tokens) AS BIGINT) + 2047) // 2048 * 2048
+         |    - CAST(sum(n_tokens) AS BIGINT) AS waste_tokens,
+         |  floor(CAST(sum(n_tokens) AS BIGINT) * 1000000.0
+         |    / ((CAST(sum(n_tokens) AS BIGINT) + 2047) // 2048 * 2048)) / 1000000.0 AS fill_ratio
+         |FROM (SELECT lang, $packHashDuck % 8 AS shard,
+         |        len(string_split(text, ' ')) AS n_tokens
+         |      FROM documents)
+         |GROUP BY lang, shard""".stripMargin) { (s, d) =>
+      packLayout(s, d)
         .groupBy("lang", "shard")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
         .select(col("lang"), col("shard"), col("n_docs"), col("total_tokens"),
@@ -334,32 +345,22 @@ object Curation {
     // state is one pack ≈ 2048 tokens — bounded regardless of corpus
     // size.
     Q(
-      "q81_pack_materialize", {
-        val h = Portable.h60Duck("concat('pack|', doc_id::VARCHAR)")
-        s"""WITH base AS (SELECT doc_id, lang, text, $h % 8 AS shard, $h AS h,
-           |                len(string_split(text, ' ')) AS n_tokens
-           |              FROM documents),
-           |w AS (SELECT doc_id, lang, shard, text, h, n_tokens,
-           |        CAST(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY h, doc_id
-           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-           |      FROM base)
-           |SELECT lang, shard, pack_id, count(*) AS n_docs,
-           |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
-           |  md5(string_agg(text, ' ' ORDER BY h, doc_id)) AS pack_md5
-           |FROM (SELECT lang, shard, (cum - n_tokens) // 2048 AS pack_id,
-           |        text, h, doc_id, n_tokens FROM w)
-           |GROUP BY lang, shard, pack_id""".stripMargin
-      }) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val h = Portable.h60Spark("concat('pack|', cast(doc_id as string))")
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("text"),
-          expr(s"$h % 8").as("shard"), expr(h).as("h"),
-          expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"))
-        .withColumn("cum", sum("n_tokens").over(
-          Window.partitionBy("lang", "shard")
-            .orderBy(col("h"), col("doc_id"))
-            .rowsBetween(Window.unboundedPreceding, 0)))
+      "q81_pack_materialize",
+      s"""WITH base AS (SELECT doc_id, lang, text, $packHashDuck % 8 AS shard,
+         |                $packHashDuck AS h,
+         |                len(string_split(text, ' ')) AS n_tokens
+         |              FROM documents),
+         |w AS (SELECT doc_id, lang, shard, text, h, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY h, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM base)
+         |SELECT lang, shard, pack_id, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  md5(string_agg(text, ' ' ORDER BY h, doc_id)) AS pack_md5
+         |FROM (SELECT lang, shard, (cum - n_tokens) // 2048 AS pack_id,
+         |        text, h, doc_id, n_tokens FROM w)
+         |GROUP BY lang, shard, pack_id""".stripMargin) { (s, d) =>
+      packCum(packLayout(s, d))
         .withColumn("pack_id", expr("(cum - n_tokens) div 2048"))
         .groupBy("lang", "shard", "pack_id")
         .agg(

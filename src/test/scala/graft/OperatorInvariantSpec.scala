@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Construction invariants the oracle gate can't see — it proves
+  * engine-equality, not that the shared property HOLDS: Hamilton
+  * apportionment must sum exactly to the budget (both engines could
+  * agree on a wrong total), and index segmentation must actually bound
+  * posting-list size (both engines would agree on an unbounded list
+  * too).
+  */
+class OperatorInvariantSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q89 largest-remainder allocations sum exactly to the 10^6 budget") {
+    val rows = SparkEntry.queries("q89_token_budget")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("alloc")).sum === 1000000L)
+    // no lang may receive more than base+1 (the largest-remainder bound)
+    rows.foreach { r =>
+      val extra = r.getAs[Long]("alloc") - r.getAs[Long]("base_alloc")
+      assert(extra === 0L || extra === 1L)
+    }
+  }
+
+  test("q86 segmentation bounds every posting list at the segment size") {
+    val rows = SparkEntry.queries("q86_inverted_index")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_postings") <= 100L,
+        s"posting list exceeds segment bound: $r")
+      // seek metadata must sit inside the segment's doc range
+      val seg = r.getAs[Long]("segment")
+      assert(r.getAs[Long]("min_doc") >= seg * 100 &&
+        r.getAs[Long]("max_doc") < (seg + 1) * 100)
+    }
+  }
+}

@@ -192,5 +192,55 @@ object Statistics {
           min("ta").as("n_first_half"), min("tb").as("n_second_half"),
           expr("sum(abs(na * 1000000 div ta - nb * 1000000 div tb))").as("l1_ppm"),
           expr("sum(abs(na * 1000000 div ta - nb * 1000000 div tb)) >= 100000L").as("drifted"))
+    },
+
+    // ── Shuffle-key skew profiler (the pre-salting diagnostic) ─────────
+    // The measurement behind every salting/AQE-skew decision in this
+    // library ([[Skew.selfPairs]]'s hotThreshold, the banding salts):
+    // per candidate shuffle key, how far the hottest key's share sits
+    // above the uniform mean (skew_factor = max_share · n_keys; 1.0 =
+    // perfectly even, ≥ ~5 = salt it). Three representative relations
+    // profiled in one query; each profile is a key-count aggregate
+    // with map-side combine, a 3-number summary, and a top-1 via
+    // orderBy().limit(1) → TakeOrderedAndProject (q56's discipline —
+    // a key's cardinality at 100 TB forbids a global ranking window).
+    // The share becomes ppm BEFORE multiplying by n_keys, so the math
+    // is overflow-free for any row count (n_keys·10⁶ < 2⁶³).
+    Q(
+      "q90_skew_profile", {
+        def prof(rel: String, key: String, tbl: String) =
+          s"""p_$rel AS (SELECT '$rel' AS relation, CAST($key AS VARCHAR) AS key, count(*) AS n
+             |           FROM $tbl GROUP BY 2),
+             |s_$rel AS (SELECT relation, CAST(count(*) AS BIGINT) AS n_keys,
+             |             CAST(sum(n) AS BIGINT) AS n_rows, CAST(max(n) AS BIGINT) AS max_n
+             |           FROM p_$rel GROUP BY relation),
+             |t_$rel AS (SELECT key AS top_key FROM p_$rel ORDER BY n DESC, key LIMIT 1)""".stripMargin
+        s"""WITH ${prof("events_user", "user_id", "events")},
+           |${prof("documents_source", "source", "documents")},
+           |${prof("lineitem_part", "l_partkey", "lineitem")}
+           |SELECT relation, n_rows, n_keys, max_n, top_key,
+           |  CAST(((max_n * 1000000) // n_rows) * n_keys AS DOUBLE) / 1000000.0 AS skew_factor
+           |FROM (SELECT * FROM s_events_user, t_events_user
+           |      UNION ALL SELECT * FROM s_documents_source, t_documents_source
+           |      UNION ALL SELECT * FROM s_lineitem_part, t_lineitem_part)""".stripMargin
+      }) { (s, d) =>
+      def profile(df: org.apache.spark.sql.DataFrame, rel: String, key: String) = {
+        val counts = df
+          .select(expr(s"CAST($key AS STRING)").as("key"))
+          .groupBy("key").agg(count(lit(1)).as("n"))
+          .persist() // two consumers: the summary agg and the top-1
+        val stats = counts.agg(
+          count(lit(1)).as("n_keys"), sum("n").as("n_rows"), max("n").as("max_n"))
+        val top = counts.orderBy(col("n").desc, col("key")).limit(1)
+          .select(col("key").as("top_key"))
+        stats.crossJoin(top)
+          .select(lit(rel).as("relation"), col("n_rows"), col("n_keys"),
+            col("max_n"), col("top_key"),
+            expr("CAST(((max_n * 1000000) div n_rows) * n_keys AS DOUBLE) / 1000000.0D")
+              .as("skew_factor"))
+      }
+      profile(Tables.events(s, d), "events_user", "user_id")
+        .union(profile(Tables.documents(s, d), "documents_source", "source"))
+        .union(profile(Tables.lineitem(s, d), "lineitem_part", "l_partkey"))
     })
 }

@@ -450,6 +450,42 @@ object Dedup {
         .groupBy("norm_hash")
         .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_variants"))
         .select("doc_id", "norm_hash", "n_variants")
+    },
+
+    // ── Edit-distance verification of near-dup pairs ───────────────────
+    // The character-level precision check a curation team runs on the
+    // MinHash pair set before bulk-deleting: shingle Jaccard is
+    // word-level and can rate two docs similar that differ in every
+    // word's spelling detail; Levenshtein is the orthogonal
+    // character-level lens. Both engines ship the classic unit-cost DP
+    // (`levenshtein`), an integer — so even this "fuzzy" metric is
+    // hash-exact. Cost discipline: the O(len²) DP and the text fetch
+    // run ONLY on the dup-rate-sized verified pair set (never pairwise
+    // over the corpus); the two doc joins are pair-probes into the
+    // corpus scan, AQE-broadcast while the pair set fits. edit_sim =
+    // (maxlen − lev)/maxlen, floor-truncated off integers.
+    Q(
+      "q91_edit_distance_verify",
+      s"""WITH $shingles5Duck,
+         |$minhashCandDuck,
+         |$minhashPairsThresholdDuck
+         |SELECT a_id, b_id,
+         |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+         |  floor((greatest(length(da.text), length(db.text))
+         |         - levenshtein(da.text, db.text)) * 1000000.0
+         |        / greatest(length(da.text), length(db.text))) / 1000000.0 AS edit_sim
+         |FROM pairs
+         |JOIN documents da ON da.doc_id = a_id
+         |JOIN documents db ON db.doc_id = b_id""".stripMargin) { (s, d) =>
+      val pairs = minhashPairs(s, d).select("a_id", "b_id")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      pairs
+        .join(docs.select(col("doc_id").as("a_id"), col("text").as("ta")), Seq("a_id"))
+        .join(docs.select(col("doc_id").as("b_id"), col("text").as("tb")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          expr("cast(levenshtein(ta, tb) as bigint)").as("lev"),
+          expr("floor((greatest(length(ta), length(tb)) - levenshtein(ta, tb)) * 1000000.0D" +
+            " / greatest(length(ta), length(tb))) / 1000000.0D").as("edit_sim"))
     })
 
   /** Exact-Jaccard verification of a candidate-pair relation against

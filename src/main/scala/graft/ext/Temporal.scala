@@ -213,5 +213,41 @@ object Temporal {
         .select(col("cohort").as("cohort_day"), col("week_offset"),
           col("n_active"), col("cohort_size"),
           expr("floor(n_active * 1000000.0D / cohort_size) / 1000000.0D").as("retention"))
+    },
+
+    // ── Event-transition mining (top Markov bigrams) ───────────────────
+    // The behavior-mining aggregate: which consecutive event-type
+    // transitions dominate the stream. Per-user lead() over (ts,
+    // event_id) pairs each event with its successor — the window
+    // partition is one user's history, bounded — then a
+    // map-side-combined (src, dst) count; the transition matrix is
+    // |types|² rows, so the final ranking window runs over an
+    // aggregate-sized relation (25 rows here), not the stream. Top-10
+    // with the (n DESC, src, dst) tiebreak is deterministic on both
+    // engines.
+    Q(
+      "q92_event_transitions",
+      """WITH t AS (SELECT event_type AS src,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS dst
+        |           FROM events),
+        |c AS (SELECT src, dst, count(*) AS n FROM t
+        |      WHERE dst IS NOT NULL GROUP BY src, dst)
+        |SELECT rank, src, dst, n FROM (
+        |  SELECT src, dst, n, row_number() OVER (ORDER BY n DESC, src, dst) AS rank
+        |  FROM c)
+        |WHERE rank <= 10""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, d)
+        .select(col("event_type").as("src"),
+          lead("event_type", 1).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("src"), col("dst"))
+        .limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("src"), col("dst"))))
+        .select("rank", "src", "dst", "n")
     })
 }

@@ -22,6 +22,14 @@ import graft.{Q, Tables}
   */
 object Statistics {
 
+  /** The fixed 10-bin value binning shared by the batch drift audit
+    * (q87) and the streaming [[graft.stream.DriftMonitor]] — one
+    * definition so the stream's windows and the batch baseline can
+    * never bin differently.
+    */
+  private[graft] val binSpark =
+    "least(greatest(CAST(floor(value / 10.0D) AS BIGINT), 0L), 9L)"
+
   /** Interpolated percentile over a sorted micro-unit array `arr`
     * (1-indexed in both dialects); identical arithmetic both sides,
     * only the length/index syntax differs.
@@ -178,7 +186,7 @@ object Statistics {
         .crossJoin(broadcast(mid))
         .select(col("event_type"),
           expr("CASE WHEN unix_micros(ts) < m THEN 'a' ELSE 'b' END").as("period"),
-          expr("least(greatest(CAST(floor(value / 10.0D) AS BIGINT), 0L), 9L)").as("bin"))
+          expr(Statistics.binSpark).as("bin"))
         .groupBy("event_type", "bin")
         .agg(
           count(expr("CASE WHEN period = 'a' THEN 1 END")).as("na"),

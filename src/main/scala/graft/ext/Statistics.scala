@@ -44,7 +44,7 @@ object Statistics {
     s"CASE WHEN size(arr) = 0 THEN CAST(NULL AS DOUBLE) " +
       s"ELSE floor($lo + ($hi - $lo) * ($pos - floor($pos))) / 1000000.0D END"
   }
-  private def pctlDuck(p: String): String = {
+  private[graft] def pctlDuck(p: String): String = {
     // CAST to DOUBLE: DuckDB parses a bare decimal literal as DECIMAL
     // and would compute pos in exact decimal arithmetic — the double
     // multiply must happen on BOTH sides for frac to be identical

@@ -25,6 +25,42 @@ import graft.{Q, Tables}
   */
 object Temporal {
 
+  /** The ordered-funnel step relations shared by q84 (conversion
+    * counts) and q93 (step-latency distribution): u1 = first view per
+    * user, u2 = first click within a day after u1, u3 = first purchase
+    * within a day after u2. One definition on each side so the
+    * latency metric can never measure a different funnel than the
+    * conversion report.
+    */
+  private val funnelStepsDuck =
+    """u1 AS (SELECT user_id, min(ts) AS t FROM events
+      |            WHERE event_type = 'view' GROUP BY user_id),
+      |u2 AS (SELECT e.user_id, min(e.ts) AS t
+      |       FROM events e JOIN u1 ON u1.user_id = e.user_id
+      |       WHERE e.event_type = 'click'
+      |         AND e.ts > u1.t AND e.ts <= u1.t + INTERVAL 1 DAY
+      |       GROUP BY e.user_id),
+      |u3 AS (SELECT e.user_id, min(e.ts) AS t
+      |       FROM events e JOIN u2 ON u2.user_id = e.user_id
+      |       WHERE e.event_type = 'purchase'
+      |         AND e.ts > u2.t AND e.ts <= u2.t + INTERVAL 1 DAY
+      |       GROUP BY e.user_id)""".stripMargin
+
+  private def funnelSteps(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val ev = Tables.events(s, d)
+    val u1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t"))
+    def step(prev: org.apache.spark.sql.DataFrame, etype: String) =
+      ev.filter(col("event_type") === etype)
+        .join(prev.select(col("user_id").as("p_uid"), col("t").as("pt")),
+          col("user_id") === col("p_uid") &&
+            col("ts") > col("pt") && expr("ts <= pt + INTERVAL 1 DAY"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+    val u2 = step(u1, "click")
+    val u3 = step(u2, "purchase")
+    (u1, u2, u3)
+  }
+
   val all: Seq[Q] = Seq(
     // ── AS-OF join via IGNORE NULLS last-value window ──────────────────
     Q(
@@ -126,35 +162,14 @@ object Temporal {
     // floor-truncated share.
     Q(
       "q84_funnel",
-      """WITH u1 AS (SELECT user_id, min(ts) AS t FROM events
-        |            WHERE event_type = 'view' GROUP BY user_id),
-        |u2 AS (SELECT e.user_id, min(e.ts) AS t
-        |       FROM events e JOIN u1 ON u1.user_id = e.user_id
-        |       WHERE e.event_type = 'click'
-        |         AND e.ts > u1.t AND e.ts <= u1.t + INTERVAL 1 DAY
-        |       GROUP BY e.user_id),
-        |u3 AS (SELECT e.user_id, min(e.ts) AS t
-        |       FROM events e JOIN u2 ON u2.user_id = e.user_id
-        |       WHERE e.event_type = 'purchase'
-        |         AND e.ts > u2.t AND e.ts <= u2.t + INTERVAL 1 DAY
-        |       GROUP BY e.user_id),
-        |n1 AS (SELECT count(*) AS n FROM u1)
-        |SELECT step, n_users,
-        |  floor(n_users * 1000000.0 / n1.n) / 1000000.0 AS conversion
-        |FROM (SELECT '1_view' AS step, count(*) AS n_users FROM u1
-        |      UNION ALL SELECT '2_click', count(*) FROM u2
-        |      UNION ALL SELECT '3_purchase', count(*) FROM u3), n1""".stripMargin) { (s, d) =>
-      val ev = Tables.events(s, d)
-      val u1 = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts").as("t"))
-      def step(prev: org.apache.spark.sql.DataFrame, etype: String) =
-        ev.filter(col("event_type") === etype)
-          .join(prev.select(col("user_id").as("p_uid"), col("t").as("pt")),
-            col("user_id") === col("p_uid") &&
-              col("ts") > col("pt") && expr("ts <= pt + INTERVAL 1 DAY"))
-          .groupBy("user_id").agg(min("ts").as("t"))
-      val u2 = step(u1, "click")
-      val u3 = step(u2, "purchase")
+      s"""WITH $funnelStepsDuck,
+         |n1 AS (SELECT count(*) AS n FROM u1)
+         |SELECT step, n_users,
+         |  floor(n_users * 1000000.0 / n1.n) / 1000000.0 AS conversion
+         |FROM (SELECT '1_view' AS step, count(*) AS n_users FROM u1
+         |      UNION ALL SELECT '2_click', count(*) FROM u2
+         |      UNION ALL SELECT '3_purchase', count(*) FROM u3), n1""".stripMargin) { (s, d) =>
+      val (u1, u2, u3) = funnelSteps(s, d)
       val n1 = u1.agg(count(lit(1)).as("n"))
       u1.agg(count(lit(1)).as("n_users"))
         .select(lit("1_view").as("step"), col("n_users"))
@@ -249,5 +264,43 @@ object Temporal {
         .withColumn("rank", row_number().over(
           Window.orderBy(col("n").desc, col("src"), col("dst"))))
         .select("rank", "src", "dst", "n")
+    },
+
+    // ── Conversion-latency distribution (the funnel's companion) ───────
+    // How long the view→click step takes for users who made it: count,
+    // min/max/mean in raw microseconds (pure BIGINT — epoch-µs
+    // differences), and interpolated p50/p90 in seconds via the exact
+    // percentile machinery (µs ARE micro-units of seconds, so q43's
+    // sorted-array pctl applies verbatim, floor-truncated to the µs).
+    // Latencies are one value per converting user; the global sorted
+    // array is the exact form — at extreme user counts the
+    // approx_percentile sketch is the scale path (q63's documented
+    // trade). Reuses q84's step relations, so the latency always
+    // measures the same funnel the conversion report counts.
+    Q(
+      "q93_conversion_latency",
+      s"""WITH $funnelStepsDuck,
+         |lat AS (SELECT epoch_us(u2.t) - epoch_us(u1.t) AS us
+         |        FROM u2 JOIN u1 ON u1.user_id = u2.user_id),
+         |arr_t AS (SELECT list_sort(list(us)) AS arr,
+         |            count(*) AS n, min(us) AS min_us, max(us) AS max_us,
+         |            CAST(sum(us) AS BIGINT) // count(*) AS mean_us
+         |          FROM lat)
+         |SELECT n, min_us, max_us, mean_us,
+         |  ${Statistics.pctlDuck("0.5")} AS p50_s,
+         |  ${Statistics.pctlDuck("0.9")} AS p90_s
+         |FROM arr_t""".stripMargin) { (s, d) =>
+      val (u1, u2, _) = funnelSteps(s, d)
+      u2.select(col("user_id").as("u2_id"), col("t").as("t2"))
+        .join(u1, col("user_id") === col("u2_id"))
+        .select(expr("unix_micros(t2) - unix_micros(t)").as("us"))
+        .agg(
+          sort_array(collect_list("us")).as("arr"),
+          count(lit(1)).as("n"),
+          min("us").as("min_us"), max("us").as("max_us"),
+          expr("sum(us) div count(1)").as("mean_us"))
+        .select(col("n"), col("min_us"), col("max_us"), col("mean_us"),
+          expr(Statistics.pctlSpark("0.5")).as("p50_s"),
+          expr(Statistics.pctlSpark("0.9")).as("p90_s"))
     })
 }

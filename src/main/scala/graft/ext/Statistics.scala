@@ -250,5 +250,57 @@ object Statistics {
       profile(Tables.events(s, d), "events_user", "user_id")
         .union(profile(Tables.documents(s, d), "documents_source", "source"))
         .union(profile(Tables.lineitem(s, d), "lineitem_part", "l_partkey"))
+    },
+
+    // ── Per-type linear value trend (OLS slope, units per day) ─────────
+    // The trend companion to q87's distribution drift: is this metric
+    // drifting LINEARLY, and how fast. Portability split: the
+    // AGGREGATION is pure integer — x = seconds since the type's first
+    // event (magnitude control: ≤ 2.6·10⁶ for a 30-day range), y =
+    // centi-units via the qval rounding, and Σx/Σy/Σx²/Σxy are exact
+    // order-free BIGINT sums — while the closed-form slope
+    // (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) evaluates in DOUBLE with
+    // identical expression text on both engines: deterministic IEEE
+    // ops on identical inputs round identically, so even past 2⁵³ the
+    // result is bit-equal (what is NOT portable is float AGGREGATION
+    // order, which never happens here). Overflow bound: Σx·y <
+    // 2⁶³ holds to ~10¹⁰ rows/type at these magnitudes; beyond,
+    // pre-scale x to minutes (the documented qsum trade). The x0
+    // anchor joins back as a broadcast type-cardinality dimension.
+    Q(
+      "q94_value_trend",
+      """WITH x0 AS (SELECT event_type, min(epoch_us(ts) // 1000000) AS x0
+        |            FROM events GROUP BY event_type),
+        |pts AS (SELECT e.event_type,
+        |          epoch_us(e.ts) // 1000000 - x0.x0 AS x,
+        |          CAST(floor(e.value * 100.0 + 0.5) AS BIGINT) AS y
+        |        FROM events e JOIN x0 ON x0.event_type = e.event_type
+        |        WHERE e.value IS NOT NULL),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+        |      FROM pts GROUP BY event_type)
+        |SELECT event_type, n,
+        |  floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * 864.0 * 1000000.0) / 1000000.0 AS slope_per_day
+        |FROM s""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val x0 = ev.groupBy(col("event_type").as("x0_type"))
+        .agg(expr("min(unix_micros(ts) div 1000000)").as("x0"))
+      ev.filter(col("value").isNotNull)
+        .join(broadcast(x0), col("event_type") === col("x0_type"))
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 1000000 - x0").as("x"),
+          expr("CAST(floor(value * 100.0D + 0.5D) AS BIGINT)").as("y"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          expr("sum(x * x)").as("sxx"), expr("sum(x * y)").as("sxy"))
+        .select(col("event_type"), col("n"),
+          expr("floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+            " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))" +
+            " * 864.0D * 1000000.0D) / 1000000.0D").as("slope_per_day"))
     })
 }

@@ -302,5 +302,91 @@ object Statistics {
           expr("floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
             " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))" +
             " * 864.0D * 1000000.0D) / 1000000.0D").as("slope_per_day"))
+    },
+
+    // ── Volume-anomaly profile (Tukey IQR fence over per-user counts) ──
+    // The bot/abuse screen: per-user event volumes, quartiles, the
+    // Tukey upper fence (p75 + 1.5·IQR), and how many users sit above
+    // it. Quartiles go through the shared exact-percentile machinery
+    // (counts scaled to micro-units so the interpolation arithmetic is
+    // the pctl contract verbatim); the summary is ONE row regardless
+    // of user cardinality. The per-user count is combine-reduced; the
+    // single-group sorted array is the exact form, with
+    // approx_percentile as the documented scale path past ~10⁸ users
+    // (q63's trade). On this corpus the fence finds 0 outliers —
+    // volumes are near-uniform — which is the correct report, and the
+    // fence value itself is the informative output.
+    Q(
+      "q95_volume_outliers",
+      s"""WITH uc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id),
+         |arr_t AS (SELECT list_sort(list(n * 1000000)) AS arr,
+         |            CAST(count(*) AS BIGINT) AS n_users,
+         |            CAST(max(n) AS BIGINT) AS max_n FROM uc),
+         |qq AS (SELECT n_users, max_n,
+         |         ${pctlDuck("0.25")} AS p25, ${pctlDuck("0.75")} AS p75 FROM arr_t)
+         |SELECT n_users, max_n, p25, p75,
+         |  floor((p75 + 1.5 * (p75 - p25)) * 1000000.0) / 1000000.0 AS upper_fence,
+         |  (SELECT count(*) FROM uc, qq q2 WHERE uc.n > q2.p75 + 1.5 * (q2.p75 - q2.p25))
+         |    AS n_outliers
+         |FROM qq""".stripMargin) { (s, d) =>
+      val uc = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .persist() // two consumers: the quartile summary and the fence count
+      val qq = uc.agg(
+          sort_array(collect_list(expr("n * 1000000"))).as("arr"),
+          count(lit(1)).as("n_users"), max("n").as("max_n"))
+        .select(col("n_users"), col("max_n"),
+          expr(pctlSpark("0.25")).as("p25"), expr(pctlSpark("0.75")).as("p75"))
+      val outliers = uc.crossJoin(broadcast(qq.select("p25", "p75")))
+        .filter(expr("n > p75 + 1.5D * (p75 - p25)"))
+        .agg(count(lit(1)).as("n_outliers"))
+      qq.crossJoin(broadcast(outliers))
+        .select(col("n_users"), col("max_n"), col("p25"), col("p75"),
+          expr("floor((p75 + 1.5D * (p75 - p25)) * 1000000.0D) / 1000000.0D").as("upper_fence"),
+          col("n_outliers"))
+    },
+
+    // ── Referential-integrity audit (orphan keys across the star) ──────
+    // The warehouse data-quality gate: for each FK edge, how many rows
+    // reference a missing dimension key. Three REAL edges (all clean on
+    // this data — the desired report) plus one SIMULATED-loss edge
+    // (orders with o_orderkey ≡ 3 mod 97 dropped, the q88 planting
+    // discipline) proving the audit actually detects orphans. Each
+    // audit is a LEFT join counting NULL probe hits — hint-free, AQE
+    // broadcasts dimension-sized sides; counts combine map-side; the
+    // orphan rate is floor-ppm off integer counts.
+    Q(
+      "q96_integrity_audit", {
+        def audit(fk: String, factTbl: String, fkCol: String,
+            dimTbl: String, pkCol: String, dimFilter: String = "") =
+          s"""SELECT '$fk' AS fk, count(*) AS n_rows,
+             |  count(CASE WHEN dd.$pkCol IS NULL THEN 1 END) AS n_orphans,
+             |  floor(count(CASE WHEN dd.$pkCol IS NULL THEN 1 END) * 1000000.0 / count(*))
+             |    / 1000000.0 AS orphan_rate
+             |FROM $factTbl ff LEFT JOIN
+             |  (SELECT $pkCol FROM $dimTbl $dimFilter) dd ON dd.$pkCol = ff.$fkCol""".stripMargin
+        Seq(
+          audit("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          audit("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+          audit("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+          audit("lineitem->orders_simulated_loss", "lineitem", "l_orderkey",
+            "orders", "o_orderkey", "WHERE o_orderkey % 97 <> 3")
+        ).mkString("\nUNION ALL\n")
+      }) { (s, d) =>
+      def audit(fk: String, fact: org.apache.spark.sql.DataFrame, fkCol: String,
+          dim: org.apache.spark.sql.DataFrame, pkCol: String) =
+        fact.select(col(fkCol))
+          .join(dim.select(col(pkCol).as("pk")), col(fkCol) === col("pk"), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            count(expr("CASE WHEN pk IS NULL THEN 1 END")).as("n_orphans"))
+          .select(lit(fk).as("fk"), col("n_rows"), col("n_orphans"),
+            expr("floor(n_orphans * 1000000.0D / n_rows) / 1000000.0D").as("orphan_rate"))
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      audit("lineitem.l_orderkey->orders", li, "l_orderkey", ord, "o_orderkey")
+        .union(audit("lineitem.l_partkey->part", li, "l_partkey", Tables.part(s, d), "p_partkey"))
+        .union(audit("orders.o_custkey->customer", ord, "o_custkey", Tables.customer(s, d), "c_custkey"))
+        .union(audit("lineitem->orders_simulated_loss", li, "l_orderkey",
+          ord.filter(expr("o_orderkey % 97 <> 3")), "o_orderkey"))
     })
 }

@@ -388,5 +388,62 @@ object Statistics {
         .union(audit("orders.o_custkey->customer", ord, "o_custkey", Tables.customer(s, d), "c_custkey"))
         .union(audit("lineitem->orders_simulated_loss", li, "l_orderkey",
           ord.filter(expr("o_orderkey % 97 <> 3")), "o_orderkey"))
+    },
+
+    // ── PIVOT: per-source char volume cross-tabbed by language ─────────
+    // The dashboard cross-tab as a native pivot. Pivot values are
+    // DECLARED (the 5 fixed langs), not discovered — Spark's
+    // values-free pivot() runs an extra distinct-collect job over the
+    // pivot column before planning, a corpus-wide pass a 100 TB run
+    // can't afford; with literal values the whole thing is ONE
+    // hash-aggregate pass whose conditional sums combine map-side (the
+    // exchange carries 20 sources × 6 longs). Missing cells coalesce
+    // to 0 on both engines.
+    Q(
+      "q99_lang_pivot", {
+        val cells = Seq("de", "en", "es", "fr", "zh").map { l =>
+          s"CAST(coalesce(sum(CASE WHEN lang = '$l' THEN n_chars END), 0) AS BIGINT) AS $l"
+        }.mkString(",\n  ")
+        s"""SELECT source, count(*) AS n_docs,
+           |  $cells
+           |FROM documents GROUP BY source""".stripMargin
+      }) { (s, d) =>
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val pivoted = Tables.documents(s, d)
+        .groupBy("source")
+        .pivot("lang", langs)
+        .agg(sum("n_chars"), count(lit(1)))
+      // pivot with 2 aggs names columns "<value>_sum(n_chars)" etc.;
+      // fold the per-lang counts back into one total and 0-fill cells
+      val cols = col("source") +:
+        langs.map(l => coalesce(col(s"`${l}_count(1)`"), lit(0L)))
+          .reduce(_ + _).as("n_docs") +:
+        langs.map(l => coalesce(col(s"`${l}_sum(n_chars)`"), lit(0L)).as(l))
+      pivoted.select(cols: _*)
+    },
+
+    // ── CUBE: all (lang × source) aggregation lattices in one pass ─────
+    // The OLAP drill-anywhere companion to q44's ROLLUP: one CUBE pass
+    // produces detail, both one-dimension marginals, and the grand
+    // total, tagged by grouping_id so a dashboard can slice one result
+    // set instead of running 4 queries. Spark expands the cube into a
+    // single Expand + hash-aggregate — each input row fans out to its
+    // 4 lattice cells BEFORE the exchange, and the partial aggregates
+    // combine map-side, so the shuffle carries at most 4× the group
+    // count (126 rows here), never 4× the data. grouping_id bit order
+    // (first listed column = MSB) matches GROUPING(lang, source) on
+    // both engines.
+    Q(
+      "q100_cube_profile",
+      """SELECT CAST(GROUPING(lang, source) AS BIGINT) AS gid, lang, source,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY CUBE(lang, source)""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .cube("lang", "source")
+        .agg(
+          expr("cast(grouping_id() as bigint)").as("gid"),
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars"))
+        .select("gid", "lang", "source", "n_docs", "chars")
     })
 }

@@ -302,5 +302,49 @@ object Temporal {
         .select(col("n"), col("min_us"), col("max_us"), col("mean_us"),
           expr(Statistics.pctlSpark("0.5")).as("p50_s"),
           expr(Statistics.pctlSpark("0.9")).as("p90_s"))
+    },
+
+    // ── Range (interval) join via time-bucket equi-prejoin ─────────────
+    // Shipments falling inside each of 10 fixed 30-day campaign
+    // windows. The naive plan for a pure range predicate is a nested
+    // loop (every row × every window); instead both sides map to
+    // 30-day epoch buckets — a window overlaps ≤ 2 buckets, a shipment
+    // exactly 1 — so the join becomes an EQUI-join on bucket (hash
+    // join, broadcast here since windows are tiny; shuffle-hash when
+    // both sides are large) followed by the exact BETWEEN filter on the
+    // survivors. That is the 100 TB interval-join shape: O(n) bucket
+    // probes instead of O(n·windows) comparisons, and it degrades
+    // gracefully to big-big (shuffle both sides on bucket) when the
+    // window table stops fitting in a broadcast. PlanShapeSpec asserts
+    // no BroadcastNestedLoopJoin survives in the plan.
+    Q(
+      "q97_range_join",
+      s"""SELECT w.window_id, count(*) AS n_items,
+         |  ${Portable.qsum("l.l_quantity", 2)} AS qty_sum
+         |FROM lineitem l
+         |JOIN (SELECT i AS window_id,
+         |        TIMESTAMP '1995-01-01' + to_days((90 * i)::INT) AS ws
+         |      FROM range(10) t(i)) w
+         |  ON l.l_shipdate >= w.ws AND l.l_shipdate < w.ws + to_days(30)
+         |GROUP BY w.window_id""".stripMargin) { (s, d) =>
+      // epoch-day buckets, 30 days wide; `div` keeps the math integral
+      val bucket = "datediff(cast(%s as date), date'1970-01-01') div 30"
+      val wins = s.range(10).select(
+        col("id").as("window_id"),
+        expr("cast(date_add(date'1995-01-01', cast(id * 90 as int)) as timestamp)").as("ws"))
+        .withColumn("we", expr("ws + interval 30 days"))
+        // a 30-day window spans at most 2 buckets: its start's and its
+        // last included day's ([ws, we) half-open → last day is ws+29)
+        .withColumn("bkt", explode(expr(
+          s"sequence(${bucket.format("ws")}, (datediff(cast(ws as date), date'1970-01-01') + 29) div 30)")))
+      Tables.lineitem(s, d)
+        .select(col("l_shipdate"), col("l_quantity"))
+        .withColumn("bkt", expr(bucket.format("l_shipdate")))
+        .join(wins, "bkt")
+        .where(col("l_shipdate") >= col("ws") && col("l_shipdate") < col("we"))
+        .groupBy("window_id")
+        .agg(
+          count(lit(1)).as("n_items"),
+          expr(Portable.qsum("l_quantity", 2)).as("qty_sum"))
     })
 }

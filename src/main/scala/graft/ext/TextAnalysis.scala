@@ -504,5 +504,71 @@ object TextAnalysis {
           md5(expr("array_join(transform(array_sort(collect_list(doc_id))," +
             " x -> cast(x as string)), ',')")).as("postings_md5"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+    },
+
+    // ── TextRank keyword scoring (PageRank over token co-occurrence) ───
+    // Mihalcea & Tarau 2004: build the undirected token adjacency graph
+    // (edge weight = corpus count of the adjacent pair) and rank tokens
+    // by damped PageRank, d = 0.85, 8 fixed iterations. The iteration
+    // is the canonical distributed shape — rank state is VOCABULARY-
+    // sized (sublinear in corpus, Heaps' law) and each round is one
+    // equi-join of the static (edge, out-weight) relation against the
+    // rank vector plus one keyed aggregation; the corpus itself is
+    // touched exactly once to build edges. Each round localCheckpoints
+    // (same lineage-truncation discipline as Clustering.components —
+    // 8 stacked shuffles would otherwise replay from round 0 on any
+    // retry and blow the planner's stack at scale). All arithmetic is
+    // integer micro-rank: contribution = (17·r·w) div (20·ow) — exactly
+    // floor(0.85·r·w/ow) — so partial aggregation composes exactly and
+    // both engines produce bit-identical BIGINT ranks; a float PageRank
+    // would diverge across accumulation orders. Fixed iteration count
+    // (not convergence-test) keeps the loop driver-read-free. The
+    // oracle unrolls the same 8 rounds as chained CTEs.
+    Q(
+      "q98_textrank", {
+        val iters = (1 to 8).map { k =>
+          s"""r$k AS (SELECT e.b AS v,
+             |  CAST(150000 + sum((17 * r.r * e.w) // (20 * o.ow)) AS BIGINT) AS r
+             |  FROM edges e JOIN r${k - 1} r ON r.v = e.a
+             |  JOIN outw o ON o.v = e.a GROUP BY e.b)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+           |prs AS (SELECT unnest(list_transform(range(1, len(ws)),
+           |                 i -> {'a': ws[i], 'b': ws[i+1]})) AS p
+           |        FROM toks),
+           |dir AS (SELECT p.a AS a, p.b AS b FROM prs
+           |        UNION ALL SELECT p.b, p.a FROM prs),
+           |edges AS (SELECT a, b, CAST(count(*) AS BIGINT) AS w
+           |          FROM dir GROUP BY a, b),
+           |outw AS (SELECT a AS v, CAST(sum(w) AS BIGINT) AS ow
+           |         FROM edges GROUP BY a),
+           |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM outw),
+           |$iters
+           |SELECT v AS token, r AS rank FROM r8 ORDER BY r DESC, v LIMIT 20"""
+          .stripMargin
+      }) { (s, d) =>
+      val prs = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("ws"))
+        .select(explode(expr(
+          "transform(sequence(1, size(ws) - 1)," +
+            " i -> named_struct('a', element_at(ws, i), 'b', element_at(ws, i + 1)))"))
+          .as("p"))
+      val dirE = prs.select(col("p.a").as("a"), col("p.b").as("b"))
+        .unionAll(prs.select(col("p.b").as("a"), col("p.a").as("b")))
+      val edges = dirE.groupBy("a", "b").agg(count(lit(1)).as("w"))
+      val outw = edges.groupBy("a").agg(sum("w").as("ow"))
+      // static per-round join input: edge fanned out with its source's
+      // out-weight; persisted once, consumed by all 8 rounds
+      val eo = edges.join(outw, "a").persist()
+      var r = outw.select(col("a").as("v"), lit(1000000L).as("r"))
+      for (_ <- 1 to 8)
+        r = eo.join(r, eo("a") === r("v"))
+          .groupBy(col("b"))
+          .agg(sum(expr("(17 * r * w) div (20 * ow)")).as("contrib"))
+          .select(col("b").as("v"), (lit(150000L) + col("contrib")).as("r"))
+          .localCheckpoint()
+      eo.unpersist()
+      r.orderBy(col("r").desc, col("v")).limit(20)
+        .select(col("v").as("token"), col("r").as("rank"))
     })
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Construction invariants the oracle gate can't see — it proves
@@ -35,5 +36,25 @@ class OperatorInvariantSpec extends AnyFunSuite {
       assert(r.getAs[Long]("min_doc") >= seg * 100 &&
         r.getAs[Long]("max_doc") < (seg + 1) * 100)
     }
+  }
+
+  test("q98 TextRank gives symmetric-degree tokens identical ranks") {
+    // On a regular graph PageRank's fixpoint is uniform, and the
+    // damped integer iteration preserves that symmetry exactly: every
+    // round each node receives the same floor-divided contributions.
+    // The corpus is uncontrolled, so pin the property on a fixture —
+    // "x y x y x y" yields the 2-cycle with equal weights both ways.
+    import spark.implicits._
+    val docs = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("textrank").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ranks = SparkEntry.queries("q98_textrank")(spark, dir).collect()
+    assert(ranks.length === 2)
+    assert(ranks.map(_.getAs[Long]("rank")).distinct.length === 1,
+      s"symmetric tokens diverged: ${ranks.mkString(", ")}")
+    // damping floor: rank can never drop below the (1-d) restart mass
+    ranks.foreach(r => assert(r.getAs[Long]("rank") >= 150000L))
   }
 }

@@ -138,4 +138,17 @@ class PlanShapeSpec extends AnyFunSuite {
         s"broadcast build side is not a centroid table:\n$build")
     }
   }
+
+  test("q97 range join is an equi-join on bucket, never a nested loop") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    // a raw `ON ship >= ws AND ship < we` predicate has no equi-key, so
+    // Spark would plan BroadcastNestedLoopJoin — O(n·windows) compares
+    // and, for a big-big pair, no plan at all without a broadcastable
+    // side. The bucket mapping gives the join a hash key; the range
+    // predicate only post-filters hash-matched candidates
+    val plan = SparkEntry.queries("q97_range_join")(spark, sf)
+      .queryExecution.sparkPlan
+    val nl = allNodes(plan).collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(nl.isEmpty, s"range join degenerated to a nested loop:\n$plan")
+  }
 }

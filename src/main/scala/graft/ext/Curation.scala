@@ -476,5 +476,85 @@ object Curation {
         .select(col("lang"), col("w").as("n_tokens"), col("base_alloc"),
           expr("CASE WHEN rk <= leftover THEN 1 ELSE 0 END").as("extra"),
           expr("base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END").as("alloc"))
+    },
+
+    // ── Weighted priority sampling, top-K per stratum ──────────────────
+    // Length-weighted sampling without RNG state (Duffield et al.'s
+    // priority sampling; the hash-coin analog of A-ES weighted
+    // reservoirs): each doc draws a deterministic uniform u ∈ [1, 2^20]
+    // from its salted content hash and competes on priority = w·2^20/u
+    // — inclusion probability proportional to weight, reproducible
+    // across runs, engines, and partitionings. Both factors are exact
+    // integers ≤ 2^53, so the single IEEE divide is correctly rounded
+    // and bit-identical on both engines — no float accumulation
+    // anywhere. The per-source top-K rank-filter triggers
+    // WindowGroupLimit (like q57): each map task keeps ≤ K rows per
+    // stratum BEFORE the exchange, so the shuffle carries
+    // K·partitions·strata rows, never the corpus.
+    Q(
+      "q101_priority_sample", {
+        val h = Portable.h60Duck("concat('psamp|', doc_id::VARCHAR)")
+        s"""SELECT source, rk, doc_id, n_chars FROM (
+           |  SELECT source, doc_id, n_chars,
+           |    row_number() OVER (PARTITION BY source ORDER BY
+           |      CAST(n_chars AS DOUBLE) * 1048576.0 / ($h % 1048576 + 1) DESC,
+           |      doc_id) AS rk
+           |  FROM documents)
+           |WHERE rk <= 25""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = Portable.h60Spark("concat('psamp|', cast(doc_id as string))")
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          expr(s"CAST(n_chars AS DOUBLE) * 1048576.0D / ($h % 1048576 + 1)").as("pri"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("pri").desc, col("doc_id"))))
+        .where(col("rk") <= 25)
+        .select("source", "rk", "doc_id", "n_chars")
+    },
+
+    // ── Bloom-prefiltered contamination gate ───────────────────────────
+    // q50's decontamination join with an explicit bloom runtime filter
+    // in front of it — the shape Spark's own InjectRuntimeFilter gives
+    // selective joins, here as a first-class operator with fixed,
+    // deterministic bits. The benchmark's 5-gram shingles fold into a
+    // 4096-bit / 2-probe bloom represented as a 64-row (word, bits)
+    // RELATION — built with one bit_or aggregation, broadcast at
+    // constant size no matter how large the benchmark grows (the full
+    // distinct-shingle broadcast q50 uses stops fitting first; in
+    // production m scales ~10 bits/shingle). Corpus shingles probe both
+    // bit positions via broadcast equi-joins; only bloom-positive
+    // shingles reach the exact benchmark join, which removes the false
+    // positives, so the output is EXACT — the oracle is the bloom-free
+    // join. Docs with ≥ 3 true benchmark shingles are the delete list.
+    Q(
+      "q102_bloom_contamination",
+      s"""WITH ${Dedup.shingles5Duck},
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 50),
+         |corp AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 50)
+         |SELECT c.doc_id, count(*) AS n_overlap
+         |FROM corp c JOIN bench b ON b.sh = c.sh
+         |GROUP BY c.doc_id HAVING count(*) >= 3""".stripMargin) { (s, d) =>
+      val sh = Dedup.shingles5(s, d)
+      val bench = sh.filter(col("doc_id") < 50).select("sh").distinct().persist()
+      val corp = sh.filter(col("doc_id") >= 50)
+      // two probe positions per shingle from disjoint hash bits
+      val p1 = "(sh % 4096)"
+      val p2 = "((sh div 4096) % 4096)"
+      val bloom = bench
+        .select(explode(array(expr(p1), expr(p2))).as("p"))
+        .groupBy(expr("p div 64").as("w"))
+        .agg(expr("bit_or(shiftleft(1L, cast(p % 64 as int)))").as("bits"))
+      val cand = corp
+        .withColumn("w1", expr(s"$p1 div 64"))
+        .join(broadcast(bloom.select(col("w").as("w1"), col("bits").as("b1"))), "w1")
+        .where(expr(s"(b1 & shiftleft(1L, cast($p1 % 64 as int))) != 0"))
+        .withColumn("w2", expr(s"$p2 div 64"))
+        .join(broadcast(bloom.select(col("w").as("w2"), col("bits").as("b2"))), "w2")
+        .where(expr(s"(b2 & shiftleft(1L, cast($p2 % 64 as int))) != 0"))
+        .select("doc_id", "sh")
+      cand.join(broadcast(bench), "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+        .where(col("n_overlap") >= 3)
     })
 }

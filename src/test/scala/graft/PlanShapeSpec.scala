@@ -151,4 +151,23 @@ class PlanShapeSpec extends AnyFunSuite {
     val nl = allNodes(plan).collect { case j: BroadcastNestedLoopJoinExec => j }
     assert(nl.isEmpty, s"range join degenerated to a nested loop:\n$plan")
   }
+
+  test("q102 bloom probes gate the corpus before the exact benchmark join") {
+    // the exact shingle join must consume BLOOM-FILTERED candidates:
+    // its probe subtree carries both bitmask predicates. A plan where
+    // the exact join sees the raw corpus is q50 with extra steps — the
+    // bloom's whole point (shrinking the exact join's input) is gone
+    val plan = SparkEntry.queries("q102_bloom_contamination")(spark, sf)
+      .queryExecution.sparkPlan
+    val joins = allNodes(plan).collect { case j: BroadcastHashJoinExec => j }
+    // 3 broadcast joins: 2 bloom-word probes + 1 exact shingle join
+    assert(joins.size >= 3, s"expected bloom+exact join chain:\n$plan")
+    val exact = joins.filter(_.leftKeys.exists(_.toString.contains("sh")))
+    assert(exact.nonEmpty, s"no exact shingle join found:\n$plan")
+    exact.foreach { j =>
+      val probe = j.left.toString + j.right.toString
+      assert(probe.contains("b1") && probe.contains("b2"),
+        s"exact join probe side is not bloom-gated:\n$probe")
+    }
+  }
 }

@@ -346,5 +346,58 @@ object Temporal {
         .agg(
           count(lit(1)).as("n_items"),
           expr(Portable.qsum("l_quantity", 2)).as("qty_sum"))
+    },
+
+    // ── SCD2 dimension history from an event stream ────────────────────
+    // The warehouse's slowly-changing-dimension builder: collapse each
+    // user's event stream into versioned attribute rows — one row per
+    // run of a stable attribute (the value tier), with
+    // [valid_from, valid_to) effective ranges, NULL valid_to marking
+    // the current version. The reference's star ETL only upserts
+    // current rows (anti-join, J1/J2); SCD2 is what it would need the
+    // moment anyone asks "what tier was this user in LAST month".
+    // Shape: gaps-and-islands — one keyed exchange for the change-flag
+    // window, the run groupBy reuses that partitioning, then a
+    // versions-sized lead() window closes the ranges. All state is
+    // per-user version counts (tiny), never raw history.
+    Q(
+      "q103_scd2_history",
+      """WITH t AS (SELECT user_id, ts, event_id,
+        |             coalesce(CAST(floor(value / 25.0) AS BIGINT), -1) AS tier
+        |           FROM events),
+        |f AS (SELECT user_id, ts, event_id, tier,
+        |        CASE WHEN lag(tier) OVER w IS NULL
+        |               OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+        |      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |v AS (SELECT user_id, tier,
+        |        (sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT
+        |          AS version,
+        |        ts
+        |      FROM f),
+        |runs AS (SELECT user_id, version, tier,
+        |           min(ts) AS valid_from, count(*) AS n_events
+        |         FROM v GROUP BY user_id, version, tier)
+        |SELECT user_id, version, tier, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+        |  CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        |         IS NULL THEN 1 ELSE 0 END AS is_current,
+        |  n_events
+        |FROM runs""".stripMargin) { (s, d) =>
+      val byU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val byVer = Window.partitionBy("user_id").orderBy("version")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("coalesce(CAST(floor(value / 25.0D) AS BIGINT), -1L)").as("tier"))
+        .withColumn("chg",
+          when(lag("tier", 1).over(byU).isNull ||
+            lag("tier", 1).over(byU) =!= col("tier"), 1).otherwise(0))
+        .withColumn("version", sum("chg").over(byU))
+        .groupBy("user_id", "version", "tier")
+        .agg(min("ts").as("valid_from"), count(lit(1)).as("n_events"))
+        .withColumn("valid_to", lead("valid_from", 1).over(byVer))
+        .select(col("user_id"), col("version"), col("tier"), col("valid_from"),
+          col("valid_to"),
+          when(col("valid_to").isNull, 1).otherwise(0).as("is_current"),
+          col("n_events"))
     })
 }

@@ -486,6 +486,54 @@ object Dedup {
           expr("cast(levenshtein(ta, tb) as bigint)").as("lev"),
           expr("floor((greatest(length(ta), length(tb)) - levenshtein(ta, tb)) * 1000000.0D" +
             " / greatest(length(ta), length(tb))) / 1000000.0D").as("edit_sim"))
+    },
+
+    // ── Asymmetric containment dedup (subset/superset detection) ───────
+    // The dup class Jaccard-threshold pipelines MISS: a short doc fully
+    // quoted inside a long one has tiny Jaccard (|A∩B|/|A∪B| shrinks
+    // with the size gap) but containment |A∩B|/|A| ≈ 1. Algorithm:
+    // exact pair generation through the shingle inverted index, with a
+    // document-frequency cap (df ≤ 100) dropping "stop shingles" —
+    // boilerplate n-grams that (a) would make the self-join quadratic
+    // in the hottest bucket and (b) are precisely the shared text you
+    // DON'T want counted as containment evidence. The df cap bounds
+    // per-shingle join fanout at df²/2 BY CONSTRUCTION — no skew
+    // handling needed, unlike minhash banding — and containment is
+    // measured over each doc's rare-shingle set. All math is integer
+    // (count ratios in floor-ppm), so pairs are hash-exact. Emits
+    // pairs whose smaller side is ≥ 80% contained in the larger.
+    Q(
+      "q104_containment",
+      s"""WITH $shingles5Duck,
+         |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+         |rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN df ON df.sh = s.sh
+         |         WHERE df.df <= 100),
+         |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM rare GROUP BY doc_id),
+         |c AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, CAST(count(*) AS BIGINT) AS c
+         |      FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT a_id, b_id, c.c AS n_shared, least(na.n, nb.n) AS n_small,
+         |  CASE WHEN na.n <= nb.n THEN a_id ELSE b_id END AS contained_id,
+         |  CAST(c.c * 1000000 // least(na.n, nb.n) AS BIGINT) AS cont_ppm
+         |FROM c JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+         |WHERE c.c * 1000000 // least(na.n, nb.n) >= 800000""".stripMargin) { (s, d) =>
+      val sh = shingles5(s, d)
+      val dfc = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      val rare = sh.join(dfc.filter(col("df") <= 100).select("sh"), "sh").persist()
+      val n = rare.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val c = rare.as("x")
+        .join(rare.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("c"))
+      c.join(n.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+        .join(n.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+        .withColumn("cont_ppm", expr("(c * 1000000) div least(na, nb)"))
+        .filter(col("cont_ppm") >= 800000)
+        .select(col("a_id"), col("b_id"), col("c").as("n_shared"),
+          expr("least(na, nb)").as("n_small"),
+          expr("CASE WHEN na <= nb THEN a_id ELSE b_id END").as("contained_id"),
+          col("cont_ppm"))
     })
 
   /** Exact-Jaccard verification of a candidate-pair relation against

@@ -445,5 +445,48 @@ object Statistics {
           count(lit(1)).as("n_docs"),
           sum("n_chars").as("chars"))
         .select("gid", "lang", "source", "n_docs", "chars")
+    },
+
+    // ── Equi-depth (CDF-histogram) length deciles per language ─────────
+    // The curriculum/quality-binning partner to q24's fixed-width bins:
+    // ~10% of each language's docs per bin, derived WITHOUT a per-lang
+    // total sort. ntile() would be the one-liner, but its window is a
+    // single sorted task per language — the hottest language at 100 TB
+    // funnels through one reducer. Instead: value-frequency histogram
+    // (map-side-combined groupBy over the DISCRETE length domain),
+    // cumulative count over the HISTOGRAM rows (a window over
+    // lang × distinct-lengths — thousands of rows, not the corpus),
+    // and bin = 10·cum_before div total. Docs sharing a length land in
+    // the same bin (no tie-splitting, the one semantic difference from
+    // ntile — and the defensible one: equal inputs, equal treatment).
+    // Pure integer math throughout; per-bin stats re-aggregate the
+    // histogram, so the corpus is scanned exactly once.
+    Q(
+      "q105_equidepth_bins",
+      """WITH h AS (SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS f
+        |           FROM documents GROUP BY lang, n_chars),
+        |cum AS (SELECT lang, n_chars, f,
+        |          CAST(coalesce(sum(f) OVER (PARTITION BY lang ORDER BY n_chars
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |               AS BIGINT) AS cb,
+        |          CAST(sum(f) OVER (PARTITION BY lang) AS BIGINT) AS tot
+        |        FROM h)
+        |SELECT lang, CAST(cb * 10 // tot AS BIGINT) AS bin,
+        |  CAST(sum(f) AS BIGINT) AS n_docs,
+        |  min(n_chars) AS lo, max(n_chars) AS hi,
+        |  CAST(sum(f * n_chars) AS BIGINT) AS chars
+        |FROM cum GROUP BY lang, cb * 10 // tot""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byLang = Window.partitionBy("lang").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .groupBy("lang", "n_chars").agg(count(lit(1)).as("f"))
+        .withColumn("cb", coalesce(sum("f").over(byLang), lit(0L)))
+        .withColumn("tot", sum("f").over(Window.partitionBy("lang")))
+        .groupBy(col("lang"), expr("(cb * 10) div tot").as("bin"))
+        .agg(
+          sum("f").as("n_docs"),
+          min("n_chars").as("lo"), max("n_chars").as("hi"),
+          expr("cast(sum(f * n_chars) as bigint)").as("chars"))
     })
 }

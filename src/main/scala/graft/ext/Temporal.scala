@@ -399,5 +399,55 @@ object Temporal {
           col("valid_to"),
           when(col("valid_to").isNull, 1).otherwise(0).as("is_current"),
           col("n_events"))
+    },
+
+    // ── Regular-grid resampling with LOCF (feature-store alignment) ────
+    // Irregular sensor/event series → each user's values sampled onto
+    // an hourly grid with last-observation-carried-forward — the
+    // alignment step before any model-feature join (regular grids join
+    // by equality; raw event times need per-row as-of probes). Shape:
+    // the grid generates from each user's OWN [min, max] span (one
+    // pre-aggregated row per user exploded into grid points — no
+    // corpus-sized cross join against a global calendar), then ONE
+    // union + keyed sort-window pass carries values onto grid rows, the
+    // same single-exchange pattern as the as-of join (q45). Grid rows
+    // order AFTER readings at the same instant (g = 1 tiebreak), so a
+    // reading exactly on the hour is visible to that hour's grid point.
+    // Values pass through raw — no arithmetic, exact on both engines.
+    Q(
+      "q106_resample_locf",
+      """WITH b AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1
+        |           FROM events GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |           unnest(generate_series(date_trunc('hour', t0),
+        |                                  date_trunc('hour', t1),
+        |                                  INTERVAL 1 HOUR)) AS ts
+        |         FROM b),
+        |u AS (SELECT user_id, ts, 0 AS g, event_id, value FROM events
+        |      UNION ALL
+        |      SELECT user_id, ts, 1, NULL, NULL FROM grid),
+        |w AS (SELECT user_id, ts, g,
+        |        last_value(value IGNORE NULLS) OVER (
+        |          PARTITION BY user_id ORDER BY ts, g, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        |      FROM u)
+        |SELECT user_id, ts AS hour_ts, v FROM w WHERE g = 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select("user_id", "ts", "event_id", "value")
+      val grid = ev.groupBy("user_id").agg(min("ts").as("t0"), max("ts").as("t1"))
+        .select(col("user_id"), explode(expr(
+          "sequence(date_trunc('hour', t0), date_trunc('hour', t1), interval 1 hour)"))
+          .as("ts"))
+      val unioned = ev.select(col("user_id"), col("ts"), lit(0).as("g"),
+          col("event_id"), col("value"))
+        .unionAll(grid.select(col("user_id"), col("ts"), lit(1).as("g"),
+          lit(null).cast("bigint").as("event_id"),
+          lit(null).cast("double").as("value")))
+      unioned
+        .withColumn("v", last(col("value"), ignoreNulls = true).over(
+          Window.partitionBy("user_id").orderBy("ts", "g", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .where(col("g") === 1)
+        .select(col("user_id"), col("ts").as("hour_ts"), col("v"))
     })
 }

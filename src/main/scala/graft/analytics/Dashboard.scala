@@ -199,5 +199,45 @@ object Dashboard {
       Tables.events(s, d)
         .groupBy("user_id", "event_type")
         .agg(min("event_id").as("first_event_id"))
+    },
+
+    // ── Rolling 7-day RANGE window over the daily series ───────────────
+    // The trailing-week trend tile: per-type daily totals with a
+    // 7-day rolling sum/count. RANGE (not ROWS) semantics — a type
+    // with missing days must not silently widen its window to 7
+    // PRESENT rows. Scale shape: the rolling window runs over the
+    // pre-aggregated (type, day) SERIES (map-side-combined groupBy
+    // first), never over raw events — the exchange carries one row per
+    // type-day. The order key is an integer epoch-day so the RANGE
+    // frame is pure integer arithmetic on both engines; sums are
+    // micro-unit integers re-scaled at the edge (Portable.qresum).
+    Q(
+      "q107_rolling_window",
+      s"""WITH d AS (SELECT event_type,
+         |             CAST(date_trunc('day', ts) AS DATE) AS day,
+         |             CAST(sum(${Portable.qval("value")}) AS BIGINT) AS sv,
+         |             count(*) AS n
+         |           FROM events GROUP BY 1, 2)
+         |SELECT event_type, day, ${Portable.qscale("sv", 2)} AS day_value, n,
+         |  ${Portable.qscale("CAST(sum(sv) OVER w AS BIGINT)", 2)} AS roll7_value,
+         |  CAST(sum(n) OVER w AS BIGINT) AS roll7_n
+         |FROM d
+         |WINDOW w AS (PARTITION BY event_type ORDER BY day - DATE '1970-01-01'
+         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type")
+        .orderBy(expr("datediff(day, date'1970-01-01')"))
+        .rangeBetween(-6, 0)
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(
+          expr(s"CAST(sum(${Portable.qval("value")}) AS BIGINT)").as("sv"),
+          count(lit(1)).as("n"))
+        .withColumn("rsv", sum("sv").over(w).cast("long"))
+        .withColumn("roll7_n", sum("n").over(w).cast("long"))
+        .select(col("event_type"), col("day"),
+          expr(Portable.qscale("sv", 2)).as("day_value"), col("n"),
+          expr(Portable.qscale("rsv", 2)).as("roll7_value"), col("roll7_n"))
     })
 }

@@ -258,5 +258,47 @@ object Clustering {
             .orderBy(col("quality").desc, col("doc_id"))))
         .select(col("doc_id"), col("cluster_id"), col("quality"),
           (col("r") === 1).as("keep"))
+    },
+
+    // ── Triangle census over the near-dup graph ────────────────────────
+    // Transitivity audit for the dup graph: SimHash pairs are not
+    // transitive (A≈B, B≈C does not force A≈C at hamming ≤ 6), and the
+    // triangle count per doc measures how CLIQUE-LIKE its neighborhood
+    // is — template families triangulate densely, chain-shaped false
+    // merges don't. That makes this the diagnostic for q53's
+    // cluster-formation quality. Classic distributed triangle shape:
+    // edges are canonically oriented a<b, triangles enumerate as
+    // wedge-join (p1.b = p2.a) + closing-edge probe — every triangle
+    // a<b<c counted exactly once, no orientation dedup needed. All
+    // joins run on the DUP-RATE-sized pair relation (persisted once),
+    // never the corpus; production would orient by degree instead of
+    // id to bound the hottest wedge fan-out. Output: per-doc
+    // participation counts.
+    Q(
+      "q108_triangles",
+      s"""WITH ${Dedup.simhashPairsDuck},
+         |e AS (SELECT DISTINCT a_id AS a, b_id AS b FROM spairs),
+         |tri AS (SELECT p1.a AS a, p1.b AS b, p2.b AS c
+         |        FROM e p1
+         |        JOIN e p2 ON p2.a = p1.b
+         |        JOIN e p3 ON p3.a = p1.a AND p3.b = p2.b),
+         |m AS (SELECT a AS doc_id FROM tri
+         |      UNION ALL SELECT b FROM tri
+         |      UNION ALL SELECT c FROM tri)
+         |SELECT doc_id, count(*) AS n_triangles
+         |FROM m GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val e = Dedup.simhashPairs(s, d)
+        .select(col("a_id").as("a"), col("b_id").as("b"))
+        .distinct().persist()
+      val tri = e.as("p1")
+        .join(e.as("p2"), col("p2.a") === col("p1.b"))
+        .join(e.as("p3"),
+          col("p3.a") === col("p1.a") && col("p3.b") === col("p2.b"))
+        .select(col("p1.a").as("a"), col("p1.b").as("b"), col("p2.b").as("c"))
+      tri.select(col("a").as("doc_id"))
+        .unionAll(tri.select(col("b")))
+        .unionAll(tri.select(col("c")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_triangles"))
     })
 }

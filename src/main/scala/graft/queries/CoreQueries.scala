@@ -223,5 +223,67 @@ object CoreQueries {
         concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
         substring(col("o_orderpriority"), 1, 1).as("prio_code"),
         floor(col("o_totalprice")).cast("bigint").as("price_floor"))
+    },
+
+    // ── CDC MERGE: apply a change batch onto a dimension snapshot ──────
+    // The MERGE INTO semantics the warehouse's incremental load needs
+    // once rows UPDATE rather than only append (the reference's
+    // anti-join upsert, J1/J2, only handles inserts): snapshot = state
+    // through Jan 20, changes = the next day's batch, merged per key by
+    // full-outer join + precedence — matched keys combine additively
+    // (counts/sums add, last_ts takes the max), unmatched-right keys
+    // insert, unmatched-left keys carry forward. The op tag is the
+    // audit column a real MERGE writes to its log. Scale shape: both
+    // sides pre-aggregate to one row per key BEFORE the join (the
+    // exchange carries dimension-sized state, not events), and the
+    // changes side of a daily batch is the small side — AQE broadcasts
+    // it. State is all integer/timestamp, so merged rows hash-exact.
+    Q(
+      "q109_cdc_merge",
+      s"""WITH snap AS (SELECT user_id, count(*) AS n_events,
+         |                CAST(sum(${Portable.qval("value")}) AS BIGINT) AS sv,
+         |                max(ts) AS last_ts
+         |              FROM events WHERE ts < TIMESTAMP '2024-01-21'
+         |              GROUP BY user_id),
+         |delta AS (SELECT user_id, count(*) AS n_events,
+         |            CAST(sum(${Portable.qval("value")}) AS BIGINT) AS sv,
+         |            max(ts) AS last_ts
+         |          FROM events
+         |          WHERE ts >= TIMESTAMP '2024-01-21'
+         |            AND ts < TIMESTAMP '2024-01-22'
+         |          GROUP BY user_id)
+         |SELECT coalesce(s.user_id, c.user_id) AS user_id,
+         |  CASE WHEN s.user_id IS NULL THEN 'insert'
+         |       WHEN c.user_id IS NULL THEN 'keep'
+         |       ELSE 'update' END AS op,
+         |  coalesce(s.n_events, 0) + coalesce(c.n_events, 0) AS n_events,
+         |  ${Portable.qscale("coalesce(s.sv, 0) + coalesce(c.sv, 0)", 2)} AS value_sum,
+         |  greatest(coalesce(s.last_ts, c.last_ts),
+         |           coalesce(c.last_ts, s.last_ts)) AS last_ts
+         |FROM snap s FULL OUTER JOIN delta c ON c.user_id = s.user_id""".stripMargin) { (s, d) =>
+      def state(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("user_id").agg(
+          count(lit(1)).as("n_events"),
+          expr(s"CAST(sum(${Portable.qval("value")}) AS BIGINT)").as("sv"),
+          max("ts").as("last_ts"))
+      val ev = Tables.events(s, d)
+      val snap = state(ev.filter(col("ts") < lit("2024-01-21").cast("timestamp")))
+        .toDF("s_uid", "s_n", "s_sv", "s_ts")
+      val delta = state(ev.filter(
+          col("ts") >= lit("2024-01-21").cast("timestamp") &&
+            col("ts") < lit("2024-01-22").cast("timestamp")))
+        .toDF("c_uid", "c_n", "c_sv", "c_ts")
+      snap.join(delta, col("c_uid") === col("s_uid"), "full_outer")
+        .select(
+          coalesce(col("s_uid"), col("c_uid")).as("user_id"),
+          when(col("s_uid").isNull, "insert")
+            .when(col("c_uid").isNull, "keep")
+            .otherwise("update").as("op"),
+          (coalesce(col("s_n"), lit(0L)) + coalesce(col("c_n"), lit(0L)))
+            .as("n_events"),
+          expr(Portable.qscale("coalesce(s_sv, 0L) + coalesce(c_sv, 0L)", 2))
+            .as("value_sum"),
+          greatest(coalesce(col("s_ts"), col("c_ts")),
+            coalesce(col("c_ts"), col("s_ts"))).as("last_ts"))
     })
 }

@@ -285,5 +285,39 @@ object CoreQueries {
             .as("value_sum"),
           greatest(coalesce(col("s_ts"), col("c_ts")),
             coalesce(col("c_ts"), col("s_ts"))).as("last_ts"))
+    },
+
+    // ── Bag set-ops: INTERSECT ALL / EXCEPT ALL (§2.5) ─────────────────
+    // Multiplicity-preserving reconciliation of two halves of the
+    // month: the (user, type) activity BAG common to both halves
+    // (min(c1, c2) copies — a user with 3 early clicks and 2 late ones
+    // contributes 2, where plain INTERSECT would say 1) and the bag
+    // left over from the first half (c1 − c2 copies). Spark plans both
+    // as ONE combined count aggregate per key + a replicate generator —
+    // the exchange carries (key, c1, c2) rows, never the event stream
+    // twice. The final per-key count collapses the replication for a
+    // compact result but keeps the multiplicity visible.
+    Q(
+      "q110_set_ops",
+      """WITH w1 AS (SELECT user_id, event_type FROM events
+        |            WHERE ts < TIMESTAMP '2024-01-15'),
+        |w2 AS (SELECT user_id, event_type FROM events
+        |       WHERE ts >= TIMESTAMP '2024-01-15'),
+        |com AS (SELECT * FROM w1 INTERSECT ALL SELECT * FROM w2),
+        |only1 AS (SELECT * FROM w1 EXCEPT ALL SELECT * FROM w2)
+        |SELECT 'common' AS side, user_id, event_type, count(*) AS n
+        |FROM com GROUP BY user_id, event_type
+        |UNION ALL
+        |SELECT 'w1_only', user_id, event_type, count(*)
+        |FROM only1 GROUP BY user_id, event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+      val cut = lit("2024-01-15").cast("timestamp")
+      val w1 = ev.filter(col("ts") < cut).drop("ts")
+      val w2 = ev.filter(col("ts") >= cut).drop("ts")
+      def counted(df: org.apache.spark.sql.DataFrame, side: String) =
+        df.groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+          .select(lit(side).as("side"), col("user_id"), col("event_type"), col("n"))
+      counted(w1.intersectAll(w2), "common")
+        .unionAll(counted(w1.exceptAll(w2), "w1_only"))
     })
 }

@@ -41,6 +41,37 @@ object WindowedAggs {
         col("sum_value"), col("avg_value"), col("n")): _*)
   }
 
+  /** Hopping (sliding) event-time windows: width `width`, advancing
+    * every `slide` — each event lands in width/slide overlapping
+    * windows (the smoothing trend tile tumbling can't produce: a
+    * 10-min window sliding by 5 re-reports each event twice at two
+    * alignments). Spark expands the overlap BEFORE the partial
+    * aggregation, so the exchange still carries (window × key)
+    * aggregate rows — width/slide × the tumbling state, bounded by the
+    * watermark horizon as usual. Same plan runs in batch; q107's
+    * RANGE-frame rolling window is the batch-series cousin over
+    * pre-aggregated days.
+    */
+  def hopping(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      width: String = "10 minutes",
+      slide: String = "5 minutes",
+      delay: String = "10 minutes",
+      keyCols: Seq[String] = Nil): DataFrame = {
+    val base = if (df.isStreaming) df.withWatermark(tsCol, delay) else df
+    base
+      .groupBy(window(col(tsCol), width, slide) +: keyCols.map(col): _*)
+      .agg(
+        sum(valueCol).as("sum_value"),
+        count(lit(1)).as("n"))
+      .select(Seq(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end")) ++ keyCols.map(col) ++ Seq(
+        col("sum_value"), col("n")): _*)
+  }
+
   /** Gap-based session windows over `tsCol` (`session_window`, the
     * streaming form of the batch sessionization operator q46): a
     * session extends while successive events per key arrive within

@@ -42,6 +42,33 @@ class WindowedAggsSpec extends AnyFunSuite {
     assert(rows.head.getLong(2) === 2L)
   }
 
+  test("hopping windows report each event at every overlapping alignment") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    in.addData(
+      (ts("2025-08-09 12:07:00"), 3.0),
+      // closes every window ending ≤ 13:50 (watermark 10 min behind)
+      (ts("2025-08-09 14:00:00"), 9.0))
+    val q = WindowedAggs.hopping(
+      in.toDF.toDF("ts", "value"), "ts", "value",
+      width = "10 minutes", slide = "5 minutes")
+      .writeStream
+      .format("memory").queryName("hop_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.table("hop_out")
+      .select("window_start", "sum_value").collect()
+      .map(r => (r.getTimestamp(0), r.getDouble(1))).sortBy(_._1.getTime)
+    // the 12:07 event appears under BOTH its alignments (12:00-12:10
+    // and 12:05-12:15) — the overlap tumbling can't produce
+    assert(rows === Seq(
+      (ts("2025-08-09 12:00:00"), 3.0),
+      (ts("2025-08-09 12:05:00"), 3.0)))
+  }
+
   test("same plan aggregates in batch (watermark no-op), keyed variant") {
     import spark.implicits._
     val df = Seq(

@@ -519,7 +519,14 @@ object Dedup {
          |WHERE c.c * 1000000 // least(na.n, nb.n) >= 800000""".stripMargin) { (s, d) =>
       val sh = shingles5(s, d)
       val dfc = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      val rare = sh.join(dfc.filter(col("df") <= 100).select("sh"), "sh").persist()
+      // subtract the HOT shingles (df > 100) rather than joining the
+      // rare ones in: "rare" is nearly the whole shingle stream, so an
+      // equi-join against it shuffles corpus-sized build AND probe
+      // sides, while the hot list is a handful of boilerplate shingles
+      // — a broadcast anti-join whose build side shrinks as the df cap
+      // rises. Same relation either way.
+      val rare = sh.join(broadcast(dfc.filter(col("df") > 100).select("sh")),
+        Seq("sh"), "left_anti").persist()
       val n = rare.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val c = rare.as("x")
         .join(rare.as("y"),

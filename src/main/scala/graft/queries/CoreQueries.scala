@@ -319,5 +319,52 @@ object CoreQueries {
           .select(lit(side).as("side"), col("user_id"), col("event_type"), col("n"))
       counted(w1.intersectAll(w2), "common")
         .unionAll(counted(w1.exceptAll(w2), "w1_only"))
+    },
+
+    // ── Ranking-function surface: rank / dense_rank / percent_rank /
+    //    cume_dist over per-type leaderboards (§2.5) ────────────────────
+    // The remaining window verbs in one leaderboard: users ranked per
+    // event type by exact integer activity (count, then micro-unit
+    // value sum, then user_id — a total order, so every rank function
+    // is deterministic). Scale shape: the window runs over the
+    // (type × user) AGGREGATE — combine-reduced before the exchange —
+    // never raw events, and the rank filter keeps the output to each
+    // type's top 15. percent_rank/cume_dist divide exact integers once
+    // (correctly-rounded IEEE, engine-exact); ranks themselves are
+    // integer. rank vs dense_rank vs row_number differences are pinned
+    // by construction (ties impossible → all three agree; the oracle
+    // equality IS the tie-freeness proof).
+    Q(
+      "q111_rank_functions",
+      s"""WITH a AS (SELECT event_type, user_id, count(*) AS n,
+         |             CAST(sum(${Portable.qval("value")}) AS BIGINT) AS sv
+         |           FROM events GROUP BY event_type, user_id)
+         |SELECT event_type, user_id, n, rk, drk,
+         |  floor(prk * 1000000.0) / 1000000.0 AS pct_rank,
+         |  floor(cd * 1000000.0) / 1000000.0 AS cume
+         |FROM (SELECT event_type, user_id, n,
+         |        rank() OVER w AS rk,
+         |        dense_rank() OVER w AS drk,
+         |        percent_rank() OVER w AS prk,
+         |        cume_dist() OVER w AS cd
+         |      FROM a
+         |      WINDOW w AS (PARTITION BY event_type
+         |                   ORDER BY n DESC, sv DESC, user_id))
+         |WHERE rk <= 15""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("n").desc, col("sv").desc, col("user_id"))
+      Tables.events(s, d)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n"),
+          expr(s"CAST(sum(${Portable.qval("value")}) AS BIGINT)").as("sv"))
+        .select(col("event_type"), col("user_id"), col("n"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"),
+          percent_rank().over(w).as("prk"),
+          cume_dist().over(w).as("cd"))
+        .where(col("rk") <= 15)
+        .select(col("event_type"), col("user_id"), col("n"), col("rk"), col("drk"),
+          expr("floor(prk * 1000000.0D) / 1000000.0D").as("pct_rank"),
+          expr("floor(cd * 1000000.0D) / 1000000.0D").as("cume"))
     })
 }

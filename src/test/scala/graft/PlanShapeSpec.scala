@@ -170,4 +170,28 @@ class PlanShapeSpec extends AnyFunSuite {
         s"exact join probe side is not bloom-gated:\n$probe")
     }
   }
+
+  test("a day-partitioned lake scan accepts a dynamic partition-pruning filter") {
+    // the lake layout contract (IngestStream partitions its sink;
+    // SURVEY §4): joining a partitioned fact to a filtered dimension on
+    // the partition column must push a RUNTIME subquery filter into the
+    // fact scan — at 100 TB this is the difference between reading 3
+    // days and reading every partition, and it only engages when the
+    // join key IS the partition column and the dim side broadcasts
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    Tables.events(spark, sf)
+      .withColumn("day", expr("cast(date_trunc('day', ts) as date)"))
+      .write.partitionBy("day").mode("overwrite").parquet(s"$dir/fact")
+    spark.read.parquet(s"$dir/fact")
+      .select(col("day")).distinct()
+      .withColumn("keep", expr("CASE WHEN day(day) <= 3 THEN 1 ELSE 0 END"))
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim").filter(col("keep") === 1)
+    val plan = fact.join(dim, "day").groupBy("event_type").count()
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition-pruning filter reached the fact scan:\n$plan")
+  }
 }

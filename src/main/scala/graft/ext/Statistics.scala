@@ -488,5 +488,148 @@ object Statistics {
           sum("f").as("n_docs"),
           min("n_chars").as("lo"), max("n_chars").as("hi"),
           expr("cast(sum(f * n_chars) as bigint)").as("chars"))
+    },
+
+    // ── Winsorized robust stats (outlier-clamped mean) ─────────────────
+    // The metric-pipeline defense against sensor spikes: per-type mean
+    // with values clamped to the [p05, p95] nearest-rank percentiles.
+    // Everything stays in the micro-unit INTEGER domain — the clamp
+    // bounds are array elements (no interpolation), and the winsorized
+    // sum folds the clamped array with an integer `aggregate` HOF — so
+    // the only float op is the final fixed-order scaling. Same
+    // per-group sorted-array form as q43 (exact percentile contract);
+    // the group count is the type cardinality, and at extreme per-group
+    // sizes the documented sketch path (q63) takes over.
+    Q(
+      "q112_winsorized_stats",
+      s"""WITH a AS (SELECT event_type,
+         |             list_sort(list(${Portable.qval("value")})) AS arr,
+         |             count(value) AS n
+         |           FROM events WHERE value IS NOT NULL GROUP BY event_type),
+         |b AS (SELECT event_type, n, arr,
+         |        arr[floor(0.05 * (n - 1))::BIGINT + 1] AS lo,
+         |        arr[floor(0.95 * (n - 1))::BIGINT + 1] AS hi
+         |      FROM a)
+         |SELECT event_type, n,
+         |  ${Portable.qscale("lo", 2)} AS p05,
+         |  ${Portable.qscale("hi", 2)} AS p95,
+         |  ${Portable.qscale(
+        "CAST(list_sum(list_transform(arr, x -> least(greatest(x, lo), hi))) AS BIGINT)" +
+          " // n", 2)} AS wmean
+         |FROM b""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(
+          sort_array(collect_list(expr(Portable.qval("value")))).as("arr"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"), col("arr"),
+          expr("element_at(arr, cast(0.05D * (n - 1) as int) + 1)").as("lo"),
+          expr("element_at(arr, cast(0.95D * (n - 1) as int) + 1)").as("hi"))
+        .select(col("event_type"), col("n"),
+          expr(Portable.qscale("lo", 2)).as("p05"),
+          expr(Portable.qscale("hi", 2)).as("p95"),
+          expr(Portable.qscale(
+            "aggregate(arr, 0L, (acc, x) -> acc + least(greatest(x, lo), hi)) div n",
+            2)).as("wmean"))
+    },
+
+    // ── A/B lift with Welch t-statistic (experiment readout) ───────────
+    // Deterministic experiment analysis: users split A/B by salted
+    // content hash (stable assignment, re-derivable anywhere), then
+    // per-type group moments as EXACT integer sums — n, Σy, Σy² in
+    // centi-units, one combine-reduced pass with conditional aggregates
+    // (no second scan, no pivot job). Mean/variance/t derive from the
+    // exact integers through one fixed sequence of correctly-rounded
+    // double ops (sqrt included — IEEE sqrt is correctly rounded), so
+    // both engines emit identical bits; float AGGREGATION never
+    // happens. Overflow bound: Σy² in centi² stays ≤ 2^63 while
+    // n·(100·y_max)² < 9.2e18 — y ≤ 100 here gives ~9e10 rows headroom
+    // per group.
+    Q(
+      "q113_ab_lift", {
+        val grp = s"${Portable.h60Duck("concat('ab|', user_id::VARCHAR)")} % 2"
+        s"""WITH m AS (SELECT event_type,
+           |  count(CASE WHEN $grp = 0 THEN 1 END) AS na,
+           |  CAST(coalesce(sum(CASE WHEN $grp = 0
+           |    THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS sa,
+           |  CAST(coalesce(sum(CASE WHEN $grp = 0
+           |    THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+           |       * CAST(floor(value * 100.0 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS qa,
+           |  count(CASE WHEN $grp = 1 THEN 1 END) AS nb,
+           |  CAST(coalesce(sum(CASE WHEN $grp = 1
+           |    THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS sb,
+           |  CAST(coalesce(sum(CASE WHEN $grp = 1
+           |    THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+           |       * CAST(floor(value * 100.0 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS qb
+           |FROM events WHERE value IS NOT NULL GROUP BY event_type)
+           |SELECT event_type, na, nb,
+           |  floor(CAST(sa AS DOUBLE) / na) / 100.0 AS mean_a,
+           |  floor(CAST(sb AS DOUBLE) / nb) / 100.0 AS mean_b,
+           |  CAST(floor((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)
+           |        * 1000000.0 / (CAST(sa AS DOUBLE) / na)) AS BIGINT) AS lift_ppm,
+           |  floor((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)
+           |    / sqrt((CAST(qa AS DOUBLE) / na - (CAST(sa AS DOUBLE) / na) * (CAST(sa AS DOUBLE) / na)) / na
+           |         + (CAST(qb AS DOUBLE) / nb - (CAST(sb AS DOUBLE) / nb) * (CAST(sb AS DOUBLE) / nb)) / nb)
+           |    * 10000.0) / 10000.0 AS t_stat
+           |FROM m""".stripMargin
+      }) { (s, d) =>
+      val grp = s"${Portable.h60Spark("concat('ab|', cast(user_id as string))")} % 2"
+      val cy = "CAST(floor(value * 100.0D + 0.5D) AS BIGINT)"
+      Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(
+          count(expr(s"CASE WHEN $grp = 0 THEN 1 END")).as("na"),
+          expr(s"CAST(coalesce(sum(CASE WHEN $grp = 0 THEN $cy END), 0L) AS BIGINT)").as("sa"),
+          expr(s"CAST(coalesce(sum(CASE WHEN $grp = 0 THEN $cy * $cy END), 0L) AS BIGINT)").as("qa"),
+          count(expr(s"CASE WHEN $grp = 1 THEN 1 END")).as("nb"),
+          expr(s"CAST(coalesce(sum(CASE WHEN $grp = 1 THEN $cy END), 0L) AS BIGINT)").as("sb"),
+          expr(s"CAST(coalesce(sum(CASE WHEN $grp = 1 THEN $cy * $cy END), 0L) AS BIGINT)").as("qb"))
+        .select(col("event_type"), col("na"), col("nb"),
+          expr("floor(CAST(sa AS DOUBLE) / na) / 100.0D").as("mean_a"),
+          expr("floor(CAST(sb AS DOUBLE) / nb) / 100.0D").as("mean_b"),
+          expr("CAST(floor((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)" +
+            " * 1000000.0D / (CAST(sa AS DOUBLE) / na)) AS BIGINT)").as("lift_ppm"),
+          expr("floor((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)" +
+            " / sqrt((CAST(qa AS DOUBLE) / na - (CAST(sa AS DOUBLE) / na) * (CAST(sa AS DOUBLE) / na)) / na" +
+            "      + (CAST(qb AS DOUBLE) / nb - (CAST(sb AS DOUBLE) / nb) * (CAST(sb AS DOUBLE) / nb)) / nb)" +
+            " * 10000.0D) / 10000.0D").as("t_stat"))
+    },
+
+    // ── Source-concentration Gini per language (diversity audit) ───────
+    // Is a language's token mass spread across sources or dominated by
+    // one crawl? Gini over per-source token masses, log-free and
+    // integer-exact: with sources ranked ascending by (mass, source),
+    // G = (2·Σ rank·wᵢ − (n+1)·Σw) / (n·Σw) — numerator and
+    // denominator accumulate as BIGINTs, one floor-ppm division at the
+    // edge. The ranking window runs over the lang × source AGGREGATE
+    // (≤ 20 rows per lang), never documents; the token-mass groupBy is
+    // the single corpus pass, combine-reduced.
+    Q(
+      "q114_source_gini",
+      """WITH w AS (SELECT lang, source,
+        |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS w
+        |           FROM documents GROUP BY lang, source),
+        |r AS (SELECT lang, source, w,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY w, source) AS BIGINT) AS rk
+        |      FROM w)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+        |  CAST(sum(w) AS BIGINT) AS total_tokens,
+        |  CAST((2 * CAST(sum(rk * w) AS BIGINT) - (count(*) + 1) * CAST(sum(w) AS BIGINT))
+        |       * 1000000 // (count(*) * CAST(sum(w) AS BIGINT)) AS BIGINT) AS gini_ppm
+        |FROM r GROUP BY lang""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .groupBy("lang", "source")
+        .agg(expr("cast(sum(size(split(text, ' '))) as bigint)").as("w"))
+        .withColumn("rk", expr("cast(row_number() over " +
+          "(partition by lang order by w, source) as bigint)"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_sources"),
+          sum("w").as("total_tokens"),
+          expr("(2 * sum(rk * w) - (count(1) + 1) * sum(w))" +
+            " * 1000000 div (count(1) * sum(w))").as("gini_ppm"))
     })
 }

@@ -631,5 +631,112 @@ object Statistics {
           sum("w").as("total_tokens"),
           expr("(2 * sum(rk * w) - (count(1) + 1) * sum(w))" +
             " * 1000000 div (count(1) * sum(w))").as("gini_ppm"))
+    },
+
+    // ── CUSUM change-point detection over the daily series ─────────────
+    // Where did each metric's level shift? Page's CUSUM statistic,
+    // integer-exact: per-type daily sums y_k (centi-units), deviations
+    // scaled by n so the mean needs no division — d_k = n·y_k − Σy —
+    // and the running Σd_k over ordered days peaks at the most likely
+    // change point. One corpus pass builds the daily aggregate; the
+    // cumulative window and the argmax (max_by with a day tiebreak on
+    // both engines) run over the ~30-row-per-type series. Overflow:
+    // |n·y_k| ≤ days · Σy ≤ 31 · 2^40 ≪ 2^63. Emits the peak day, its
+    // |CUSUM| (scaled back to value-units via n), and the mean shift
+    // direction.
+    Q(
+      "q115_cusum_changepoint",
+      """WITH day_agg AS (SELECT event_type,
+        |                   CAST(date_trunc('day', ts) AS DATE) AS day,
+        |                   CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |                 FROM events WHERE value IS NOT NULL
+        |                 GROUP BY 1, 2),
+        |s AS (SELECT event_type, day, y,
+        |        CAST(count(*) OVER p AS BIGINT) AS n,
+        |        CAST(sum(y) OVER p AS BIGINT) AS sy,
+        |        CAST(sum(y) OVER (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cy,
+        |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS k
+        |      FROM day_agg WINDOW p AS (PARTITION BY event_type)),
+        |c AS (SELECT event_type, day, n, n * cy - k * sy AS cusum FROM s),
+        |r AS (SELECT event_type, day, n, cusum,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY abs(cusum) DESC, day DESC) AS rn
+        |      FROM c)
+        |SELECT event_type, day AS peak_day,
+        |  CAST(floor(CAST(abs(cusum) AS DOUBLE) / n / 100.0) AS BIGINT) AS peak_cusum,
+        |  CASE WHEN cusum > 0 THEN 'down' ELSE 'up' END AS shift_dir
+        |FROM r WHERE rn = 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val p = Window.partitionBy("event_type")
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(expr("CAST(sum(CAST(floor(value * 100.0D + 0.5D) AS BIGINT)) AS BIGINT)")
+          .as("y"))
+        .withColumn("n", count(lit(1)).over(p))
+        .withColumn("sy", sum("y").over(p))
+        .withColumn("cy", sum("y").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("k", row_number().over(ord).cast("long"))
+        .withColumn("cusum", expr("n * cy - k * sy"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type")
+            .orderBy(abs(col("cusum")).desc, col("day").desc)))
+        .where(col("rn") === 1)
+        .select(col("event_type"), col("day").as("peak_day"),
+          expr("CAST(floor(CAST(abs(cusum) AS DOUBLE) / n / 100.0D) AS BIGINT)")
+            .as("peak_cusum"),
+          expr("CASE WHEN cusum > 0 THEN 'down' ELSE 'up' END").as("shift_dir"))
+    },
+
+    // ── Lag-1 autocorrelation of the daily series (seasonality probe) ──
+    // Is yesterday predictive of today? Population lag-1 autocorrelation
+    // per type, integer-exact by the q94/q115 trick: deviations scale
+    // by n (d_t = n·y_t − Σy, no mean division), numerator pairs come
+    // from a lag() window over the ~30-row daily series (no self-join),
+    // and num/den accumulate as exact BIGINTs — their double images are
+    // identical on both engines (BIGINT→DOUBLE is correctly rounded),
+    // so the single floor-ppm division matches bit-for-bit. Overflow:
+    // Σd² ≤ days · (days·y_max)² ≈ 1.3e16 ≪ 2^63 at these scales;
+    // document-bound like qval.
+    Q(
+      "q116_autocorrelation",
+      """WITH day_agg AS (SELECT event_type,
+        |                   CAST(date_trunc('day', ts) AS DATE) AS day,
+        |                   CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |                 FROM events WHERE value IS NOT NULL
+        |                 GROUP BY 1, 2),
+        |s AS (SELECT event_type, day, y,
+        |        CAST(count(*) OVER p AS BIGINT) AS n,
+        |        CAST(sum(y) OVER p AS BIGINT) AS sy,
+        |        lag(y) OVER (PARTITION BY event_type ORDER BY day) AS yl
+        |      FROM day_agg WINDOW p AS (PARTITION BY event_type))
+        |SELECT event_type, n AS n_days,
+        |  CAST(floor(CAST(sum(CASE WHEN yl IS NOT NULL
+        |         THEN (n * y - sy) * (n * yl - sy) ELSE 0 END) AS DOUBLE)
+        |       * 1000000.0
+        |       / CAST(sum((n * y - sy) * (n * y - sy)) AS DOUBLE)) AS BIGINT) AS r1_ppm
+        |FROM s GROUP BY event_type, n""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val p = Window.partitionBy("event_type")
+      Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(expr("CAST(sum(CAST(floor(value * 100.0D + 0.5D) AS BIGINT)) AS BIGINT)")
+          .as("y"))
+        .withColumn("n", count(lit(1)).over(p))
+        .withColumn("sy", sum("y").over(p))
+        .withColumn("yl", lag("y", 1).over(p.orderBy("day")))
+        .groupBy("event_type", "n")
+        .agg(expr(
+          "CAST(floor(CAST(sum(CASE WHEN yl IS NOT NULL" +
+            " THEN (n * y - sy) * (n * yl - sy) ELSE 0L END) AS DOUBLE)" +
+            " * 1000000.0D" +
+            " / CAST(sum((n * y - sy) * (n * y - sy)) AS DOUBLE)) AS BIGINT)")
+          .as("r1_ppm"))
+        .select(col("event_type"), col("n").as("n_days"), col("r1_ppm"))
     })
 }

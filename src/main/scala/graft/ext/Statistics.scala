@@ -738,5 +738,66 @@ object Statistics {
             " / CAST(sum((n * y - sy) * (n * y - sy)) AS DOUBLE)) AS BIGINT)")
           .as("r1_ppm"))
         .select(col("event_type"), col("n").as("n_days"), col("r1_ppm"))
+    },
+
+    // ── Dataset card: the one-shot corpus summary ──────────────────────
+    // The numbers a dataset release ships (docs, languages, sources,
+    // token/char mass, exact-dup mass, central tendency) as one
+    // (metric, value) relation — every metric an INTEGER so the card
+    // is engine-exact. Each leg is a combine-reduced scalar aggregate;
+    // the median comes from the n_chars value-frequency histogram (the
+    // q105 CDF trick — a window over distinct lengths, not a corpus
+    // sort), and the dup mass reuses one distinct-md5 pass. Cheap by
+    // construction: nothing here shuffles more than a histogram.
+    Q(
+      "q118_dataset_card",
+      """WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |h AS (SELECT n_chars, CAST(count(*) AS BIGINT) AS f
+        |      FROM documents GROUP BY n_chars),
+        |c AS (SELECT n_chars,
+        |        CAST(sum(f) OVER (ORDER BY n_chars
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM h)
+        |SELECT 'n_docs' AS metric, n AS value FROM tot
+        |UNION ALL SELECT 'n_langs', CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'n_sources', CAST(count(DISTINCT source) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'total_tokens',
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'total_chars', CAST(sum(n_chars) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'distinct_texts',
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'exact_dup_docs',
+        |  (SELECT n FROM tot) - CAST(count(DISTINCT md5(text)) AS BIGINT)
+        |  FROM documents
+        |UNION ALL SELECT 'median_chars', min(n_chars)
+        |  FROM c WHERE 2 * cum >= (SELECT n FROM tot)
+        |UNION ALL SELECT 'mean_tokens_per_doc',
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) // (SELECT n FROM tot)
+        |  FROM documents""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      def m(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.select(lit(name).as("metric"), col("value"))
+      val tot = docs.agg(count(lit(1)).as("value"))
+      val cum = docs.groupBy("n_chars").agg(count(lit(1)).as("f"))
+        .withColumn("cum", sum("f").over(
+          Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)))
+      val median = cum.crossJoin(broadcast(tot.select(col("value").as("n"))))
+        .filter(col("cum") * 2 >= col("n"))
+        .agg(min("n_chars").as("value"))
+      m("n_docs", tot)
+        .unionAll(m("n_langs", docs.agg(countDistinct("lang").as("value"))))
+        .unionAll(m("n_sources", docs.agg(countDistinct("source").as("value"))))
+        .unionAll(m("total_tokens",
+          docs.agg(expr("cast(sum(size(split(text, ' '))) as bigint)").as("value"))))
+        .unionAll(m("total_chars", docs.agg(sum("n_chars").as("value"))))
+        .unionAll(m("distinct_texts",
+          docs.agg(countDistinct(md5(col("text"))).as("value"))))
+        .unionAll(m("exact_dup_docs",
+          docs.agg((count(lit(1)) - countDistinct(md5(col("text")))).as("value"))))
+        .unionAll(m("median_chars", median))
+        .unionAll(m("mean_tokens_per_doc",
+          docs.agg(expr("cast(sum(size(split(text, ' '))) as bigint)" +
+            " div count(1)").as("value"))))
     })
 }

@@ -570,5 +570,51 @@ object TextAnalysis {
       eo.unpersist()
       r.orderBy(col("r").desc, col("v")).limit(20)
         .select(col("v").as("token"), col("r").as("rank"))
+    },
+
+    // ── Tokenizer vocabulary-coverage audit (OOV rate) ─────────────────
+    // How well would a frequency-built vocabulary cover this corpus?
+    // Vocabulary = tokens with corpus count ≥ 10 (the deterministic
+    // stand-in for a trained tokenizer's vocab); per-doc OOV rate =
+    // out-of-vocabulary token fraction in ppm, rolled up per language
+    // with a >10%-OOV straggler count. Shape: one token explode feeds
+    // BOTH the vocabulary aggregate and the coverage probe; the
+    // membership test is a broadcast LEFT SEMI-shaped join against the
+    // vocab (count-thresholded, so its size is Heaps-sublinear), and
+    // all rates are integer floor-ppm off combine-reduced counts.
+    Q(
+      "q117_vocab_coverage",
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        |             FROM documents),
+        |vocab AS (SELECT t FROM tok GROUP BY t HAVING count(*) >= 10),
+        |per_doc AS (SELECT tok.doc_id, tok.lang,
+        |              count(*) AS n_tok,
+        |              count(CASE WHEN v.t IS NULL THEN 1 END) AS n_oov
+        |            FROM tok LEFT JOIN vocab v ON v.t = tok.t
+        |            GROUP BY tok.doc_id, tok.lang)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(CAST(sum(n_oov) AS BIGINT) * 1000000 // CAST(sum(n_tok) AS BIGINT)
+        |       AS BIGINT) AS oov_ppm,
+        |  CAST(count(CASE WHEN n_oov * 10 > n_tok THEN 1 END) AS BIGINT)
+        |    AS n_high_oov_docs
+        |FROM per_doc GROUP BY lang""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(expr("split(text, ' ')")).as("t"))
+      val vocab = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 10).select(col("t").as("vt"))
+      tok.join(broadcast(vocab), col("vt") === col("t"), "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+          count(lit(1)).as("n_tok"),
+          count(expr("CASE WHEN vt IS NULL THEN 1 END")).as("n_oov"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          expr("sum(n_oov) * 1000000 div sum(n_tok)").as("oov_ppm"),
+          count(expr("CASE WHEN n_oov * 10 > n_tok THEN 1 END"))
+            .as("n_high_oov_docs"))
     })
 }

@@ -616,5 +616,53 @@ object TextAnalysis {
           expr("sum(n_oov) * 1000000 div sum(n_tok)").as("oov_ppm"),
           count(expr("CASE WHEN n_oov * 10 > n_tok THEN 1 END"))
             .as("n_high_oov_docs"))
+    },
+
+    // ── Collocation mining: top adjacent-pair lift (log-free PMI) ──────
+    // Which token pairs co-occur far beyond chance? Association LIFT —
+    // P(ab)/(P(a)·P(b)) = c_ab·N / (c_a·c_b) — is PMI without the log,
+    // and the log is exactly what breaks cross-engine exactness (libm
+    // differences); the RANKING is identical because log is monotone.
+    // Pure integers end to end: pair counts and unigram-slot counts
+    // from one adjacency pass (the q98 edge relation's directed half),
+    // lift in floor-ppm, support ≥ 5 to kill noise pairs, top-20 by
+    // (lift, pair) via TakeOrderedAndProject — the unigram join sides
+    // are vocabulary-sized broadcasts.
+    Q(
+      "q119_collocations",
+      """WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |prs AS (SELECT unnest(list_transform(range(1, len(ws)),
+        |                 i -> {'a': ws[i], 'b': ws[i+1]})) AS p
+        |        FROM toks),
+        |pc AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS c_ab
+        |       FROM prs GROUP BY p.a, p.b),
+        |n AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM pc),
+        |ua AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM pc GROUP BY a),
+        |ub AS (SELECT b, CAST(sum(c_ab) AS BIGINT) AS c_b FROM pc GROUP BY b)
+        |SELECT a, b, c_ab,
+        |  CAST(c_ab * n.n * 1000000 // (ua.c_a * ub.c_b) AS BIGINT) AS lift_ppm
+        |FROM pc JOIN ua USING (a) JOIN ub USING (b), n
+        |WHERE c_ab >= 5
+        |ORDER BY lift_ppm DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
+      val pc = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("ws"))
+        .select(explode(expr(
+          "transform(sequence(1, size(ws) - 1)," +
+            " i -> named_struct('a', element_at(ws, i), 'b', element_at(ws, i + 1)))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .persist() // one adjacency pass feeds N, both unigram sides, and the probe
+      val n = pc.agg(sum("c_ab").as("n"))
+      val ua = pc.groupBy("a").agg(sum("c_ab").as("c_a"))
+      val ub = pc.groupBy("b").agg(sum("c_ab").as("c_b"))
+      pc.filter(col("c_ab") >= 5)
+        .join(broadcast(ua), "a")
+        .join(broadcast(ub), "b")
+        .crossJoin(broadcast(n))
+        .withColumn("lift_ppm", expr("c_ab * n * 1000000 div (c_a * c_b)"))
+        .orderBy(col("lift_ppm").desc, col("a"), col("b"))
+        .limit(20)
+        .select("a", "b", "c_ab", "lift_ppm")
     })
 }

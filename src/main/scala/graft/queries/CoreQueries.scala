@@ -366,5 +366,36 @@ object CoreQueries {
         .select(col("event_type"), col("user_id"), col("n"), col("rk"), col("drk"),
           expr("floor(prk * 1000000.0D) / 1000000.0D").as("pct_rank"),
           expr("floor(cd * 1000000.0D) / 1000000.0D").as("cume"))
+    },
+
+    // ── SQL-text interface: the spark.sql() entry path ─────────────────
+    // Every other registered query declares its plan through the
+    // DataFrame API; a user of the engine equally gets the SQL string
+    // surface — temp views over the canonical loaders + one
+    // `spark.sql(...)` call compiling to the SAME Catalyst plan (same
+    // pushdown, same broadcast dims, same combine-reduced aggregate).
+    // The query itself is the classic revenue-by-nation star rollup:
+    // dims broadcast, one aggregation exchange of micro-unit integers.
+    Q(
+      "q120_sql_interface",
+      s"""SELECT n.n_name AS nation, count(*) AS n_orders,
+         |  ${Portable.qsum("l.l_extendedprice * (1.0 - l.l_discount)", 2)} AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |JOIN customer c ON c.c_custkey = o.o_custkey
+         |JOIN nation n ON n.n_nationkey = c.c_nationkey
+         |GROUP BY n.n_name""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.nation(s, d).createOrReplaceTempView("v_nation")
+      s.sql(
+        s"""SELECT n.n_name AS nation, count(*) AS n_orders,
+           |  ${Portable.qsum("l.l_extendedprice * (1.0D - l.l_discount)", 2)} AS revenue
+           |FROM v_lineitem l
+           |JOIN v_orders o ON o.o_orderkey = l.l_orderkey
+           |JOIN v_customer c ON c.c_custkey = o.o_custkey
+           |JOIN v_nation n ON n.n_nationkey = c.c_nationkey
+           |GROUP BY n.n_name""".stripMargin)
     })
 }

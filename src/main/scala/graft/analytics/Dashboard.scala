@@ -239,5 +239,42 @@ object Dashboard {
         .select(col("event_type"), col("day"),
           expr(Portable.qscale("sv", 2)).as("day_value"), col("n"),
           expr(Portable.qscale("rsv", 2)).as("roll7_value"), col("roll7_n"))
+    },
+
+    // ── Recency-decayed engagement score (half-life weighting) ─────────
+    // "Most active users, recent activity counting more" with a 7-day
+    // half-life — the standard exponential decay, made integer-exact by
+    // QUANTIZING the decay to week steps: weight = 2^(−⌊age/7d⌋), so
+    // each event contributes its micro-unit value RIGHT-SHIFTED by the
+    // week age. Shifts are exact on both engines — no pow(), no libm,
+    // and the shifted sum is associative, so map-side combine composes
+    // exactly like every other micro-unit aggregate. Age anchors to the
+    // corpus max(ts) (broadcast 1-row dim); top-20 via
+    // TakeOrderedAndProject with a user_id tiebreak.
+    Q(
+      "q121_decayed_engagement",
+      s"""WITH mx AS (SELECT max(ts) AS mt FROM events),
+         |s AS (SELECT user_id,
+         |        CAST(sum(${Portable.qval("value")}
+         |          >> CAST(date_diff('day', ts, mx.mt) // 7 AS INT)) AS BIGINT)
+         |          AS dv,
+         |        count(*) AS n_events
+         |      FROM events, mx WHERE value IS NOT NULL
+         |      GROUP BY user_id)
+         |SELECT user_id, n_events, ${Portable.qscale("dv", 2)} AS decayed_value
+         |FROM s ORDER BY dv DESC, user_id LIMIT 20""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      val mx = ev.agg(max("ts").as("mt"))
+      ev.crossJoin(broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+          expr(s"CAST(sum(shiftright(${Portable.qval("value")}," +
+            " cast(datediff(cast(mt as date), cast(ts as date)) div 7 as int)))" +
+            " AS BIGINT)").as("dv"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("dv").desc, col("user_id"))
+        .limit(20)
+        .select(col("user_id"), col("n_events"),
+          expr(Portable.qscale("dv", 2)).as("decayed_value"))
     })
 }

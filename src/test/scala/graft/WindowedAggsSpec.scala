@@ -42,6 +42,33 @@ class WindowedAggsSpec extends AnyFunSuite {
     assert(rows.head.getLong(2) === 2L)
   }
 
+  test("update mode re-emits a window's row as late-but-in-watermark data lands") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    val agg = WindowedAggs.tumbling(in.toDF.toDF("ts", "value"), "ts", "value")
+    val q = agg.writeStream
+      .format("memory").queryName("upd_out")
+      .outputMode("update") // emit CHANGED aggregates per batch, not closed ones
+      .trigger(Trigger.AvailableNow())
+      .start()
+    in.addData((ts("2025-08-09 12:00:00"), 1.0))
+    q.awaitTermination(120000)
+    val q2 = agg.writeStream
+      .format("memory").queryName("upd_out")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    in.addData((ts("2025-08-09 12:30:00"), 2.0)) // same window, still open
+    q2.awaitTermination(120000)
+    // update mode: the 12:00 window appears TWICE (sum 1.0, then 3.0) —
+    // the dashboard-refresh semantics append mode cannot provide while
+    // a window is open; sinks must upsert by window key
+    val sums = spark.table("upd_out")
+      .select("sum_value").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(sums === Seq(1.0, 3.0), s"expected both revisions, got $sums")
+  }
+
   test("hopping windows report each event at every overlapping alignment") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -449,5 +449,59 @@ object Temporal {
             .rowsBetween(Window.unboundedPreceding, 0)))
         .where(col("g") === 1)
         .select(col("user_id"), col("ts").as("hour_ts"), col("v"))
+    },
+
+    // ── Multi-touch (linear) attribution with exact-sum credits ────────
+    // Each purchase's credit splits equally across the user's clicks in
+    // the preceding day — the "linear" attribution model — with the
+    // integer remainder going to the MOST RECENT click (largest-
+    // remainder discipline, q89's trick), so every purchase's credits
+    // sum to exactly 10⁶ ppm BY CONSTRUCTION: attribution reports that
+    // don't reconcile are worse than none. Shape: purchases join
+    // clicks on the USER equi-key (the time bound is a post-filter —
+    // per-user fan-out is session-sized, no bucketing needed), the
+    // per-purchase touch count and recency rank come from one window
+    // over the joined pairs, and the final rollup buckets credit by
+    // click day. Everything is integer ppm.
+    Q(
+      "q122_attribution",
+      """WITH p AS (SELECT user_id, ts AS pt, event_id AS pid FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS ct, event_id AS cid FROM events
+        |      WHERE event_type = 'click'),
+        |touch AS (SELECT p.user_id, p.pt, p.pid, c.ct,
+        |            CAST(count(*) OVER w AS BIGINT) AS k,
+        |            CAST(row_number() OVER (PARTITION BY p.pid
+        |                   ORDER BY c.ct DESC, c.cid DESC) AS BIGINT) AS rn
+        |          FROM p JOIN c ON c.user_id = p.user_id
+        |            AND c.ct < p.pt AND c.ct >= p.pt - INTERVAL 1 DAY
+        |          WINDOW w AS (PARTITION BY p.pid)),
+        |credit AS (SELECT CAST(date_trunc('day', ct) AS DATE) AS click_day,
+        |             1000000 // k + CASE WHEN rn = 1
+        |               THEN 1000000 % k ELSE 0 END AS ppm
+        |           FROM touch)
+        |SELECT click_day, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(ppm) AS BIGINT) AS credit_ppm
+        |FROM credit GROUP BY click_day""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts").as("pt"),
+          col("event_id").as("pid"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("ts").as("ct"),
+          col("event_id").as("cid"))
+      val byPurchase = Window.partitionBy("pid")
+      p.join(c, col("c_uid") === col("p_uid") &&
+          col("ct") < col("pt") && expr("ct >= pt - INTERVAL 1 DAY"))
+        .withColumn("k", count(lit(1)).over(byPurchase))
+        .withColumn("rn", row_number().over(
+          byPurchase.orderBy(col("ct").desc, col("cid").desc)).cast("long"))
+        .select(
+          date_trunc("day", col("ct")).cast("date").as("click_day"),
+          expr("1000000 div k + CASE WHEN rn = 1 THEN 1000000 % k ELSE 0 END")
+            .as("ppm"))
+        .groupBy("click_day")
+        .agg(count(lit(1)).as("n_touches"),
+          expr("CAST(sum(ppm) AS BIGINT)").as("credit_ppm"))
     })
 }

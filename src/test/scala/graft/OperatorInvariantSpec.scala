@@ -57,4 +57,23 @@ class OperatorInvariantSpec extends AnyFunSuite {
     // damping floor: rank can never drop below the (1-d) restart mass
     ranks.foreach(r => assert(r.getAs[Long]("rank") >= 150000L))
   }
+
+  test("q122 attribution credits reconcile to exactly 1e6 ppm per purchase") {
+    // the largest-remainder split must make the books balance: total
+    // credit across all click-days = 10⁶ × (purchases with ≥1 touch)
+    import org.apache.spark.sql.expressions.Window
+    val rows = SparkEntry.queries("q122_attribution")(spark, sf)
+    val total = rows.agg(sum("credit_ppm")).collect()(0).getLong(0)
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("pt"),
+        col("event_id").as("pid"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("ct"))
+    val attributed = p.join(c, col("c_uid") === col("p_uid") &&
+        col("ct") < col("pt") && expr("ct >= pt - INTERVAL 1 DAY"))
+      .select("pid").distinct().count()
+    assert(total === 1000000L * attributed,
+      s"credits $total != 1e6 x $attributed purchases")
+  }
 }

@@ -22,7 +22,8 @@ object SparkEntry {
       _root_.graft.ext.Temporal.all ++
       _root_.graft.ext.Curation.all ++
       _root_.graft.ext.Clustering.all ++
-      _root_.graft.ext.Scrub.all
+      _root_.graft.ext.Scrub.all ++
+      _root_.graft.ext.Layout.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -85,4 +85,46 @@ object Layout {
       .sortWithinPartitions(col("_z"))
       .drop("_z")
   }
+
+  val all: Seq[graft.Q] = Seq(
+    // ── Compaction planner (OPTIMIZE's decision step) ──────────────────
+    // The small-files problem, planned from METADATA: per-day partition
+    // stats roll into merge groups of ≥ ~1000 rows by assigning each
+    // day to bucket ⌊cum_before / 1000⌋ over the day-ordered cumulative
+    // count — adjacent small partitions coalesce, already-large ones
+    // stand alone, and the plan emits per-group evidence (day span,
+    // rows, member count) a maintenance job executes file-by-file.
+    // Everything runs on the PARTITION-STATS relation (one row per
+    // day — the corpus is touched once for the stats aggregate), the
+    // same cumulative-window discipline as q60's packing and q105's
+    // CDF bins. At 100 TB the stats come from the metastore/manifests
+    // for free; the plan cost stays days-sized either way.
+    graft.Q(
+      "q123_compaction_plan",
+      """WITH parts AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |                 CAST(count(*) AS BIGINT) AS rows
+        |               FROM events GROUP BY 1),
+        |cum AS (SELECT day, rows,
+        |          CAST(coalesce(sum(rows) OVER (ORDER BY day
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |               AS BIGINT) AS cb
+        |        FROM parts)
+        |SELECT CAST(cb // 1000 AS BIGINT) AS group_id,
+        |  CAST(count(*) AS BIGINT) AS n_parts,
+        |  min(day) AS from_day, max(day) AS to_day,
+        |  CAST(sum(rows) AS BIGINT) AS group_rows
+        |FROM cum GROUP BY cb // 1000""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      graft.Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("rows"))
+        .withColumn("cb", coalesce(sum("rows").over(
+          Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .groupBy(expr("cb div 1000").as("group_id"))
+        .agg(
+          count(lit(1)).as("n_parts"),
+          min("day").as("from_day"), max("day").as("to_day"),
+          sum("rows").as("group_rows"))
+    })
 }

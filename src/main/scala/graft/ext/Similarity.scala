@@ -534,5 +534,58 @@ object Similarity {
         .agg(count(col("hit")).as("n_overlap"))
         .select(col("qid"), col("n_overlap"),
           expr("floor(n_overlap * 1000000.0D / 5) / 1000000.0D").as("recall_at_5"))
+    },
+
+    // ── Embedding outlier audit (mislabel / junk-vector detection) ─────
+    // The farthest members of each label's cluster — where mislabeled
+    // or degenerate embeddings hide. Per-label integer centroid
+    // (q80's recompute shape: floor(Σq/n) per dim — a (labels × dims)
+    // combine-reduced exchange), then every vector's squared distance
+    // to ITS OWN label centroid via the exact integer expansion
+    // (vec_ldot(q,q) − 2·vec_ldot(q,c) + vec_ldot(c,c)); the label
+    // centroid table broadcasts (label-count sized) and the top-5
+    // farthest per label come from a rank filter (WindowGroupLimit —
+    // ≤5 rows per label leave each map task). Distances are exact
+    // BIGINTs — hash-exact audit of a geometric property.
+    Q(
+      "q124_embedding_outliers", {
+        val dist = s"${idotD("qv.qe", "cent.c")} * (-2) + ${idotD("qv.qe", "qv.qe")} + ${idotD("cent.c", "cent.c")}"
+        s"""WITH qv AS (SELECT vec_id, label, list_transform(embedding, x -> ${qD("x")}) AS qe
+           |            FROM embeddings),
+           |pos AS (SELECT label, g.i, qe[g.i] AS v
+           |        FROM qv, generate_series(1, 64) g(i)),
+           |m AS (SELECT label, i,
+           |        CAST(floor(CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+           |      FROM pos GROUP BY label, i),
+           |cent AS (SELECT label, list(cv ORDER BY i) AS c FROM m GROUP BY label),
+           |dist AS (SELECT qv.label, qv.vec_id, CAST($dist AS BIGINT) AS dist
+           |         FROM qv JOIN cent USING (label)),
+           |r AS (SELECT label, vec_id, dist,
+           |        row_number() OVER (PARTITION BY label
+           |                           ORDER BY dist DESC, vec_id) AS rank
+           |      FROM dist)
+           |SELECT label, rank, vec_id, dist FROM r WHERE rank <= 5""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      VectorExpressions.register(s)
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), expr(qeSpark).as("qe"))
+        .persist() // one quantization pass feeds centroids AND distances
+      val cent = v
+        .select(col("label"), posexplode(col("qe")).as(Seq("p", "vv")))
+        .groupBy("label", "p")
+        .agg(sum("vv").as("cs"), count(lit(1)).as("n"))
+        .select(col("label"), col("p"),
+          expr("cast(floor(cast(cs as double) / n) as bigint)").as("cv"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(p, cv))), x -> x.cv)")
+          .as("c"))
+      v.join(broadcast(cent), "label")
+        .select(col("label"), col("vec_id"),
+          expr("vec_ldot(qe, qe) - 2 * vec_ldot(qe, c) + vec_ldot(c, c)").as("dist"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("label").orderBy(col("dist").desc, col("vec_id"))))
+        .where(col("rank") <= 5)
+        .select("label", "rank", "vec_id", "dist")
     })
 }

@@ -47,20 +47,18 @@ class WindowedAggsSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Double)]
     val agg = WindowedAggs.tumbling(in.toDF.toDF("ts", "value"), "ts", "value")
+    // ONE continuous query, two processed batches: update mode's
+    // contract is per-batch re-emission of changed aggregates WITHIN a
+    // query (a restarted query without a checkpoint replays instead)
     val q = agg.writeStream
       .format("memory").queryName("upd_out")
       .outputMode("update") // emit CHANGED aggregates per batch, not closed ones
-      .trigger(Trigger.AvailableNow())
       .start()
     in.addData((ts("2025-08-09 12:00:00"), 1.0))
-    q.awaitTermination(120000)
-    val q2 = agg.writeStream
-      .format("memory").queryName("upd_out")
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    q.processAllAvailable()
     in.addData((ts("2025-08-09 12:30:00"), 2.0)) // same window, still open
-    q2.awaitTermination(120000)
+    q.processAllAvailable()
+    q.stop()
     // update mode: the 12:00 window appears TWICE (sum 1.0, then 3.0) —
     // the dashboard-refresh semantics append mode cannot provide while
     // a window is open; sinks must upsert by window key

@@ -25,6 +25,53 @@ object TextAnalysis {
     */
   private[graft] val stopAll = s"$stopEn,$stopDe,$stopFr,$stopEs,$stopZh"
 
+  /** The langID classifier as a DuckDB SELECT — (doc_id, lang,
+    * n_tokens, predicted_lang, best) per doc. ONE definition shared by
+    * q31 (scores) and q125 (label-noise audit): an audit computed from
+    * a drifted copy of the classifier would audit nothing.
+    */
+  private val langIdDuck = {
+    s"""SELECT doc_id, lang, n_tokens,
+       |  CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+       |       WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+       |       WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+       |       WHEN s_es >= s_zh THEN 'es'
+       |       ELSE 'zh' END AS predicted_lang,
+       |  greatest(s_en, s_de, s_fr, s_es, s_zh) AS best
+       |FROM (SELECT doc_id, lang,
+       |        len(string_split(text, ' ')) AS n_tokens,
+       |        len(list_filter(string_split(text, ' '), t -> t IN ($stopEn))) AS s_en,
+       |        len(list_filter(string_split(text, ' '), t -> t IN ($stopDe))) AS s_de,
+       |        len(list_filter(string_split(text, ' '), t -> t IN ($stopFr))) AS s_fr,
+       |        len(list_filter(string_split(text, ' '), t -> t IN ($stopEs))) AS s_es,
+       |        len(list_filter(string_split(text, ' '), t -> t IN ($stopZh))) AS s_zh
+       |      FROM documents)""".stripMargin
+  }
+
+  /** Spark side of [[langIdDuck]] — same columns, same tiebreak. */
+  private def langPred(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    def score(set: String) = s"size(filter(split(text, ' '), t -> t IN ($set)))"
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"), col("lang"),
+        expr("size(split(text, ' '))").as("n_tokens"),
+        expr(score(stopEn)).as("s_en"),
+        expr(score(stopDe)).as("s_de"),
+        expr(score(stopFr)).as("s_fr"),
+        expr(score(stopEs)).as("s_es"),
+        expr(score(stopZh)).as("s_zh"))
+      .select(
+        col("doc_id"), col("lang"), col("n_tokens"),
+        expr("""CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+               |     WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+               |     WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+               |     WHEN s_es >= s_zh THEN 'es'
+               |     ELSE 'zh' END""".stripMargin).as("predicted_lang"),
+        expr("greatest(s_en, s_de, s_fr, s_es, s_zh)").as("best"))
+  }
+
   /** Gopher-rule building blocks (Rae et al. 2021 §A.1.1), ONE
     * definition for the batch funnel (q65) and the streaming gate
     * ([[graft.stream.StreamingCuration]]): the integer feature
@@ -114,39 +161,40 @@ object TextAnalysis {
     // order. Pure projection; the stopword sets are tiny literals.
     Q(
       "q31_lang_id",
-      s"""SELECT doc_id, lang,
-         |  CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
-         |       WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
-         |       WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
-         |       WHEN s_es >= s_zh THEN 'es'
-         |       ELSE 'zh' END AS predicted_lang,
-         |  floor(greatest(s_en, s_de, s_fr, s_es, s_zh) * 10000.0 / n_tokens) / 10000.0 AS confidence
-         |FROM (SELECT doc_id, lang,
-         |        len(string_split(text, ' ')) AS n_tokens,
-         |        len(list_filter(string_split(text, ' '), t -> t IN ($stopEn))) AS s_en,
-         |        len(list_filter(string_split(text, ' '), t -> t IN ($stopDe))) AS s_de,
-         |        len(list_filter(string_split(text, ' '), t -> t IN ($stopFr))) AS s_fr,
-         |        len(list_filter(string_split(text, ' '), t -> t IN ($stopEs))) AS s_es,
-         |        len(list_filter(string_split(text, ' '), t -> t IN ($stopZh))) AS s_zh
-         |      FROM documents)""".stripMargin) { (s, d) =>
-      def score(set: String) = s"size(filter(split(text, ' '), t -> t IN ($set)))"
-      Tables.documents(s, d)
-        .select(
-          col("doc_id"), col("lang"),
-          expr("size(split(text, ' '))").as("n_tokens"),
-          expr(score(stopEn)).as("s_en"),
-          expr(score(stopDe)).as("s_de"),
-          expr(score(stopFr)).as("s_fr"),
-          expr(score(stopEs)).as("s_es"),
-          expr(score(stopZh)).as("s_zh"))
-        .select(
-          col("doc_id"), col("lang"),
-          expr("""CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
-                 |     WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
-                 |     WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
-                 |     WHEN s_es >= s_zh THEN 'es'
-                 |     ELSE 'zh' END""".stripMargin).as("predicted_lang"),
-          expr("floor(greatest(s_en, s_de, s_fr, s_es, s_zh) * 10000.0D / n_tokens) / 10000.0D").as("confidence"))
+      s"""SELECT doc_id, lang, predicted_lang,
+         |  floor(best * 10000.0 / n_tokens) / 10000.0 AS confidence
+         |FROM ($langIdDuck)""".stripMargin) { (s, d) =>
+      langPred(s, d).select(
+        col("doc_id"), col("lang"), col("predicted_lang"),
+        expr("floor(best * 10000.0D / n_tokens) / 10000.0D").as("confidence"))
+    },
+
+    // ── Label-noise audit: declared-vs-predicted confusion matrix ──────
+    // How dirty are the corpus's language labels? The full confusion
+    // matrix of declared lang × q31's prediction (ONE definition of the
+    // classifier on each side — [[langPred]]/[[langIdDuck]] — so the
+    // audit can never disagree with the classifier it audits), with
+    // per-row ppm shares off a window over the ≤ |langs|² matrix. The
+    // matrix aggregate combine-reduces the per-doc projection; nothing
+    // after it exceeds 25 rows. This is the label-quality evidence a
+    // curation run uses to decide whether to trust `lang` or re-tag.
+    Q(
+      "q125_label_noise",
+      s"""WITH pred AS ($langIdDuck),
+         |m AS (SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+         |      FROM pred GROUP BY lang, predicted_lang)
+         |SELECT lang, predicted_lang, n,
+         |  CAST(n * 1000000 // CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT)
+         |       AS BIGINT) AS row_ppm,
+         |  CASE WHEN lang = predicted_lang THEN 0 ELSE 1 END AS is_mismatch
+         |FROM m""".stripMargin) { (s, d) =>
+      langPred(s, d)
+        .groupBy("lang", "predicted_lang")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_ppm",
+          expr("n * 1000000 div sum(n) over (partition by lang)"))
+        .withColumn("is_mismatch",
+          expr("CASE WHEN lang = predicted_lang THEN 0 ELSE 1 END"))
     },
 
     // ── Quality scoring: length / punctuation / stopword ratios ────────

@@ -541,6 +541,38 @@ object Dedup {
           expr("least(na, nb)").as("n_small"),
           expr("CASE WHEN na <= nb THEN a_id ELSE b_id END").as("contained_id"),
           col("cont_ppm"))
+    },
+
+    // ── LSH precision audit (q73's other half) ─────────────────────────
+    // q73 measures what the banding stage MISSES (recall); this
+    // measures what it WASTES — the fraction of banded candidates that
+    // survive exact-Jaccard verification. Together they are the IR
+    // metric pair that tunes the band/permutation trade: more bands →
+    // recall up, precision (and verify cost) down. Both counts come
+    // from the relations the pipeline already builds (candidates +
+    // verified pairs — dup-rate-sized); precision is one floor-ppm
+    // integer division in a single-row summary.
+    Q(
+      "q126_lsh_precision",
+      s"""WITH $shingles5Duck,
+         |$minhashCandDuck,
+         |$minhashPairsThresholdDuck
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_verified,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cand)
+         |    - (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_false_positives,
+         |  CAST((SELECT count(*) FROM pairs) * 1000000
+         |       // (SELECT count(*) FROM cand) AS BIGINT) AS precision_ppm"""
+        .stripMargin) { (s, d) =>
+      val cand = minhashCandidates(s, d).persist()
+      val verified = jaccardVerify(cand, shingles5(s, d), "a_id", "b_id")
+      val nc = cand.agg(count(lit(1)).as("n_candidates"))
+      val nv = verified.agg(count(lit(1)).as("n_verified"))
+      nc.crossJoin(nv).select(
+        col("n_candidates"), col("n_verified"),
+        (col("n_candidates") - col("n_verified")).as("n_false_positives"),
+        expr("n_verified * 1000000 div n_candidates").as("precision_ppm"))
     })
 
   /** Exact-Jaccard verification of a candidate-pair relation against

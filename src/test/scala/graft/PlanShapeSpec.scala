@@ -171,6 +171,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q101 priority sampling keeps <=K rows per stratum before the exchange") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val plan = SparkEntry.queries("q101_priority_sample")(spark, sf)
+      .queryExecution.sparkPlan
+    val limits = allNodes(plan).collect { case w: WindowGroupLimitExec => w }
+    assert(limits.nonEmpty, s"no WindowGroupLimit in plan:\n$plan")
+  }
+
+  test("q119 collocation top-20 plans as TakeOrderedAndProject") {
+    val plan = SparkEntry.queries("q119_collocations")(spark, sf)
+      .queryExecution.sparkPlan
+    val topK = plan.collect { case t: TakeOrderedAndProjectExec => t }
+    assert(topK.nonEmpty, s"no TakeOrderedAndProject in plan:\n$plan")
+  }
+
   test("a day-partitioned lake scan accepts a dynamic partition-pruning filter") {
     // the lake layout contract (IngestStream partitions its sink;
     // SURVEY §4): joining a partitioned fact to a filtered dimension on

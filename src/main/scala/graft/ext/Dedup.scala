@@ -76,6 +76,53 @@ object Dedup {
        |         FROM sig a JOIN sig b
        |           ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** DuckDB mirror of [[containmentPairs]] as a CTE chain (follows
+    * [[shingles5Duck]]) ending in `contp(a_id, b_id, n_shared,
+    * n_small, contained_id, cont_ppm)` — shared by q104 and the q127
+    * ledger.
+    */
+  private[ext] val containmentDuck =
+    """cdf AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+      |rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN cdf ON cdf.sh = s.sh
+      |         WHERE cdf.df <= 100),
+      |rn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM rare GROUP BY doc_id),
+      |rc AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, CAST(count(*) AS BIGINT) AS c
+      |       FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |       GROUP BY 1, 2),
+      |contp AS (SELECT a_id, b_id, rc.c AS n_shared, least(na.n, nb.n) AS n_small,
+      |            CASE WHEN na.n <= nb.n THEN a_id ELSE b_id END AS contained_id,
+      |            CAST(rc.c * 1000000 // least(na.n, nb.n) AS BIGINT) AS cont_ppm
+      |          FROM rc JOIN rn na ON na.doc_id = a_id JOIN rn nb ON nb.doc_id = b_id
+      |          WHERE rc.c * 1000000 // least(na.n, nb.n) >= 800000)""".stripMargin
+
+  /** Stop-shingle-filtered exact containment pairs (q104's core; also
+    * the q127 ledger's third drop rule). The df ≤ 100 cap excludes hot
+    * boilerplate shingles by a broadcast ANTI-join — "rare" is nearly
+    * the whole stream, so joining it IN would shuffle corpus-sized
+    * build and probe sides, while the hot list is a handful of rows
+    * whose size shrinks as the cap rises.
+    */
+  private def containmentPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles5(s, d)
+    val dfc = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val rare = sh.join(broadcast(dfc.filter(col("df") > 100).select("sh")),
+      Seq("sh"), "left_anti").persist()
+    val n = rare.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val c = rare.as("x")
+      .join(rare.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("c"))
+    c.join(n.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(n.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("cont_ppm", expr("(c * 1000000) div least(na, nb)"))
+      .filter(col("cont_ppm") >= 800000)
+      .select(col("a_id"), col("b_id"), col("c").as("n_shared"),
+        expr("least(na, nb)").as("n_small"),
+        expr("CASE WHEN na <= nb THEN a_id ELSE b_id END").as("contained_id"),
+        col("cont_ppm"))
+  }
+
   /** DuckDB mirror of the exact-Jaccard threshold over `cand`,
     * yielding pairs(a_id, b_id) at ≥ 0.5 — the tail of
     * [[minhashPairs]] without the jaccard output column (q62/q66).
@@ -505,42 +552,10 @@ object Dedup {
     Q(
       "q104_containment",
       s"""WITH $shingles5Duck,
-         |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
-         |rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN df ON df.sh = s.sh
-         |         WHERE df.df <= 100),
-         |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM rare GROUP BY doc_id),
-         |c AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, CAST(count(*) AS BIGINT) AS c
-         |      FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id
-         |      GROUP BY 1, 2)
-         |SELECT a_id, b_id, c.c AS n_shared, least(na.n, nb.n) AS n_small,
-         |  CASE WHEN na.n <= nb.n THEN a_id ELSE b_id END AS contained_id,
-         |  CAST(c.c * 1000000 // least(na.n, nb.n) AS BIGINT) AS cont_ppm
-         |FROM c JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
-         |WHERE c.c * 1000000 // least(na.n, nb.n) >= 800000""".stripMargin) { (s, d) =>
-      val sh = shingles5(s, d)
-      val dfc = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      // subtract the HOT shingles (df > 100) rather than joining the
-      // rare ones in: "rare" is nearly the whole shingle stream, so an
-      // equi-join against it shuffles corpus-sized build AND probe
-      // sides, while the hot list is a handful of boilerplate shingles
-      // — a broadcast anti-join whose build side shrinks as the df cap
-      // rises. Same relation either way.
-      val rare = sh.join(broadcast(dfc.filter(col("df") > 100).select("sh")),
-        Seq("sh"), "left_anti").persist()
-      val n = rare.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val c = rare.as("x")
-        .join(rare.as("y"),
-          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("c"))
-      c.join(n.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-        .join(n.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
-        .withColumn("cont_ppm", expr("(c * 1000000) div least(na, nb)"))
-        .filter(col("cont_ppm") >= 800000)
-        .select(col("a_id"), col("b_id"), col("c").as("n_shared"),
-          expr("least(na, nb)").as("n_small"),
-          expr("CASE WHEN na <= nb THEN a_id ELSE b_id END").as("contained_id"),
-          col("cont_ppm"))
+         |$containmentDuck
+         |SELECT a_id, b_id, n_shared, n_small, contained_id, cont_ppm
+         |FROM contp""".stripMargin) { (s, d) =>
+      containmentPairs(s, d)
     },
 
     // ── LSH precision audit (q73's other half) ─────────────────────────
@@ -573,6 +588,62 @@ object Dedup {
         col("n_candidates"), col("n_verified"),
         (col("n_candidates") - col("n_verified")).as("n_false_positives"),
         expr("n_verified * 1000000 div n_candidates").as("precision_ppm"))
+    },
+
+    // ── Curation ledger: per-source fate of every document ─────────────
+    // The dedup passes composed into the report a data owner reads:
+    // each doc gets ONE fate — dropped by exact dedup (non-first copy
+    // of an md5 group), else by near-dup (larger id of a verified
+    // MinHash pair), else by containment (≥ 80% subset), else
+    // retained — and the ledger counts fates per source. Precedence
+    // makes the books balance: fates partition the corpus, so per-
+    // source fate counts sum to doc counts BY CONSTRUCTION (no doc
+    // double-counted across passes). All three drop lists are
+    // relations the pipeline already computes, joined as dup-rate-
+    // sized left probes onto the doc spine.
+    Q(
+      "q127_curation_ledger",
+      s"""WITH $shingles5Duck,
+         |$minhashCandDuck,
+         |$minhashPairsThresholdDuck,
+         |$containmentDuck,
+         |dx AS (SELECT doc_id FROM (
+         |         SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
+         |                  ORDER BY doc_id) AS rr FROM documents)
+         |       WHERE rr > 1),
+         |dn AS (SELECT DISTINCT b_id AS doc_id FROM pairs),
+         |dc AS (SELECT DISTINCT contained_id AS doc_id FROM contp),
+         |lab AS (SELECT d.source,
+         |          CASE WHEN dx.doc_id IS NOT NULL THEN 'exact'
+         |               WHEN dn.doc_id IS NOT NULL THEN 'near'
+         |               WHEN dc.doc_id IS NOT NULL THEN 'contained'
+         |               ELSE 'retained' END AS fate
+         |        FROM documents d
+         |        LEFT JOIN dx ON dx.doc_id = d.doc_id
+         |        LEFT JOIN dn ON dn.doc_id = d.doc_id
+         |        LEFT JOIN dc ON dc.doc_id = d.doc_id)
+         |SELECT source, fate, CAST(count(*) AS BIGINT) AS n
+         |FROM lab GROUP BY source, fate""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val dx = docs
+        .withColumn("rr", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+        .filter(col("rr") > 1).select("doc_id")
+      val dn = minhashPairs(s, d).select(col("b_id").as("doc_id")).distinct()
+      val dc = containmentPairs(s, d)
+        .select(col("contained_id").as("doc_id")).distinct()
+      docs.select("doc_id", "source")
+        .join(dx.withColumn("x", lit(1)), Seq("doc_id"), "left")
+        .join(dn.withColumn("nn", lit(1)), Seq("doc_id"), "left")
+        .join(dc.withColumn("cc", lit(1)), Seq("doc_id"), "left")
+        .select(col("source"),
+          expr("CASE WHEN x IS NOT NULL THEN 'exact'" +
+            " WHEN nn IS NOT NULL THEN 'near'" +
+            " WHEN cc IS NOT NULL THEN 'contained'" +
+            " ELSE 'retained' END").as("fate"))
+        .groupBy("source", "fate")
+        .agg(count(lit(1)).as("n"))
     })
 
   /** Exact-Jaccard verification of a candidate-pair relation against

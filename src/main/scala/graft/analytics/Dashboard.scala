@@ -276,5 +276,27 @@ object Dashboard {
         .limit(20)
         .select(col("user_id"), col("n_events"),
           expr(Portable.qscale("dv", 2)).as("decayed_value"))
+    },
+
+    // ── Day-of-week × hour activity heatmap ────────────────────────────
+    // The weekly-rhythm dashboard tile: one map-side-combined aggregate
+    // over two derived integer keys — the exchange carries ≤ 7×24
+    // groups regardless of corpus size. Day-of-week numbering differs
+    // across engines (Spark's dayofweek is 1-based Sunday-first,
+    // DuckDB's dow is 0-based Sunday-first), so the Spark side
+    // subtracts 1 — the alignment pinned here rather than left to a
+    // reader's luck.
+    Q(
+      "q128_weekly_heatmap",
+      s"""SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+         |  CAST(hour(ts) AS BIGINT) AS hour,
+         |  count(*) AS n, ${Portable.qsum("value", 2)} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          expr("cast(dayofweek(ts) - 1 as bigint)").as("dow"),
+          expr("cast(hour(ts) as bigint)").as("hour"))
+        .agg(count(lit(1)).as("n"),
+          expr(Portable.qsum("value", 2)).as("sum_value"))
     })
 }

@@ -799,5 +799,50 @@ object Statistics {
         .unionAll(m("mean_tokens_per_doc",
           docs.agg(expr("cast(sum(size(split(text, ' '))) as bigint)" +
             " div count(1)").as("value"))))
+    },
+
+    // ── Percent-of-parent hierarchy rollup (region → nation) ───────────
+    // The drill-down tile's share column at every level: each nation's
+    // revenue share within its region AND its region's share of the
+    // grand total, off ONE aggregated (region, nation) relation (≤ 25
+    // rows) with two window levels. Shares divide exact micro-unit
+    // integers as doubles (one correctly-rounded divide each — the
+    // integer ppm shortcut would overflow at sv·10⁶ ≈ 2⁶³ for 100 TB
+    // revenue masses, so the double path is the SCALE-correct one
+    // here), floored to ppm. The star join broadcasts every dim.
+    Q(
+      "q129_pct_of_parent",
+      s"""WITH rev AS (SELECT r.r_name AS region, n.n_name AS nation,
+         |               CAST(sum(${Portable.qval("l.l_extendedprice")}) AS BIGINT) AS sv
+         |             FROM lineitem l
+         |             JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |             JOIN customer c ON c.c_custkey = o.o_custkey
+         |             JOIN nation n ON n.n_nationkey = c.c_nationkey
+         |             JOIN region r ON r.r_regionkey = n.n_regionkey
+         |             GROUP BY 1, 2)
+         |SELECT region, nation, ${Portable.qscale("sv", 2)} AS revenue,
+         |  CAST(floor(CAST(sv AS DOUBLE) * 1000000.0
+         |       / CAST(CAST(sum(sv) OVER (PARTITION BY region) AS BIGINT) AS DOUBLE))
+         |       AS BIGINT) AS pct_of_region_ppm,
+         |  CAST(floor(CAST(CAST(sum(sv) OVER (PARTITION BY region) AS BIGINT) AS DOUBLE)
+         |       * 1000000.0
+         |       / CAST(CAST(sum(sv) OVER () AS BIGINT) AS DOUBLE))
+         |       AS BIGINT) AS region_pct_of_total_ppm
+         |FROM rev""".stripMargin) { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("c_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("r_regionkey") === col("n_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(expr(s"CAST(sum(${Portable.qval("l_extendedprice")}) AS BIGINT)").as("sv"))
+      rev.select(col("region"), col("nation"),
+        expr(Portable.qscale("sv", 2)).as("revenue"),
+        expr("CAST(floor(CAST(sv AS DOUBLE) * 1000000.0D" +
+          " / CAST(sum(sv) OVER (PARTITION BY region) AS DOUBLE)) AS BIGINT)")
+          .as("pct_of_region_ppm"),
+        expr("CAST(floor(CAST(sum(sv) OVER (PARTITION BY region) AS DOUBLE)" +
+          " * 1000000.0D / CAST(sum(sv) OVER () AS DOUBLE)) AS BIGINT)")
+          .as("region_pct_of_total_ppm"))
     })
 }

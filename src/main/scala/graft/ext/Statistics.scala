@@ -844,5 +844,65 @@ object Statistics {
         expr("CAST(floor(CAST(sum(sv) OVER (PARTITION BY region) AS DOUBLE)" +
           " * 1000000.0D / CAST(sum(sv) OVER () AS DOUBLE)) AS BIGINT)")
           .as("region_pct_of_total_ppm"))
+    },
+
+    // ── Column profiling (the Deequ/expectations staple) ───────────────
+    // Per-column completeness, cardinality, and mode for the event
+    // stream — the profile a data-quality framework computes before
+    // anyone writes a constraint. Each column leg is a pair of
+    // combine-reduced aggregates (stats + mode with a (count DESC,
+    // value) tiebreak), values rendered as strings so one relation
+    // carries every column's profile. Exact distincts here (they ARE
+    // the oracle contract); at extreme cardinalities the documented
+    // sketch path (q70's approx_count_distinct) takes over. NULLs are
+    // excluded from the mode — a null mode is a completeness fact, not
+    // a frequency fact, and the null count already reports it.
+    Q(
+      "q130_column_profile", {
+        def leg(c: String, render: String) =
+          s"""SELECT '$c' AS column, count(*) AS n_rows,
+             |  count($c) AS n_present,
+             |  count(*) - count($c) AS n_null,
+             |  CAST((count(*) - count($c)) * 1000000 // count(*) AS BIGINT) AS null_ppm,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  (SELECT $render FROM (
+             |     SELECT $c AS v, count(*) AS n FROM events
+             |     WHERE $c IS NOT NULL GROUP BY $c
+             |     ORDER BY n DESC, v LIMIT 1)) AS mode_value,
+             |  (SELECT CAST(max(n) AS BIGINT) FROM (
+             |     SELECT count(*) AS n FROM events
+             |     WHERE $c IS NOT NULL GROUP BY $c)) AS mode_count
+             |FROM events""".stripMargin
+        // the value column's mode renders as its micro-unit integer
+        // (double→string formatting differs across engines — sci-
+        // notation thresholds, shortest-roundtrip rules — while the
+        // micro-unit integer's text is identical everywhere)
+        Seq(
+          leg("event_type", "v"),
+          leg("user_id", "v::VARCHAR"),
+          leg("value", s"${Portable.qval("v")}::VARCHAR"),
+          leg("props", "v")).mkString("\nUNION ALL\n")
+      }) { (s, d) =>
+      val ev = Tables.events(s, d).persist() // 4 column legs × 2 aggregates
+      def leg(c: String, renderSpark: String): org.apache.spark.sql.DataFrame = {
+        val stats = ev.agg(
+          count(lit(1)).as("n_rows"),
+          count(col(c)).as("n_present"),
+          (count(lit(1)) - count(col(c))).as("n_null"),
+          expr(s"(count(1) - count($c)) * 1000000 div count(1)").as("null_ppm"),
+          countDistinct(col(c)).as("n_distinct"))
+        val mode = ev.filter(col(c).isNotNull)
+          .groupBy(col(c).as("v")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("v"))
+          .limit(1)
+          .select(expr(renderSpark).as("mode_value"), col("n").as("mode_count"))
+        stats.crossJoin(mode).select(
+          lit(c).as("column"), col("n_rows"), col("n_present"), col("n_null"),
+          col("null_ppm"), col("n_distinct"), col("mode_value"), col("mode_count"))
+      }
+      leg("event_type", "cast(v as string)")
+        .unionAll(leg("user_id", "cast(v as string)"))
+        .unionAll(leg("value", s"cast(${Portable.qval("v")} as string)"))
+        .unionAll(leg("props", "cast(v as string)"))
     })
 }

@@ -652,7 +652,11 @@ object TextAnalysis {
           explode(expr("split(text, ' ')")).as("t"))
       val vocab = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 10).select(col("t").as("vt"))
-      tok.join(broadcast(vocab), col("vt") === col("t"), "left")
+      // HINT-FREE membership join: the vocabulary is Heaps-sublinear
+      // but still ~10⁸ rows at 100 TB — a forced broadcast is the
+      // corpus-proportional-build-side mistake; AQE broadcasts while
+      // it fits and shuffles on token past that
+      tok.join(vocab, col("vt") === col("t"), "left")
         .groupBy("doc_id", "lang")
         .agg(
           count(lit(1)).as("n_tok"),
@@ -704,9 +708,13 @@ object TextAnalysis {
       val n = pc.agg(sum("c_ab").as("n"))
       val ua = pc.groupBy("a").agg(sum("c_ab").as("c_a"))
       val ub = pc.groupBy("b").agg(sum("c_ab").as("c_b"))
+      // unigram sides are vocabulary-sized — hint-free so AQE
+      // broadcasts only while they fit (a forced broadcast of a
+      // ~10⁸-row vocab at 100 TB OOMs executors); only the 1-row
+      // total keeps its hint
       pc.filter(col("c_ab") >= 5)
-        .join(broadcast(ua), "a")
-        .join(broadcast(ub), "b")
+        .join(ua, "a")
+        .join(ub, "b")
         .crossJoin(broadcast(n))
         .withColumn("lift_ppm", expr("c_ab * n * 1000000 div (c_a * c_b)"))
         .orderBy(col("lift_ppm").desc, col("a"), col("b"))

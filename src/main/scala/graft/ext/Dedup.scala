@@ -102,8 +102,15 @@ object Dedup {
     * build and probe sides, while the hot list is a handful of rows
     * whose size shrinks as the cap rises.
     */
-  private def containmentPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles5(s, d)
+  private def containmentPairs(s: SparkSession, d: String): DataFrame =
+    containmentPairsOf(shingles5(s, d))
+
+  /** [[containmentPairs]] over a caller-supplied shingle relation — the
+    * q127 ledger persists ONE shingle pass and feeds it to both the
+    * near-dup verify and the containment stage instead of re-running
+    * the text scan + shingle kernel per consumer.
+    */
+  private def containmentPairsOf(sh: DataFrame): DataFrame = {
     val dfc = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val rare = sh.join(broadcast(dfc.filter(col("df") > 100).select("sh")),
       Seq("sh"), "left_anti").persist()
@@ -630,8 +637,14 @@ object Dedup {
         .withColumn("rr", row_number().over(
           Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
         .filter(col("rr") > 1).select("doc_id")
-      val dn = minhashPairs(s, d).select(col("b_id").as("doc_id")).distinct()
-      val dc = containmentPairs(s, d)
+      // ONE shingle pass serves the near-dup verify AND the
+      // containment stage (each would otherwise re-run the text scan
+      // + shingle kernel)
+      val sh = shingles5(s, d).persist()
+      val cand = minhashCandidates(s, d).persist()
+      val dn = jaccardVerify(cand, sh, "a_id", "b_id")
+        .select(col("b_id").as("doc_id")).distinct()
+      val dc = containmentPairsOf(sh)
         .select(col("contained_id").as("doc_id")).distinct()
       docs.select("doc_id", "source")
         .join(dx.withColumn("x", lit(1)), Seq("doc_id"), "left")

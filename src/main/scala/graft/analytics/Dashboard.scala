@@ -298,5 +298,45 @@ object Dashboard {
           expr("cast(hour(ts) as bigint)").as("hour"))
         .agg(count(lit(1)).as("n"),
           expr(Portable.qsum("value", 2)).as("sum_value"))
+    },
+
+    // ── DAU / WAU / stickiness (rolling COUNT DISTINCT done right) ─────
+    // The engagement tile. Rolling distinct users can't come from a
+    // running window (DISTINCT doesn't decompose over frames); the
+    // scale shape is COVERAGE EXPLODE: the (user, day) DISTINCT
+    // relation — already reduced to presence bits, tiny next to raw
+    // events — fans out ×7 (each active day covers the next week's
+    // windows), then one distinct count per cover day. Fan-out is
+    // bounded by the window length BY CONSTRUCTION; the corpus is
+    // touched once for the presence relation. Stickiness = DAU/WAU in
+    // integer ppm. Cover days past the observed range drop via the
+    // inner join with the DAU series.
+    Q(
+      "q132_engagement",
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |              CAST(date_trunc('day', ts) AS DATE) AS day
+        |            FROM events),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+        |cover AS (SELECT user_id, day + to_days(i::INT) AS day
+        |          FROM ud, range(7) t(i)),
+        |wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |        FROM cover GROUP BY day)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_ppm
+        |FROM dau JOIN wau ON wau.day = dau.day""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .distinct()
+        .persist() // presence bits feed DAU and the 7× coverage fan-out
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(expr("sequence(0, 6)")).as("i"), col("day"))
+        .select(col("user_id"), expr("date_add(day, cast(i as int))").as("day"))
+        .groupBy("day").agg(countDistinct("user_id").as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          expr("dau * 1000000 div wau").as("stickiness_ppm"))
     })
 }

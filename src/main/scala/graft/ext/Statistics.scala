@@ -904,5 +904,50 @@ object Statistics {
         .unionAll(leg("user_id", "cast(v as string)"))
         .unionAll(leg("value", s"cast(${Portable.qval("v")} as string)"))
         .unionAll(leg("props", "cast(v as string)"))
+    },
+
+    // ── Benford first-digit audit (fabricated-data detector) ───────────
+    // Natural multi-magnitude amounts follow Benford's law; fabricated
+    // or truncated feeds don't — the classic forensic screen, log-free:
+    // the first digit comes from the INTEGER's decimal string (no
+    // log10), expected shares are the nine public Benford ppm
+    // constants as a VALUES literal joined in, and the deviation is
+    // pure integer |obs − exp|. One combine-reduced digit histogram
+    // (9 groups) off a pushed-down scan; everything after is 9 rows.
+    Q(
+      "q131_benford_audit", {
+        val benford = (1 to 9).map { dgt =>
+          val ppm = math.floor(math.log10(1.0 + 1.0 / dgt) * 1000000).toLong
+          s"($dgt, ${ppm})"
+        }.mkString(", ")
+        s"""WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+           |                 AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           |           FROM orders WHERE o_totalprice >= 1.0),
+           |h AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM h),
+           |e(digit, exp_ppm) AS (VALUES $benford)
+           |SELECT h.digit, h.n,
+           |  CAST(h.n * 1000000 // tot.t AS BIGINT) AS obs_ppm,
+           |  CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+           |  CAST(abs(h.n * 1000000 // tot.t - e.exp_ppm) AS BIGINT) AS abs_dev_ppm
+           |FROM h JOIN e ON e.digit = h.digit, tot""".stripMargin
+      }) { (s, d) =>
+      import s.implicits._
+      val benford = (1 to 9).map { dgt =>
+        (dgt.toLong, math.floor(math.log10(1.0 + 1.0 / dgt) * 1000000).toLong)
+      }
+      val e = benford.toDF("digit", "exp_ppm")
+      val h = Tables.orders(s, d)
+        .filter(col("o_totalprice") >= 1.0)
+        .select(expr("CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)" +
+          " AS STRING), 1, 1) AS BIGINT)").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = h.agg(sum("n").as("t"))
+      h.join(broadcast(e), "digit")
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr("n * 1000000 div t").as("obs_ppm"),
+          col("exp_ppm"),
+          expr("abs(n * 1000000 div t - exp_ppm)").as("abs_dev_ppm"))
     })
 }

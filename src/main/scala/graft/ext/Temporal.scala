@@ -503,5 +503,61 @@ object Temporal {
         .groupBy("click_day")
         .agg(count(lit(1)).as("n_touches"),
           expr("CAST(sum(ppm) AS BIGINT)").as("credit_ppm"))
+    },
+
+    // ── Market-basket association rules (support / confidence / lift) ──
+    // Which activities co-occur in a user-day "basket"? The classic
+    // mining triple over (user, day) baskets: support(a,b),
+    // confidence(a→b) = s(ab)/s(a), lift = s(ab)·N/(s(a)·s(b)) — all
+    // integer ppm off basket counts. Scale shape: baskets reduce to
+    // DISTINCT (basket, item) presence bits (corpus touched once);
+    // within-basket pairs fan out at ≤ |itemset|²/2 per basket — with
+    // a bounded item domain (event types here; top-K SKUs in retail)
+    // the pair relation stays ~|baskets|-sized. Both directions emit
+    // (a→b and b→a confidence differ); item-count sides are tiny
+    // aggregates joined hint-free.
+    Q(
+      "q133_basket_rules",
+      """WITH items AS (SELECT DISTINCT user_id,
+        |                 CAST(date_trunc('day', ts) AS DATE) AS day,
+        |                 event_type AS item
+        |               FROM events),
+        |nb AS (SELECT CAST(count(DISTINCT (user_id, day)) AS BIGINT) AS n
+        |       FROM items),
+        |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM items
+        |       GROUP BY item),
+        |pc AS (SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS c_ab
+        |       FROM items x JOIN items y
+        |         ON x.user_id = y.user_id AND x.day = y.day AND x.item <> y.item
+        |       GROUP BY 1, 2)
+        |SELECT a, b, c_ab,
+        |  CAST(c_ab * 1000000 // nb.n AS BIGINT) AS support_ppm,
+        |  CAST(c_ab * 1000000 // ia.c AS BIGINT) AS confidence_ppm,
+        |  CAST(c_ab * nb.n * 1000000 // (ia.c * ib.c) AS BIGINT) AS lift_ppm
+        |FROM pc
+        |JOIN ic ia ON ia.item = a
+        |JOIN ic ib ON ib.item = b, nb""".stripMargin) { (s, d) =>
+      val items = Tables.events(s, d)
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).cast("date").as("day"),
+          col("event_type").as("item"))
+        .distinct()
+        .persist() // presence bits feed basket count, item counts, pairs
+      val nb = items.select("user_id", "day").distinct()
+        .agg(count(lit(1)).as("n"))
+      val ic = items.groupBy("item").agg(count(lit(1)).as("c"))
+      val pc = items.as("x")
+        .join(items.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.day") === col("y.day") && col("x.item") =!= col("y.item"))
+        .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+        .agg(count(lit(1)).as("c_ab"))
+      pc.join(ic.select(col("item").as("a"), col("c").as("ca")), "a")
+        .join(ic.select(col("item").as("b"), col("c").as("cb")), "b")
+        .crossJoin(broadcast(nb))
+        .select(col("a"), col("b"), col("c_ab"),
+          expr("c_ab * 1000000 div n").as("support_ppm"),
+          expr("c_ab * 1000000 div ca").as("confidence_ppm"),
+          expr("c_ab * n * 1000000 div (ca * cb)").as("lift_ppm"))
     })
 }

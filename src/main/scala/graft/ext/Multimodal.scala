@@ -163,6 +163,35 @@ object Multimodal {
         |  CAST(max(byteval) AS BIGINT) AS thumb_max
         |FROM v GROUP BY doc_id""".stripMargin) { (s, d) =>
       MultimodalStub.thumbnails(Tables.documents(s, d))
+    },
+
+    // ── Audio segmentation: fixed-duration windowing + energy ──────────
+    // The audio-modality verb (VAD/windowing): treat the payload as a
+    // sample stream, cut it into fixed 1024-byte segments, and emit
+    // per-segment energy — the projection every downstream audio step
+    // (silence trimming, ASR batching, loudness normalization) keys on.
+    // Like q74's frames, one asset fans out to MANY rows through the
+    // shared batched partition-local seam (a real PCM decoder slots in
+    // front without touching the segmentation); energy is an integer
+    // byte sum, so the oracle re-derives every row from hex, and the
+    // floor-mean is exact. Empty payloads emit no segments.
+    Q(
+      "q134_audio_segments",
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS len
+        |  FROM documents
+        |), byt AS (
+        |  SELECT doc_id, (CAST(t.i AS INT) - 1) // 1024 AS seg,
+        |         ('0x' || substr(hx, 2*CAST(t.i AS INT) - 1, 2))::INT AS v
+        |  FROM b, UNNEST(range(1, len + 1)) AS t(i)
+        |)
+        |SELECT doc_id, CAST(seg AS BIGINT) AS seg_idx,
+        |  CAST(count(*) AS BIGINT) AS seg_bytes,
+        |  CAST(sum(v) AS BIGINT) AS energy,
+        |  CAST(sum(v) * 100 // count(*) AS BIGINT) AS mean_centi
+        |FROM byt GROUP BY doc_id, seg""".stripMargin) { (s, d) =>
+      MultimodalStub.audioSegments(Tables.documents(s, d))
     })
 }
 
@@ -349,6 +378,34 @@ object MultimodalStub {
       docs: org.apache.spark.sql.DataFrame,
       payloadCol: String = "text"): org.apache.spark.sql.DataFrame =
     perPayload(docs, payloadCol)((id, bytes) => resampleStub(id, bytes))
+
+  /** One fixed-duration audio window (see q134). */
+  final case class AudioSegment(
+      doc_id: Long,
+      seg_idx: Long,
+      seg_bytes: Long,
+      energy: Long,
+      mean_centi: Long)
+
+  /** assets → binary payload → fixed 1024-byte segment windows with
+    * integer energy (Σ unsigned byte values) — the audio windowing
+    * primitive behind the same batched seam as [[frameSamples]]. A
+    * real PCM/codec decode slots in front; the segmentation and energy
+    * accounting do not change.
+    */
+  def audioSegments(
+      docs: org.apache.spark.sql.DataFrame,
+      payloadCol: String = "text",
+      segBytes: Int = 1024): org.apache.spark.sql.DataFrame =
+    perPayload(docs, payloadCol) { (id, bytes) =>
+      bytes.grouped(segBytes).zipWithIndex.map { case (chunk, i) =>
+        var energy = 0L
+        var j = 0
+        while (j < chunk.length) { energy += chunk(j) & 0xff; j += 1 }
+        AudioSegment(id, i.toLong, chunk.length.toLong, energy,
+          energy * 100 / chunk.length)
+      }
+    }
 
   /** assets → binary payload → batched partition-local decode.
     * `grouped(64)` gives the decoder batch shape (amortizes real-codec

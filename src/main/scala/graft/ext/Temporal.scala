@@ -559,5 +559,88 @@ object Temporal {
           expr("c_ab * 1000000 div n").as("support_ppm"),
           expr("c_ab * 1000000 div ca").as("confidence_ppm"),
           expr("c_ab * n * 1000000 div (ca * cb)").as("lift_ppm"))
+    },
+
+    // ── Path-to-purchase mining (purchase-anchored 3-step paths) ───────
+    // What sequences actually precede a purchase? Each purchase is
+    // annotated with its user's two prior event types (lag() over the
+    // per-user ordered stream — bounded partitions, no self-join) and
+    // the 3-step path string counts roll up to the top 10. The path
+    // alphabet is |types|³-bounded, so everything after the per-user
+    // window is a tiny aggregate; q92's transition matrix is the
+    // 1-step marginal of this. Purchases with <2 prior events keep a
+    // '-' placeholder — start-of-history is a signal (cold-start
+    // conversions), not a NULL to drop.
+    Q(
+      "q135_purchase_paths",
+      """WITH seq AS (SELECT user_id, event_type, ts, event_id,
+        |               lag(event_type, 1, '-') OVER w AS p1,
+        |               lag(event_type, 2, '-') OVER w AS p2
+        |             FROM events
+        |             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |paths AS (SELECT p2 || '>' || p1 || '>' || event_type AS path
+        |          FROM seq WHERE event_type = 'purchase'),
+        |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM paths GROUP BY path)
+        |SELECT path, n, CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rank
+        |FROM c ORDER BY n DESC, path LIMIT 10""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("p1", lag(col("event_type"), 1, "-").over(w))
+        .withColumn("p2", lag(col("event_type"), 2, "-").over(w))
+        .filter(col("event_type") === "purchase")
+        .select(concat_ws(">", col("p2"), col("p1"), col("event_type")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("path"))).cast("long"))
+        .select("path", "n", "rank")
+    },
+
+    // ── Cohort LTV curves (cumulative value by cohort age) ─────────────
+    // q85's retention grid with VALUE accumulated instead of presence
+    // counted: users cohort by first-seen week, their micro-unit value
+    // sums bucket by weeks-since-first-seen, and a cumulative window
+    // over the cohort × age GRID (≤ weeks² rows) yields each cohort's
+    // lifetime-value curve — the payback chart. Per-user firsts and
+    // the (cohort, age) sums are combine-reduced single passes; the
+    // cumulative window never sees event rows.
+    Q(
+      "q136_cohort_ltv",
+      s"""WITH f AS (SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS d0
+         |           FROM events GROUP BY user_id),
+         |w AS (SELECT e.user_id,
+         |        CAST((CAST(date_trunc('day', e.ts) AS DATE) - f.d0) // 7 AS BIGINT) AS age_w,
+         |        CAST((f.d0 - DATE '2024-01-01') // 7 AS BIGINT) AS cohort_w,
+         |        ${Portable.qval("e.value")} AS qv
+         |      FROM events e JOIN f ON f.user_id = e.user_id
+         |      WHERE e.value IS NOT NULL),
+         |g AS (SELECT cohort_w, age_w, CAST(sum(qv) AS BIGINT) AS sv,
+         |        CAST(count(*) AS BIGINT) AS n
+         |      FROM w GROUP BY cohort_w, age_w)
+         |SELECT cohort_w, age_w, n, ${Portable.qscale("sv", 2)} AS week_value,
+         |  ${Portable.qscale(
+            """CAST(sum(sv) OVER (PARTITION BY cohort_w ORDER BY age_w
+              |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"""
+              .stripMargin, 2)} AS cum_value
+         |FROM g""".stripMargin) { (s, d) =>
+      val f = Tables.events(s, d).groupBy("user_id")
+        .agg(expr("min(cast(date_trunc('day', ts) as date))").as("d0"))
+      Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .join(f, "user_id")
+        .select(
+          expr("cast(datediff(cast(date_trunc('day', ts) as date), d0) div 7 as bigint)")
+            .as("age_w"),
+          expr("cast(datediff(d0, date'2024-01-01') div 7 as bigint)").as("cohort_w"),
+          expr(Portable.qval("value")).as("qv"))
+        .groupBy("cohort_w", "age_w")
+        .agg(expr("CAST(sum(qv) AS BIGINT)").as("sv"), count(lit(1)).as("n"))
+        .withColumn("cum", sum("sv").over(
+          Window.partitionBy("cohort_w").orderBy("age_w")
+            .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .select(col("cohort_w"), col("age_w"), col("n"),
+          expr(Portable.qscale("sv", 2)).as("week_value"),
+          expr(Portable.qscale("cum", 2)).as("cum_value"))
     })
 }

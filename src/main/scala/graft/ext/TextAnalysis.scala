@@ -720,5 +720,53 @@ object TextAnalysis {
         .orderBy(col("lift_ppm").desc, col("a"), col("b"))
         .limit(20)
         .select("a", "b", "c_ab", "lift_ppm")
+    },
+
+    // ── Source-similarity matrix (weighted Jaccard over vocabularies) ──
+    // How alike are two crawls? Weighted Jaccard Σmin(cᵃ,cᵇ)/Σmax(cᵃ,cᵇ)
+    // over per-source token-frequency vectors — the evidence behind
+    // "these sources are near-mirrors, downweight one" mixing
+    // decisions. Scale shape: the corpus reduces ONCE to the
+    // (source, token, count) profile (map-side combined); the pairwise
+    // stage self-joins that PROFILE on token — per-token fan-out is
+    // bounded by |sources|² regardless of corpus size — and the
+    // min/max identity (max = cᵃ + cᵇ − min, with per-source totals
+    // joined in) recovers the denominator without materializing
+    // absent-token zeros. Pure integer ppm.
+    Q(
+      "q137_source_similarity",
+      """WITH prof AS (SELECT source, t AS token, CAST(count(*) AS BIGINT) AS c
+        |              FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+        |                    FROM documents)
+        |              GROUP BY source, t),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS tc FROM prof GROUP BY source),
+        |mins AS (SELECT x.source AS sa, y.source AS sb,
+        |           CAST(sum(least(x.c, y.c)) AS BIGINT) AS smin
+        |         FROM prof x JOIN prof y
+        |           ON x.token = y.token AND x.source < y.source
+        |         GROUP BY 1, 2)
+        |SELECT sa, sb, smin,
+        |  ta.tc + tb.tc - smin AS smax,
+        |  CAST(smin * 1000000 // (ta.tc + tb.tc - smin) AS BIGINT) AS wjaccard_ppm
+        |FROM mins JOIN tot ta ON ta.source = sa JOIN tot tb ON tb.source = sb"""
+        .stripMargin) { (s, d) =>
+      val prof = Tables.documents(s, d)
+        .select(col("source"), explode(expr("split(text, ' ')")).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("c"))
+        .persist() // one corpus reduction feeds totals AND the pair stage
+      val tot = prof.groupBy("source").agg(sum("c").as("tc"))
+      // Σmax over the FULL vocabularies = tcᵃ + tcᵇ − Σmin (tokens
+      // absent from one side contribute their full count to max):
+      // only Σmin needs the shared-token join
+      prof.as("x")
+        .join(prof.as("y"),
+          col("x.token") === col("y.token") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("sa"), col("y.source").as("sb"))
+        .agg(expr("CAST(sum(least(x.c, y.c)) AS BIGINT)").as("smin"))
+        .join(tot.select(col("source").as("sa"), col("tc").as("ta_tc")), "sa")
+        .join(tot.select(col("source").as("sb"), col("tc").as("tb_tc")), "sb")
+        .select(col("sa"), col("sb"), col("smin"),
+          expr("ta_tc + tb_tc - smin").as("smax"),
+          expr("smin * 1000000 div (ta_tc + tb_tc - smin)").as("wjaccard_ppm"))
     })
 }

@@ -338,5 +338,40 @@ object Dashboard {
       dau.join(wau, "day")
         .select(col("day"), col("dau"), col("wau"),
           expr("dau * 1000000 div wau").as("stickiness_ppm"))
+    },
+
+    // ── New vs returning users per day ─────────────────────────────────
+    // The acquisition/retention split every growth dashboard leads
+    // with: a daily active user is "new" on their first-seen day and
+    // "returning" after. One pass builds the (user, day) presence
+    // relation, a per-user min marks the first day (combine-reduced),
+    // and the classification is a presence-sized join — events are
+    // never touched twice. Share in integer ppm.
+    Q(
+      "q138_new_vs_returning",
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |              CAST(date_trunc('day', ts) AS DATE) AS day
+        |            FROM events),
+        |f AS (SELECT user_id, min(day) AS d0 FROM ud GROUP BY user_id)
+        |SELECT ud.day,
+        |  CAST(count(CASE WHEN ud.day = f.d0 THEN 1 END) AS BIGINT) AS new_users,
+        |  CAST(count(CASE WHEN ud.day > f.d0 THEN 1 END) AS BIGINT) AS returning_users,
+        |  CAST(count(CASE WHEN ud.day = f.d0 THEN 1 END) * 1000000 // count(*)
+        |       AS BIGINT) AS new_share_ppm
+        |FROM ud JOIN f ON f.user_id = ud.user_id
+        |GROUP BY ud.day""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .distinct()
+        .persist() // presence bits feed the first-day aggregate AND the split
+      val f = ud.groupBy("user_id").agg(min("day").as("d0"))
+      ud.join(f, "user_id")
+        .groupBy("day")
+        .agg(
+          count(expr("CASE WHEN day = d0 THEN 1 END")).as("new_users"),
+          count(expr("CASE WHEN day > d0 THEN 1 END")).as("returning_users"),
+          expr("count(CASE WHEN day = d0 THEN 1 END) * 1000000 div count(1)")
+            .as("new_share_ppm"))
     })
 }

@@ -949,5 +949,66 @@ object Statistics {
           expr("n * 1000000 div t").as("obs_ppm"),
           col("exp_ppm"),
           expr("abs(n * 1000000 div t - exp_ppm)").as("abs_dev_ppm"))
+    },
+
+    // ── GROUPING SETS: exactly the marginals, no detail rows ───────────
+    // The third grouped-aggregation form next to ROLLUP (q44) and CUBE
+    // (q100): a dashboard wanting ONLY the per-lang totals, per-source
+    // totals, and grand total declares those three sets — Spark's
+    // Expand fans each row to 3 lattice cells (vs CUBE's 4) before the
+    // combine-reduced exchange, so the unwanted detail level never
+    // exists anywhere. Same grouping_id/GROUPING bit parity as q100.
+    Q(
+      "q139_grouping_sets",
+      """SELECT CAST(GROUPING(lang, source) AS BIGINT) AS gid, lang, source,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang), (source), ())""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupingSets(
+          Seq(Seq(col("lang")), Seq(col("source")), Seq.empty),
+          col("lang"), col("source"))
+        .agg(
+          expr("cast(grouping_id() as bigint)").as("gid"),
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars"))
+        .select("gid", "lang", "source", "n_docs", "chars")
+    },
+
+    // ── Week-over-week deltas (the trend arrows on every tile) ─────────
+    // Weekly totals per type with absolute and relative change vs the
+    // prior week: one combine-reduced weekly aggregate, lag() over the
+    // ≤ weeks-per-type series, delta in exact micro-units and
+    // floor-ppm relative change (NULL on the first week — no fake 0%).
+    Q(
+      "q140_wow_delta",
+      s"""WITH w AS (SELECT event_type,
+         |             CAST((CAST(date_trunc('day', ts) AS DATE)
+         |                   - DATE '2024-01-01') // 7 AS BIGINT) AS week,
+         |             CAST(sum(${Portable.qval("value")}) AS BIGINT) AS sv
+         |           FROM events WHERE value IS NOT NULL
+         |           GROUP BY 1, 2),
+         |l AS (SELECT event_type, week, sv,
+         |        lag(sv) OVER (PARTITION BY event_type ORDER BY week) AS pv
+         |      FROM w)
+         |SELECT event_type, week, ${Portable.qscale("sv", 2)} AS week_value,
+         |  ${Portable.qscale("sv - pv", 2)} AS delta_value,
+         |  CAST(floor(CAST(sv - pv AS DOUBLE) * 1000000.0 / CAST(pv AS DOUBLE))
+         |       AS BIGINT) AS delta_ppm
+         |FROM l""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          expr("cast(datediff(cast(date_trunc('day', ts) as date)," +
+            " date'2024-01-01') div 7 as bigint)").as("week"))
+        .agg(expr(s"CAST(sum(${Portable.qval("value")}) AS BIGINT)").as("sv"))
+        .withColumn("pv", lag("sv", 1).over(
+          Window.partitionBy("event_type").orderBy("week")))
+        .select(col("event_type"), col("week"),
+          expr(Portable.qscale("sv", 2)).as("week_value"),
+          expr(Portable.qscale("sv - pv", 2)).as("delta_value"),
+          expr("CAST(floor(CAST(sv - pv AS DOUBLE) * 1000000.0D" +
+            " / CAST(pv AS DOUBLE)) AS BIGINT)").as("delta_ppm"))
     })
 }

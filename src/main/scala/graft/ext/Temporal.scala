@@ -46,6 +46,36 @@ object Temporal {
       |         AND e.ts > u2.t AND e.ts <= u2.t + INTERVAL 1 DAY
       |       GROUP BY e.user_id)""".stripMargin
 
+  /** The 30-min gaps-and-islands session assignment as a DuckDB CTE —
+    * `sess(user_id, ts, event_id, event_type, value, session_idx)` —
+    * ONE definition shared by q46 (session aggregates) and q141
+    * (within-session funnel), so the funnel can never count sessions
+    * the sessionizer wouldn't produce.
+    */
+  private val sessionRowsDuck =
+    """sess AS (SELECT user_id, ts, event_id, event_type, value,
+      |           (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT
+      |             AS session_idx
+      |         FROM (SELECT user_id, ts, event_id, event_type, value,
+      |                 CASE WHEN lag(ts) OVER w IS NULL
+      |                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |                      THEN 1 ELSE 0 END AS new_session
+      |               FROM events
+      |               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))"""
+      .stripMargin
+
+  /** Spark side of [[sessionRowsDuck]]. */
+  private def sessionRows(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("new_session",
+        when(lag(col("ts"), 1).over(byTime).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byTime)) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum("new_session").over(byTime))
+  }
+
   private def funnelSteps(s: org.apache.spark.sql.SparkSession, d: String) = {
     val ev = Tables.events(s, d)
     val u1 = ev.filter(col("event_type") === "view")
@@ -85,30 +115,99 @@ object Temporal {
     // ── Sessionization on 30-minute inactivity gaps ────────────────────
     Q(
       "q46_sessionize",
-      s"""SELECT user_id, session_idx,
+      s"""WITH $sessionRowsDuck
+        |SELECT user_id, session_idx,
         |  count(*) AS n_events,
         |  min(ts) AS session_start,
         |  ${Portable.qsum("value", 2)} AS session_value
-        |FROM (SELECT user_id, ts, value,
-        |        (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT AS session_idx
-        |      FROM (SELECT user_id, ts, event_id, value,
-        |              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
-        |                   THEN 1 ELSE 0 END AS new_session
-        |            FROM events))
-        |GROUP BY user_id, session_idx""".stripMargin) { (s, d) =>
-      val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      Tables.events(s, d)
-        .withColumn("new_session",
-          when(lag(col("ts"), 1).over(byTime).isNull ||
-            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byTime)) > 1800000000L, 1)
-            .otherwise(0))
-        .withColumn("session_idx", sum("new_session").over(byTime))
+        |FROM sess GROUP BY user_id, session_idx""".stripMargin) { (s, d) =>
+      sessionRows(s, d)
         .groupBy("user_id", "session_idx")
         .agg(
           count(lit(1)).as("n_events"),
           min("ts").as("session_start"),
           expr(Portable.qsum("value", 2)).as("session_value"))
+    },
+
+    // ── Within-session funnel (session-scoped conversion) ──────────────
+    // q84 counts conversions ACROSS a user's whole history; product
+    // decisions usually need the stricter question — did the click
+    // happen in the SAME session as the view, after it? Shape: the
+    // shared session assignment ([[sessionRows]]), a first-view window
+    // per session, then ONE session-keyed aggregate whose partitioning
+    // extends the window's (exchange reused, q81's discipline) counts
+    // views and after-view clicks; the summary is sessions-sized then
+    // one row. Rates in floor-ppm.
+    Q(
+      "q141_session_funnel",
+      s"""WITH $sessionRowsDuck,
+        |fv AS (SELECT user_id, session_idx, ts, event_type,
+        |         min(CASE WHEN event_type = 'view' THEN ts END)
+        |           OVER (PARTITION BY user_id, session_idx) AS first_view
+        |       FROM sess),
+        |g AS (SELECT user_id, session_idx,
+        |        max(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS has_view,
+        |        max(CASE WHEN event_type = 'click' AND ts > first_view
+        |              THEN 1 ELSE 0 END) AS converted
+        |      FROM fv GROUP BY user_id, session_idx)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(has_view) AS BIGINT) AS n_with_view,
+        |  CAST(sum(converted) AS BIGINT) AS n_converted,
+        |  CAST(sum(converted) * 1000000 // sum(has_view) AS BIGINT) AS conv_ppm
+        |FROM g""".stripMargin) { (s, d) =>
+      val bySession = Window.partitionBy("user_id", "session_idx")
+      sessionRows(s, d)
+        .withColumn("first_view",
+          min(when(col("event_type") === "view", col("ts"))).over(bySession))
+        .groupBy("user_id", "session_idx")
+        .agg(
+          max(when(col("first_view").isNotNull, 1).otherwise(0)).as("has_view"),
+          max(when(col("event_type") === "click" && col("ts") > col("first_view"), 1)
+            .otherwise(0)).as("converted"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          expr("CAST(sum(has_view) AS BIGINT)").as("n_with_view"),
+          expr("CAST(sum(converted) AS BIGINT)").as("n_converted"),
+          expr("CAST(sum(converted) * 1000000 div sum(has_view) AS BIGINT)")
+            .as("conv_ppm"))
+    },
+
+    // ── Transition dwell-time distribution (q92 with timing) ───────────
+    // Not just WHICH transitions happen but how LONG they take: the
+    // inter-event gap per (src → dst) step, with count, integer mean
+    // µs, and exact interpolated p50 via the shared sorted-array
+    // percentile machinery (µs are micro-units of seconds — q93's
+    // identity). Gaps come from one lead() pass over bounded per-user
+    // partitions; the arrays group by the |types|² transition matrix,
+    // the per-group-array trade q43 documents (sketch path at extreme
+    // per-pair volumes).
+    Q(
+      "q142_dwell_times",
+      s"""WITH t AS (SELECT event_type AS src,
+         |             lead(event_type) OVER w AS dst,
+         |             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS us
+         |           FROM events
+         |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |arr_t AS (SELECT src, dst, list_sort(list(us)) AS arr,
+         |            count(*) AS n,
+         |            CAST(sum(us) AS BIGINT) // count(*) AS mean_us
+         |          FROM t WHERE dst IS NOT NULL GROUP BY src, dst)
+         |SELECT src, dst, n, mean_us,
+         |  ${Statistics.pctlDuck("0.5")} AS p50_s
+         |FROM arr_t""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("event_type").as("src"),
+          lead("event_type", 1).over(w).as("dst"),
+          (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts"))).as("us"))
+        .filter(col("dst").isNotNull)
+        .groupBy("src", "dst")
+        .agg(
+          sort_array(collect_list("us")).as("arr"),
+          count(lit(1)).as("n"),
+          expr("sum(us) div count(1)").as("mean_us"))
+        .select(col("src"), col("dst"), col("n"), col("mean_us"),
+          expr(Statistics.pctlSpark("0.5")).as("p50_s"))
     },
 
     // ── Native session_window vs independent gaps-and-islands oracle ───

@@ -64,6 +64,33 @@ object Similarity {
   private val qeSpark =
     "transform(embedding, x -> cast(floor(cast(x as double) * 1048576.0D) as bigint))"
 
+  /** Per-label integer centroids of a (label, qe) relation — q80's
+    * recompute shape (floor(Σq/n) per dim, a (labels × dims)
+    * combine-reduced exchange), shared by q124 (outliers) and q143
+    * (separation audit).
+    */
+  private def labelCentroids(v: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    v.select(col("label"), posexplode(col("qe")).as(Seq("p", "vv")))
+      .groupBy("label", "p")
+      .agg(sum("vv").as("cs"), count(lit(1)).as("n"))
+      .select(col("label"), col("p"),
+        expr("cast(floor(cast(cs as double) / n) as bigint)").as("cv"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(p, cv))), x -> x.cv)")
+        .as("c"))
+
+  /** DuckDB mirror of [[labelCentroids]] as a CTE chain ending in
+    * `cent(label, c)` (expects `qv(vec_id, label, qe)` in scope).
+    */
+  private val labelCentroidsDuck =
+    """pos AS (SELECT label, g.i, qe[g.i] AS v
+      |        FROM qv, generate_series(1, 64) g(i)),
+      |m AS (SELECT label, i,
+      |        CAST(floor(CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+      |      FROM pos GROUP BY label, i),
+      |cent AS (SELECT label, list(cv ORDER BY i) AS c FROM m GROUP BY label)"""
+      .stripMargin
+
   /** Quantize ONCE per vector at the scan (`qe`), then every pair/probe
     * kernel is `vec_ldot` over long arrays — in an O(n·m) join,
     * re-quantizing inside the pair kernel (`vec_qdot`) would redo the
@@ -552,12 +579,7 @@ object Similarity {
         val dist = s"${idotD("qv.qe", "cent.c")} * (-2) + ${idotD("qv.qe", "qv.qe")} + ${idotD("cent.c", "cent.c")}"
         s"""WITH qv AS (SELECT vec_id, label, list_transform(embedding, x -> ${qD("x")}) AS qe
            |            FROM embeddings),
-           |pos AS (SELECT label, g.i, qe[g.i] AS v
-           |        FROM qv, generate_series(1, 64) g(i)),
-           |m AS (SELECT label, i,
-           |        CAST(floor(CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS cv
-           |      FROM pos GROUP BY label, i),
-           |cent AS (SELECT label, list(cv ORDER BY i) AS c FROM m GROUP BY label),
+           |$labelCentroidsDuck,
            |dist AS (SELECT qv.label, qv.vec_id, CAST($dist AS BIGINT) AS dist
            |         FROM qv JOIN cent USING (label)),
            |r AS (SELECT label, vec_id, dist,
@@ -571,15 +593,7 @@ object Similarity {
       val v = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), expr(qeSpark).as("qe"))
         .persist() // one quantization pass feeds centroids AND distances
-      val cent = v
-        .select(col("label"), posexplode(col("qe")).as(Seq("p", "vv")))
-        .groupBy("label", "p")
-        .agg(sum("vv").as("cs"), count(lit(1)).as("n"))
-        .select(col("label"), col("p"),
-          expr("cast(floor(cast(cs as double) / n) as bigint)").as("cv"))
-        .groupBy("label")
-        .agg(expr("transform(array_sort(collect_list(struct(p, cv))), x -> x.cv)")
-          .as("c"))
+      val cent = labelCentroids(v)
       v.join(broadcast(cent), "label")
         .select(col("label"), col("vec_id"),
           expr("vec_ldot(qe, qe) - 2 * vec_ldot(qe, c) + vec_ldot(c, c)").as("dist"))
@@ -587,5 +601,66 @@ object Similarity {
           Window.partitionBy("label").orderBy(col("dist").desc, col("vec_id"))))
         .where(col("rank") <= 5)
         .select("label", "rank", "vec_id", "dist")
+    },
+
+    // ── Cluster-separation audit (Davies-Bouldin-lite) ─────────────────
+    // Are the labels geometrically distinct, or is the labeling noise?
+    // Per label: mean squared distance of members to their own
+    // centroid (cohesion) vs the squared distance to the NEAREST other
+    // centroid (separation), and their ratio — the per-cluster
+    // diagnostic behind Davies-Bouldin / silhouette decisions. Member
+    // distances reuse q124's integer expansion over the broadcast
+    // centroid table; the centroid-centroid matrix is |labels|² rows
+    // of pure integer dots; the ratio divides exact integers as
+    // doubles (the ppm shortcut would overflow at squared-distance
+    // magnitudes). Everything after the one corpus pass is
+    // labels-sized.
+    Q(
+      "q143_label_separation", {
+        val mDist = s"${idotD("qv.qe", "cent.c")} * (-2) + ${idotD("qv.qe", "qv.qe")} + ${idotD("cent.c", "cent.c")}"
+        val cDist = s"${idotD("a.c", "b.c")} * (-2) + ${idotD("a.c", "a.c")} + ${idotD("b.c", "b.c")}"
+        s"""WITH qv AS (SELECT vec_id, label, list_transform(embedding, x -> ${qD("x")}) AS qe
+           |            FROM embeddings),
+           |$labelCentroidsDuck,
+           |d AS (SELECT qv.label, CAST($mDist AS BIGINT) AS dist
+           |      FROM qv JOIN cent USING (label)),
+           |intra AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+           |            CAST(sum(dist) AS BIGINT) // count(*) AS intra
+           |          FROM d GROUP BY label),
+           |cc AS (SELECT a.label AS la, b.label AS lb, CAST($cDist AS BIGINT) AS cd
+           |       FROM cent a JOIN cent b ON a.label <> b.label),
+           |near AS (SELECT la AS label, lb AS nearest_label, cd,
+           |           row_number() OVER (PARTITION BY la ORDER BY cd, lb) AS rn
+           |         FROM cc)
+           |SELECT i.label, i.n, i.intra, near.nearest_label, near.cd AS inter,
+           |  CAST(floor(CAST(near.cd AS DOUBLE) * 1000.0
+           |       / CAST(i.intra + 1 AS DOUBLE)) AS BIGINT) AS separation_x1000
+           |FROM intra i JOIN near ON near.label = i.label AND near.rn = 1"""
+          .stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      VectorExpressions.register(s)
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), expr(qeSpark).as("qe"))
+        .persist()
+      val cent = labelCentroids(v).persist() // member pass + |labels|² matrix
+      val intra = v.join(broadcast(cent), "label")
+        .select(col("label"),
+          expr("vec_ldot(qe, qe) - 2 * vec_ldot(qe, c) + vec_ldot(c, c)").as("dist"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), expr("sum(dist) div count(1)").as("intra"))
+      val near = cent.as("a")
+        .join(cent.as("b"), col("a.label") =!= col("b.label"))
+        .select(col("a.label").as("label"), col("b.label").as("nearest_label"),
+          expr("vec_ldot(a.c, a.c) - 2 * vec_ldot(a.c, b.c) + vec_ldot(b.c, b.c)")
+            .as("cd"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("label").orderBy(col("cd"), col("nearest_label"))))
+        .where(col("rn") === 1)
+      intra.join(near, "label")
+        .select(col("label"), col("n"), col("intra"),
+          col("nearest_label"), col("cd").as("inter"),
+          expr("CAST(floor(CAST(cd AS DOUBLE) * 1000.0D" +
+            " / CAST(intra + 1 AS DOUBLE)) AS BIGINT)").as("separation_x1000"))
     })
 }

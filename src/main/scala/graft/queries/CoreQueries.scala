@@ -397,5 +397,57 @@ object CoreQueries {
            |JOIN v_customer c ON c.c_custkey = o.o_custkey
            |JOIN v_nation n ON n.n_nationkey = c.c_nationkey
            |GROUP BY n.n_name""".stripMargin)
+    },
+
+    // ── Revenue bridge: period-over-period change, decomposed ──────────
+    // WHY did revenue move between 1996 and 1997? The FP&A bridge:
+    // each customer's two period totals classify them as new /
+    // churned / expansion / contraction (or flat), and the per-class
+    // contribution sums RECONCILE to the total delta BY CONSTRUCTION
+    // — every customer's (cur − prev) lands in exactly one class, so
+    // the bridge explains 100% of the movement (an attribution report
+    // that doesn't reconcile is worse than none; same discipline as
+    // q89/q122). Shape: one order scan produces both period sums as
+    // conditional micro-unit aggregates per customer (no self-join),
+    // then a classes-sized rollup.
+    Q(
+      "q144_revenue_bridge", {
+        val p1 = "o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'"
+        val p2 = "o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'"
+        s"""WITH c AS (SELECT o_custkey,
+           |             CAST(coalesce(sum(CASE WHEN $p1
+           |               THEN ${Portable.qval("o_totalprice")} END), 0) AS BIGINT) AS prev,
+           |             CAST(coalesce(sum(CASE WHEN $p2
+           |               THEN ${Portable.qval("o_totalprice")} END), 0) AS BIGINT) AS cur
+           |           FROM orders
+           |           WHERE ($p1) OR ($p2)
+           |           GROUP BY o_custkey)
+           |SELECT CASE WHEN prev = 0 THEN 'new'
+           |            WHEN cur = 0 THEN 'churned'
+           |            WHEN cur > prev THEN 'expansion'
+           |            WHEN cur < prev THEN 'contraction'
+           |            ELSE 'flat' END AS class,
+           |  CAST(count(*) AS BIGINT) AS n_customers,
+           |  ${Portable.qscale("CAST(sum(cur - prev) AS BIGINT)", 2)} AS delta_value
+           |FROM c GROUP BY 1""".stripMargin
+      }) { (s, d) =>
+      val p1 = "o_orderdate >= timestamp'1996-01-01' AND o_orderdate < timestamp'1997-01-01'"
+      val p2 = "o_orderdate >= timestamp'1997-01-01' AND o_orderdate < timestamp'1998-01-01'"
+      Tables.orders(s, d)
+        .where(expr(s"($p1) OR ($p2)"))
+        .groupBy("o_custkey")
+        .agg(
+          expr(s"CAST(coalesce(sum(CASE WHEN $p1 THEN ${Portable.qval("o_totalprice")} END), 0L) AS BIGINT)")
+            .as("prev"),
+          expr(s"CAST(coalesce(sum(CASE WHEN $p2 THEN ${Portable.qval("o_totalprice")} END), 0L) AS BIGINT)")
+            .as("cur"))
+        .groupBy(expr("CASE WHEN prev = 0 THEN 'new'" +
+          " WHEN cur = 0 THEN 'churned'" +
+          " WHEN cur > prev THEN 'expansion'" +
+          " WHEN cur < prev THEN 'contraction'" +
+          " ELSE 'flat' END").as("class"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          expr(Portable.qscale("CAST(sum(cur - prev) AS BIGINT)", 2)).as("delta_value"))
     })
 }

@@ -449,5 +449,34 @@ object CoreQueries {
         .agg(
           count(lit(1)).as("n_customers"),
           expr(Portable.qscale("CAST(sum(cur - prev) AS BIGINT)", 2)).as("delta_value"))
+    },
+
+    // ── Forgone-revenue scan (the TPC-H Q6 shape) ──────────────────────
+    // "How much revenue did last year's small-order discounts cost?" —
+    // the canonical selective-scan aggregate: three pushable range
+    // predicates, two columns read, one scalar out. The POINT is the
+    // plan: every predicate reaches the parquet scan (PushedFilters),
+    // ReadSchema carries only the four touched columns, and the single
+    // partial-agg scalar means the exchange moves one row per task —
+    // the query a columnar engine should execute at I/O speed. Product
+    // terms quantize per ROW (price·discount is one correctly-rounded
+    // double op on identical inputs) and sum as micro-unit integers.
+    Q(
+      "q145_forgone_revenue",
+      s"""SELECT count(*) AS n_lines,
+         |  ${Portable.qsum("l_extendedprice * l_discount", 2)} AS forgone
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(
+          count(lit(1)).as("n_lines"),
+          expr(Portable.qsum("l_extendedprice * l_discount", 2)).as("forgone"))
     })
 }

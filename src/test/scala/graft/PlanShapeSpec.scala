@@ -186,6 +186,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(topK.nonEmpty, s"no TakeOrderedAndProject in plan:\n$plan")
   }
 
+  test("q145 pushes every predicate to the scan and prunes to 4 columns") {
+    // the Q6-shape contract: a selective scalar scan is I/O-bound only
+    // if the range predicates reach the parquet reader and the scan
+    // schema carries nothing beyond the touched columns
+    val plan = SparkEntry.queries("q145_forgone_revenue")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: [IsNotNull"), s"no pushed filters:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("LessThanOrEqual(l_discount,0.07)") &&
+      plan.contains("LessThan(l_quantity,24.0)"),
+      s"range predicates did not reach the scan:\n$plan")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(Seq("l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+      .forall(read.contains) && !read.contains("l_orderkey"),
+      s"scan schema not pruned to the touched columns: $read")
+  }
+
   test("a day-partitioned lake scan accepts a dynamic partition-pruning filter") {
     // the lake layout contract (IngestStream partitions its sink;
     // SURVEY §4): joining a partitioned fact to a filtered dimension on

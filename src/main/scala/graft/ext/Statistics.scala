@@ -55,6 +55,20 @@ object Statistics {
       s"ELSE floor($lo + ($hi - $lo) * ($pos - floor($pos))) / 1000000.0 END"
   }
 
+  /** Bound-certificate predicate for q63: does the sketch value's rank
+    * interval `[lt, le]` (counts of values strictly-below / at-or-below
+    * the sketch value) intersect the target rank `pPct%·n` within the
+    * sketch's guaranteed error `n/accuracy` plus 2 for floor/tie
+    * discreteness? Pure BIGINT math over an `n` column — deterministic
+    * for ANY sketch value satisfying the guarantee, which is what makes
+    * the boolean oracle-comparable even though sketch values aren't.
+    */
+  private[graft] def rankOk(pPct: Int, lt: String, le: String): String = {
+    val target = s"(n * ${pPct}L) div 100L"
+    val tol = "(n div 10000L + 2L)"
+    s"($lt <= $target + $tol) AND ($le >= $target - $tol)"
+  }
+
   val all: Seq[Q] = Seq(
     // ── Exact percentile profile per group ─────────────────────────────
     Q(
@@ -87,23 +101,46 @@ object Statistics {
     // MERGES across partitions, where q43's exact form collects each
     // group's full value array — fine per-group at test scale, not at
     // 100 TB. accuracy=10000 bounds the rank error at 1/10000 of the
-    // group. No oracle SQL on purpose: quantile sketches are not
-    // cross-engine hash-exact (DuckDB's approx_quantile is a different
-    // sketch with different tie behavior), so the driver records the
-    // rows-only check; StatisticsSpec pins the real contract instead —
-    // the sketch value must sit within rank-error distance of the exact
-    // q43 percentile on the same data.
-    Q.noOracle("q63_percentile_sketch") { (s, d) =>
-      Tables.events(s, d)
+    // group. Sketch VALUES are not cross-engine hash-exact (DuckDB's
+    // approx_quantile is a different sketch with different ties), so
+    // the oracle-checked output is a BOUND CERTIFICATE instead: Spark
+    // computes the sketch AND, via a second pass over the same scan,
+    // the exact rank interval [count(<v), count(<=v)] of each sketch
+    // value, then emits `(event_type, n, pXX_ok)` booleans asserting
+    // the interval intersects the target rank within the guaranteed
+    // error (n/accuracy, +2 for floor/tie discreteness). The oracle
+    // computes the exact side trivially — count(*) per group plus
+    // literal `true`s — so a hash match certifies the sketch's error
+    // bound cross-engine without requiring bit-equal sketch values.
+    // The certificate is robust to sketch merge-order nondeterminism:
+    // ANY value satisfying the guarantee produces the same booleans.
+    // Shapes: one scan for the sketch agg, one broadcast of the tiny
+    // per-type sketch row back onto a second scan for the rank counts —
+    // both map-side-combining aggs, no value arrays on the exchange.
+    Q(
+      "q63_percentile_sketch",
+      """SELECT event_type, count(*) AS n,
+        |  true AS p50_ok, true AS p95_ok, true AS p99_ok
+        |FROM events WHERE value IS NOT NULL GROUP BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select("event_type", "value")
+      val sk = ev.groupBy("event_type").agg(
+        expr("approx_percentile(value, array(0.5D, 0.95D, 0.99D), 10000)").as("pct"))
+      ev.join(broadcast(sk), "event_type")
         .groupBy("event_type")
         .agg(
-          expr("approx_percentile(value, array(0.5D, 0.95D, 0.99D), 10000)").as("pct"),
-          count(lit(1)).as("n"))
-        .select(col("event_type"),
-          col("pct").getItem(0).as("p50"),
-          col("pct").getItem(1).as("p95"),
-          col("pct").getItem(2).as("p99"),
-          col("n"))
+          count(lit(1)).as("n"),
+          sum(when(col("value") < element_at(col("pct"), 1), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("value") <= element_at(col("pct"), 1), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("value") < element_at(col("pct"), 2), 1L).otherwise(0L)).as("lt95"),
+          sum(when(col("value") <= element_at(col("pct"), 2), 1L).otherwise(0L)).as("le95"),
+          sum(when(col("value") < element_at(col("pct"), 3), 1L).otherwise(0L)).as("lt99"),
+          sum(when(col("value") <= element_at(col("pct"), 3), 1L).otherwise(0L)).as("le99"))
+        .select(col("event_type"), col("n"),
+          expr(rankOk(50, "lt50", "le50")).as("p50_ok"),
+          expr(rankOk(95, "lt95", "le95")).as("p95_ok"),
+          expr(rankOk(99, "lt99", "le99")).as("p99_ok"))
     },
 
     // ── HLL cardinality profile per source (the 100 TB distinct path) ──
@@ -115,20 +152,37 @@ object Statistics {
     // exchange carries ~1.5 KB per (group, agg) no matter how many
     // distinct values exist. The exact forms (count(DISTINCT text),
     // distinct-token counts) shuffle every distinct value — fine here,
-    // corpus-sized at 100 TB. Like q63, sketches are not cross-engine
-    // hash-exact, so no oracle SQL: the driver records rows-only and
-    // StatisticsSpec pins the real contract (relative error vs the
-    // exact cardinalities within the HLL++ guarantee).
-    Q.noOracle("q70_hll_cardinality") { (s, d) =>
+    // corpus-sized at 100 TB. Like q63, HLL sketch values are not
+    // cross-engine hash-exact, so the oracle-checked output is a BOUND
+    // CERTIFICATE: Spark computes approx AND exact distinct counts in
+    // the same aggregate and emits `(source, n_docs, *_ok)` booleans
+    // asserting relative error ≤ 15% (3× the default 5% rsd; HLL++
+    // registers take max, so the sketch is merge-order-deterministic
+    // for fixed data and this is not flaky). The oracle emits count(*)
+    // plus literal `true`s; a hash match certifies the HLL++ error
+    // bound cross-engine. The exact side exists ONLY to certify — at
+    // 100 TB you run the sketch alone.
+    Q(
+      "q70_hll_cardinality",
+      """SELECT source, count(*) AS n_docs, true AS texts_ok, true AS tokens_ok
+        |FROM documents GROUP BY source""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val perDoc = docs.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
-        approx_count_distinct(md5(col("text"))).as("approx_distinct_texts"))
+        approx_count_distinct(md5(col("text"))).as("ad_texts"),
+        countDistinct(md5(col("text"))).as("ed_texts"))
       val tok = docs
         .select(col("source"), explode(expr("split(text, ' ')")).as("tok"))
         .groupBy("source")
-        .agg(approx_count_distinct(col("tok")).as("approx_distinct_tokens"))
+        .agg(
+          approx_count_distinct(col("tok")).as("ad_toks"),
+          countDistinct(col("tok")).as("ed_toks"))
       perDoc.join(tok, "source")
+        .select(col("source"), col("n_docs"),
+          (abs(col("ad_texts") - col("ed_texts")) * 100 <= col("ed_texts") * 15)
+            .as("texts_ok"),
+          (abs(col("ad_toks") - col("ed_toks")) * 100 <= col("ed_toks") * 15)
+            .as("tokens_ok"))
     },
 
     // ── ROLLUP drill-down totals (type → type×hour → grand total) ──────

@@ -27,62 +27,48 @@ class StatisticsSpec extends AnyFunSuite {
     assert(rows("b") === None)
   }
 
-  test("sketch percentiles sit within rank-error of the exact distribution") {
-    // q63 has no DuckDB oracle (quantile sketches are not cross-engine
-    // hash-exact), so THIS is its correctness contract: every sketch
-    // percentile must be an actual data value whose rank is within the
-    // sketch's guaranteed error (1/accuracy) of the target, plus one
-    // element of discreteness slack.
+  test("q63 bound certificate: every sketch percentile certifies true") {
+    // q63's driver oracle emits literal `true`s, so a hash match
+    // certifies the sketch's rank-error bound cross-engine; this test
+    // pins the same contract in-process so a bound violation fails
+    // HERE with a readable message, not as an opaque driver hash diff.
     val sf = "/root/testdata/sf0.001"
-    val sketch = SparkEntry.queries("q63_percentile_sketch")(spark, sf).collect()
-    assert(sketch.nonEmpty)
-    val exact = Tables.events(spark, sf)
-      .select("event_type", "value").where(col("value").isNotNull)
-      .collect()
-      .groupBy(_.getString(0))
-      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
-    for (r <- sketch; (p, i) <- Seq(0.5 -> 1, 0.95 -> 2, 0.99 -> 3)) {
-      val arr = exact(r.getString(0))
-      val v = r.getDouble(i)
-      assert(arr.contains(v), s"sketch p$p for ${r.getString(0)} is not a data value")
-      // a tied value occupies the whole rank interval [count(<v),
-      // count(<=v)]; testing only the upper bound would charge the
-      // duplicate count against the error budget and could reject a
-      // sketch that is within its guarantee
-      val lo = arr.count(_ < v).toDouble / arr.length
-      val hi = arr.count(_ <= v).toDouble / arr.length
-      val tol = 1e-4 + 1.0 / arr.length + 1e-9
-      assert(p >= lo - tol && p <= hi + tol,
-        s"p$p for ${r.getString(0)}: sketch rank interval [$lo,$hi] (n=${arr.length})")
-    }
+    val rows = SparkEntry.queries("q63_percentile_sketch")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows; i <- 2 to 4)
+      assert(r.getBoolean(i),
+        s"${r.getString(0)} col $i: sketch rank outside guaranteed error (n=${r.getLong(1)})")
   }
 
-  test("HLL cardinalities sit within relative error of the exact counts") {
-    // q70 has no DuckDB oracle (HLL sketches are not cross-engine
-    // hash-exact), so THIS is its correctness contract: each
-    // approx_count_distinct must be within the HLL++ guarantee of the
-    // exact distinct count. Spark's default rsd is 0.05 (one standard
-    // deviation); 3σ = 15% bounds effectively all runs, and the sketch
-    // is deterministic for a given input, so this is not flaky.
+  test("q63 certificate logic CAN fail: an off-rank value certifies false") {
+    // Negative control — the certificate must not be vacuously true.
+    // For n=1000 sorted values, a "sketch" equal to the minimum has
+    // rank interval [0, 1]; the p99 target rank is 990 with tolerance
+    // n/10000+2 = 2, so le >= 988 must fail.
+    import spark.implicits._
+    val df = Seq((0L, 1L, 1000L)).toDF("lt99", "le99", "n")
+    assert(!df.select(expr(Statistics.rankOk(99, "lt99", "le99")).as("ok"))
+      .head().getBoolean(0))
+    // and the same logic accepts a genuinely in-bound rank interval
+    val good = Seq((989L, 991L, 1000L)).toDF("lt99", "le99", "n")
+    assert(good.select(expr(Statistics.rankOk(99, "lt99", "le99")).as("ok"))
+      .head().getBoolean(0))
+  }
+
+  test("q70 bound certificate: HLL counts certify true, and CAN fail") {
+    // Same pattern as q63: the driver's hash match on literal `true`s
+    // certifies the HLL++ 3σ bound; this test keeps the readable
+    // in-process failure, plus a negative control on the predicate.
     val sf = "/root/testdata/sf0.001"
-    val approx = SparkEntry.queries("q70_hll_cardinality")(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
-      .toMap
-    assert(approx.nonEmpty)
-    val exactRows = Tables.documents(spark, sf)
-      .select(col("source"), md5(col("text")).as("ch"), expr("split(text, ' ')").as("ts"))
-      .select(col("source"), col("ch"), explode(col("ts")).as("tok"))
-      .groupBy("source")
-      .agg(countDistinct("ch").as("texts"), countDistinct("tok").as("toks"))
-      .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
-    for ((src, (_, aTexts, aToks)) <- approx) {
-      val (eTexts, eToks) = exactRows(src)
-      assert(math.abs(aTexts - eTexts).toDouble / eTexts <= 0.15,
-        s"$src texts: approx $aTexts vs exact $eTexts")
-      assert(math.abs(aToks - eToks).toDouble / eToks <= 0.15,
-        s"$src tokens: approx $aToks vs exact $eToks")
+    val rows = SparkEntry.queries("q70_hll_cardinality")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getBoolean(2), s"${r.getString(0)}: texts outside 15% of exact")
+      assert(r.getBoolean(3), s"${r.getString(0)}: tokens outside 15% of exact")
     }
+    import spark.implicits._
+    val bad = Seq((100L, 50L)).toDF("ad", "ed")
+      .select((abs(col("ad") - col("ed")) * 100 <= col("ed") * 15).as("ok"))
+    assert(!bad.head().getBoolean(0))
   }
 }

@@ -11,6 +11,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * column is aliased identically on both sides, and doubles that
   * accumulate differently across engines (sums/avgs) are rounded on both
   * sides to make the comparison exact.
+  *
+  * Cache contract: some builders `persist()` a multi-consumer
+  * intermediate (a shingle/signature/profile relation feeding several
+  * branches of one plan). The returned DataFrame is lazy, so the builder
+  * cannot unpersist without recomputing the shared stage — lifetime
+  * management belongs to the runner. The registry runners (Verify,
+  * Bench) call `spark.catalog.clearCache()` after each query; a library
+  * caller embedding a single query should do the same (or unpersist via
+  * the catalog) once its action completes. Unreleased blocks degrade
+  * gracefully regardless: persist() defaults to MEMORY_AND_DISK, whose
+  * LRU eviction spills rather than OOMs.
   */
 final case class Q(
     name: String,

@@ -34,9 +34,10 @@ object Dedup {
     * text — at 100 TB the shingle self-joins shuffle ~4× less. Both
     * engines compute the same md5, so hash collisions (the usual 2^-60
     * non-concern) are identical on both sides and comparisons stay
-    * exact. Precondition: every doc has ≥5 tokens (TESTDATA min is
-    * 10) — `sequence(1, n)` with n < 1 would generate a *descending*
-    * sequence in Spark, not an empty one.
+    * exact. Docs under 5 tokens have no 5-gram shingle and are
+    * filtered — matching DuckDB's empty `range(1, len-3)`, where
+    * Spark's `sequence(1, n)` with n < 1 would generate a *descending*
+    * sequence and crash `slice(_toks, 0, 5)`.
     */
   private[ext] def shingles5(s: SparkSession, d: String): DataFrame =
     shinglesOf(Tables.documents(s, d))
@@ -51,6 +52,7 @@ object Dedup {
     // underscore-prefixed token alias: `keep` carries caller columns
     // (event time etc.) that must not collide with it
     docs.select(head :+ expr("split(text, ' ')").as("_toks"): _*)
+      .filter(size(col("_toks")) >= 5)
       .select(head :+ explode(expr(
         "array_distinct(transform(sequence(1, size(_toks) - 4), " +
           s"i -> ${Portable.h60Spark("array_join(slice(_toks, i, 5), ' ')")}))"))
@@ -440,6 +442,9 @@ object Dedup {
       val h = Portable.h60Spark("array_join(slice(ts, i, 5), ' ')")
       val psh = Tables.documents(s, d)
         .select(col("doc_id"), expr("split(text, ' ')").as("ts"))
+        // <5-token docs have no positional shingle; without the guard
+        // Spark's sequence(1, n<1) descends and slice(ts, 0, 5) throws
+        .filter(size(col("ts")) >= 5)
         .select(col("doc_id"), posexplode(expr(
           s"transform(sequence(1, size(ts) - 4), i -> $h)")).as(Seq("pos", "sh")))
         .select(col("doc_id"), (col("pos") + 1).as("i"), col("sh"))

@@ -133,9 +133,14 @@ object Scrub {
         .select(col("doc_id"), expr("split(text, ' ')").as("ts"))
       val uni = toks.select(col("doc_id"), lit(1).as("n"),
         explode(expr(s"transform(ts, t -> ${Portable.h60Spark("t")})")).as("h"))
-      val bi = toks.select(col("doc_id"), lit(2).as("n"),
-        explode(expr("transform(sequence(1, size(ts) - 1), " +
-          s"i -> ${Portable.h60Spark("array_join(slice(ts, i, 2), ' ')")})")).as("h"))
+      // 1-token docs have no bigram (DuckDB's range is empty; Spark's
+      // sequence(1, 0) would descend and crash slice(ts, 0, 2)) — they
+      // still reach the unigram branch above, so n_2grams is NULL for
+      // them on both engines
+      val bi = toks.filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), lit(2).as("n"),
+          explode(expr("transform(sequence(1, size(ts) - 1), " +
+            s"i -> ${Portable.h60Spark("array_join(slice(ts, i, 2), ' ')")})")).as("h"))
       uni.union(bi)
         .groupBy("doc_id", "n", "h").agg(count(lit(1)).as("c"))
         .groupBy("doc_id", "n").agg(max("c").as("top_c"), sum("c").as("total_c"))

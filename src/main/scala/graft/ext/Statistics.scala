@@ -449,10 +449,14 @@ object Statistics {
     // DECLARED (the 5 fixed langs), not discovered — Spark's
     // values-free pivot() runs an extra distinct-collect job over the
     // pivot column before planning, a corpus-wide pass a 100 TB run
-    // can't afford; with literal values the whole thing is ONE
-    // hash-aggregate pass whose conditional sums combine map-side (the
-    // exchange carries 20 sources × 6 longs). Missing cells coalesce
-    // to 0 on both engines.
+    // can't afford. The corpus is touched ONCE, by a plain
+    // (source, lang) pre-aggregate with map-side combine; both the
+    // pivot and n_docs derive from that ≤ sources×langs-row relation,
+    // so n_docs is an UNCONDITIONAL count — a doc whose lang falls
+    // outside the declared cell list (or is NULL) still counts toward
+    // its source's total, exactly like the oracle's count(*), instead
+    // of silently vanishing from a cell-sum reconstruction. Missing
+    // cells coalesce to 0 on both engines.
     Q(
       "q99_lang_pivot", {
         val cells = Seq("de", "en", "es", "fr", "zh").map { l =>
@@ -463,17 +467,16 @@ object Statistics {
            |FROM documents GROUP BY source""".stripMargin
       }) { (s, d) =>
       val langs = Seq("de", "en", "es", "fr", "zh")
-      val pivoted = Tables.documents(s, d)
-        .groupBy("source")
+      val per = Tables.documents(s, d)
+        .groupBy("source", "lang")
+        .agg(sum("n_chars").as("chars"), count(lit(1)).as("n"))
+      val nDocs = per.groupBy("source").agg(sum("n").as("n_docs"))
+      val pivoted = per.groupBy("source")
         .pivot("lang", langs)
-        .agg(sum("n_chars"), count(lit(1)))
-      // pivot with 2 aggs names columns "<value>_sum(n_chars)" etc.;
-      // fold the per-lang counts back into one total and 0-fill cells
-      val cols = col("source") +:
-        langs.map(l => coalesce(col(s"`${l}_count(1)`"), lit(0L)))
-          .reduce(_ + _).as("n_docs") +:
-        langs.map(l => coalesce(col(s"`${l}_sum(n_chars)`"), lit(0L)).as(l))
-      pivoted.select(cols: _*)
+        .agg(sum("chars"))
+      val cols = col("source") +: col("n_docs") +:
+        langs.map(l => coalesce(col(s"`$l`"), lit(0L)).as(l))
+      nDocs.join(pivoted, "source").select(cols: _*)
     },
 
     // ── CUBE: all (lang × source) aggregation lattices in one pass ─────

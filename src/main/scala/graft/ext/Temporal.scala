@@ -632,7 +632,9 @@ object Temporal {
         |SELECT a, b, c_ab,
         |  CAST(c_ab * 1000000 // nb.n AS BIGINT) AS support_ppm,
         |  CAST(c_ab * 1000000 // ia.c AS BIGINT) AS confidence_ppm,
-        |  CAST(c_ab * nb.n * 1000000 // (ia.c * ib.c) AS BIGINT) AS lift_ppm
+        |  CAST(floor(((CAST(c_ab AS DOUBLE) * CAST(nb.n AS DOUBLE))
+        |    / (CAST(ia.c AS DOUBLE) * CAST(ib.c AS DOUBLE))) * 1000000.0) AS BIGINT)
+        |    AS lift_ppm
         |FROM pc
         |JOIN ic ia ON ia.item = a
         |JOIN ic ib ON ib.item = b, nb""".stripMargin) { (s, d) =>
@@ -655,9 +657,16 @@ object Temporal {
         .join(ic.select(col("item").as("b"), col("c").as("cb")), "b")
         .crossJoin(broadcast(nb))
         .select(col("a"), col("b"), col("c_ab"),
+          // support/confidence stay integer: c_ab·10⁶ ≤ n·10⁶ fits
+          // BIGINT while n ≤ 9.2e12 baskets. Lift's c_ab·n·10⁶ does
+          // NOT (n² term), so it routes through DOUBLE — exact int64
+          // casts below 2⁵³, identical correctly-rounded op order on
+          // both engines, floor at the end (same fix as q119).
           expr("c_ab * 1000000 div n").as("support_ppm"),
           expr("c_ab * 1000000 div ca").as("confidence_ppm"),
-          expr("c_ab * n * 1000000 div (ca * cb)").as("lift_ppm"))
+          expr("CAST(floor(((CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE))" +
+            " / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))) * 1000000.0D) AS BIGINT)")
+            .as("lift_ppm"))
     },
 
     // ── Path-to-purchase mining (purchase-anchored 3-step paths) ───────

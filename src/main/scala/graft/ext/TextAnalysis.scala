@@ -595,8 +595,13 @@ object TextAnalysis {
            |SELECT v AS token, r AS rank FROM r8 ORDER BY r DESC, v LIMIT 20"""
           .stripMargin
       }) { (s, d) =>
+      // size(ws) ≥ 2 guard: DuckDB's range(1, len(ws)) is empty on a
+      // 1-token doc, but Spark's sequence(1, 0) defaults to step -1 and
+      // descends to [1, 0], making element_at(ws, 0) throw — the filter
+      // matches the oracle's empty-range behavior on degenerate docs.
       val prs = Tables.documents(s, d)
         .select(split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, size(ws) - 1)," +
             " i -> named_struct('a', element_at(ws, i), 'b', element_at(ws, i + 1)))"))
@@ -675,11 +680,20 @@ object TextAnalysis {
     // P(ab)/(P(a)·P(b)) = c_ab·N / (c_a·c_b) — is PMI without the log,
     // and the log is exactly what breaks cross-engine exactness (libm
     // differences); the RANKING is identical because log is monotone.
-    // Pure integers end to end: pair counts and unigram-slot counts
+    // Counts are pure integers: pair counts and unigram-slot counts
     // from one adjacency pass (the q98 edge relation's directed half),
-    // lift in floor-ppm, support ≥ 5 to kill noise pairs, top-20 by
-    // (lift, pair) via TakeOrderedAndProject — the unigram join sides
-    // are vocabulary-sized broadcasts.
+    // support ≥ 5 to kill noise pairs, top-20 by (lift, pair) via
+    // TakeOrderedAndProject — the unigram join sides are
+    // vocabulary-sized broadcasts. The lift RATIO itself goes through
+    // DOUBLE (exact-int64 counts cast exactly below 2⁵³, identical
+    // single correctly-rounded op order on both engines, floor at the
+    // end) because the all-integer form `c_ab·n·10⁶` needs
+    // c_ab·n ≤ 9.2e12 to avoid BIGINT wrap — false at the 100 TB pair
+    // counts (n ~ 2e13) this query targets. Docs under 2 tokens have
+    // no adjacent pair: the Spark side filters them (size(ws) ≥ 2)
+    // where DuckDB's range(1, len(ws)) is already empty — without the
+    // guard Spark's sequence(1, 0) descends to [1, 0] and
+    // element_at(ws, 0) throws.
     Q(
       "q119_collocations",
       """WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
@@ -692,12 +706,15 @@ object TextAnalysis {
         |ua AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM pc GROUP BY a),
         |ub AS (SELECT b, CAST(sum(c_ab) AS BIGINT) AS c_b FROM pc GROUP BY b)
         |SELECT a, b, c_ab,
-        |  CAST(c_ab * n.n * 1000000 // (ua.c_a * ub.c_b) AS BIGINT) AS lift_ppm
+        |  CAST(floor(((CAST(c_ab AS DOUBLE) * CAST(n.n AS DOUBLE))
+        |    / (CAST(ua.c_a AS DOUBLE) * CAST(ub.c_b AS DOUBLE))) * 1000000.0) AS BIGINT)
+        |    AS lift_ppm
         |FROM pc JOIN ua USING (a) JOIN ub USING (b), n
         |WHERE c_ab >= 5
         |ORDER BY lift_ppm DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
       val pc = Tables.documents(s, d)
         .select(split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, size(ws) - 1)," +
             " i -> named_struct('a', element_at(ws, i), 'b', element_at(ws, i + 1)))"))
@@ -716,7 +733,9 @@ object TextAnalysis {
         .join(ua, "a")
         .join(ub, "b")
         .crossJoin(broadcast(n))
-        .withColumn("lift_ppm", expr("c_ab * n * 1000000 div (c_a * c_b)"))
+        .withColumn("lift_ppm",
+          expr("CAST(floor(((CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE))" +
+            " / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))) * 1000000.0D) AS BIGINT)"))
         .orderBy(col("lift_ppm").desc, col("a"), col("b"))
         .limit(20)
         .select("a", "b", "c_ab", "lift_ppm")

@@ -1,0 +1,81 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Scale soak: run the most expensive registry queries against a
+  * [[ScaleGen]]-scaled corpus and report wall time PLUS the metrics
+  * that actually predict 100 TB behavior — shuffle bytes and spill.
+  * `runMain graft.Scale <sfDir> [names]` prints one JSON line per query
+  * and a trailing summary line.
+  *
+  * Wall time alone can hide a superlinear shuffle behind fixed
+  * overhead; shuffle-write bytes are the size-of-exchange ground truth
+  * (a "dup-rate-sized relation" claim is checkable as shuffle bytes
+  * growing ×copies, not ×copies²), and any disk spill at a scale that
+  * fits memory means the partition sizing story failed.
+  */
+object Scale {
+  /** The 10 most expensive registry queries per the round-5 bench —
+    * the ones whose scale claims are worth soaking (all documents-table
+    * dedup/text paths; the rest of the registry is dimension-sized).
+    */
+  val hot: Seq[String] = Seq(
+    "q127_curation_ledger", "q67_canonical_docs", "q104_containment",
+    "q35_ngram_jaccard", "q66_dup_rate_by_source", "q73_lsh_recall_audit",
+    "q53_dedup_clusters", "q126_lsh_precision", "q91_edit_distance_verify",
+    "q64_boilerplate_ngrams")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args.lift(1).map(_.split(',').toSeq).getOrElse(hot)
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+    val shufRead = new AtomicLong; val shufWrite = new AtomicLong
+    val memSpill = new AtomicLong; val diskSpill = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          memSpill.addAndGet(m.memoryBytesSpilled)
+          diskSpill.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
+
+    // JIT/codegen warmup on the tiny SF so measured runs are execution
+    // (same policy as Bench); ignore warmup failures, measured run will
+    // surface them loudly.
+    val warm = "/root/testdata/sf0.001"
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, warm)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
+
+    var totalSec = 0.0
+    names.foreach { n =>
+      shufRead.set(0); shufWrite.set(0); memSpill.set(0); diskSpill.set(0)
+      val t0 = System.nanoTime()
+      val err =
+        try { SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save(); "" }
+        catch { case e: Throwable => e.getClass.getSimpleName }
+      val dt = (System.nanoTime() - t0) / 1e9
+      totalSec += dt
+      spark.catalog.clearCache()
+      // listener events drain asynchronously (the bus API is
+      // private[spark]); half a second is far beyond the bus's drain
+      // time for a single query's task set
+      Thread.sleep(500)
+      def mb(v: AtomicLong) = v.get / 1048576.0
+      println(f"""{"query":${Json.str(n)},"sec":$dt%.3f,"shuffle_read_mb":${mb(shufRead)}%.1f,"shuffle_write_mb":${mb(shufWrite)}%.1f,"spill_mem_mb":${mb(memSpill)}%.1f,"spill_disk_mb":${mb(diskSpill)}%.1f,"err":${Json.str(err)}}""")
+    }
+    println(f"""{"metric":"scale_total","sec":$totalSec%.1f,"sf":${Json.str(sfDir)},"n_queries":${names.size}}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Builds a scaled-up copy of the generated test tables for the scale
+  * soak ([[Scale]]): `runMain graft.ScaleGen <srcSfDir> <outDir> <copies>`.
+  *
+  * Construction: each copy is an ISOMORPHIC, VOCABULARY-DISJOINT image
+  * of the source corpus — every token gets a per-copy suffix, ids get a
+  * per-copy stride offset. This is the honest way to scale a dedup/
+  * text-analytics corpus: naive replication would make every doc an
+  * exact twin of its 9 copies, so near-dup cluster sizes (and pair
+  * counts, which grow with the SQUARE of cluster size) would explode
+  * superlinearly by construction and indict the queries for the
+  * generator's sin. With disjoint vocabularies, no shingle/token/pair
+  * crosses copies: dup structure, vocabulary growth, and candidate-pair
+  * counts all scale exactly ×copies, so a query whose measured cost
+  * grows faster than ×copies is genuinely superlinear in its own plan.
+  *
+  * Tables: documents (token-suffixed text, recomputed n_chars),
+  * events (stride-offset event/user ids, raw LONG-nanos ts preserved so
+  * the scaled dir round-trips through [[Tables.events]] exactly like
+  * the driver layout), embeddings (stride-offset vec_id; coordinate 0
+  * nudged by copy·2⁻¹⁰ so copies are not exact vector twins — exact
+  * twins would give every vector `copies−1` tied nearest neighbors and
+  * rewrite ANN semantics at scale).
+  */
+object ScaleGen {
+  /** Id stride between copies — far above any generated id. */
+  val Stride = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    val (src, out, copies) = (args(0), args(1), args(2).toInt)
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val copyDf = spark.range(copies).select(col("id").as("copy"))
+
+    Tables.documents(spark, src)
+      .crossJoin(copyDf)
+      .select(
+        (col("doc_id") + col("copy") * Stride).as("doc_id"),
+        when(col("copy") === 0, col("text"))
+          .otherwise(expr(
+            "array_join(transform(split(text, ' '), t -> concat(t, '~', copy)), ' ')"))
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // raw load (not Tables.events): keeps ts as the LONG nanos the
+    // session-level nanosAsLong read produces, so the scaled parquet
+    // has the same shape the loader's `ts div 1000` expects
+    Tables.load(spark, src, "events")
+      .crossJoin(copyDf)
+      .select(
+        (col("event_id") + col("copy") * Stride).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("copy") * Stride).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    Tables.embeddings(spark, src)
+      .crossJoin(copyDf)
+      .select(
+        (col("vec_id") + col("copy") * Stride).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CASE WHEN i = 0" +
+          " THEN CAST(x + copy / 1024.0D AS FLOAT) ELSE x END)").as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"""{"scalegen":"$out","copies":$copies,"src":"$src"}""")
+    spark.stop()
+  }
+}

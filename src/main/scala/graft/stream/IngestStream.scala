@@ -154,16 +154,24 @@ object IngestStream {
   def occurrences(processed: DataFrame): Dataset[Throttle.Occurrence] = {
     val spark = processed.sparkSession
     import spark.implicits._
+    // The occurrence struct is assembled INSIDE one transform() over
+    // `alerts`, and the explode emits the finished struct — so the
+    // (large) alerts/validation expression tree appears exactly once in
+    // the plan. The obvious spelling — explode(alerts) then extract
+    // .type/.priority/... — invites GeneratorNestedColumnAliasing /
+    // projection collapse to duplicate that whole tree per extracted
+    // field: measured 101 s vs 2.9 s on a 5k-row batch (33.5 MiB vs
+    // 3.5 MiB task binaries), and streaming re-pays it EVERY micro-batch
+    // because incremental planning re-optimizes per trigger.
     processed
-      .select(col("event_id"), col("loc_id"), col("timestamp"),
-        explode(col("alerts")).as("alert"))
-      .select(
+      .select(explode(transform(col("alerts"), a => struct(
         coalesce(col("loc_id"), lit("unknown")).as("locId"),
-        col("alert.type").as("alertType"),
-        col("alert.priority").as("priority"),
-        col("alert.description").as("description"),
+        a.getField("type").as("alertType"),
+        a.getField("priority").as("priority"),
+        a.getField("description").as("description"),
         coalesce(col("event_id"), lit("unknown")).as("eventId"),
-        to_timestamp(col("timestamp")).as("eventTime"))
+        to_timestamp(col("timestamp")).as("eventTime")))).as("o"))
+      .select(col("o.*"))
       .filter(col("eventTime").isNotNull)
       .as[Throttle.Occurrence]
   }
@@ -278,6 +286,12 @@ object IngestStream {
     * read as a text stream (the file-source analog of the Kinesis
     * batches, SURVEY §2.1 S1/S3).
     */
-  def fileSource(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.text(dir).withColumnRenamed("value", "raw")
+  def fileSource(
+      spark: SparkSession,
+      dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
+    maxFilesPerTrigger.foreach(k => reader.option("maxFilesPerTrigger", k))
+    reader.text(dir).withColumnRenamed("value", "raw")
+  }
 }

@@ -90,6 +90,39 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("golden file: checked-in PNG bytes decode to pinned luminance features") {
+    // The round-trip tests above (encode with THIS JDK, decode with
+    // THIS JDK) would pass through a silent behavior change in the
+    // JDK's codecs. This fixture's bytes are CHECKED IN
+    // (src/test/resources/golden_8x8.png: 8×8 RGB, pixel (x,y) =
+    // (36x, 36y, 18(x+y)) mod 256, written by an independent encoder),
+    // and the expected histogram below is hand-derived from those pixel
+    // values via decodeImage's exact integer luma —
+    // lum = (299r + 587g + 114b)/1000, bin = lum >> 4 — so ANY
+    // deviation in the decode path (a JDK upgrade reinterpreting color
+    // space, a luma-math edit) fails this test instead of shipping
+    // changed production features. PNG is lossless: every correct
+    // decoder must reproduce these exact pixels.
+    val in = getClass.getResourceAsStream("/golden_8x8.png")
+    assert(in != null, "golden fixture missing from test resources")
+    val bytes = in.readAllBytes()
+    in.close()
+    assert(bytes.length === 189) // fixture integrity: not truncated/rewritten
+    val f = MultimodalStub.decodeImage(99L, bytes)
+    assert(f.width === 8 && f.height === 8)
+    val expectedCounts =
+      Seq(2, 2, 3, 4, 5, 6, 5, 5, 6, 6, 5, 5, 4, 2, 3, 1)
+    assert(f.histogram.toSeq === expectedCounts.map(_ / 64.0))
+    // and through the full Spark pipeline under the imageio flag
+    import spark.implicits._
+    val viaPipeline = MultimodalStub.features(
+      Seq((99L, bytes)).toDF("doc_id", "data"),
+      payloadCol = "data", codec = Some("imageio"))
+      .select("width", "height", "histogram").head()
+    assert(viaPipeline.getInt(0) === 8 && viaPipeline.getInt(1) === 8)
+    assert(viaPipeline.getSeq[Double](2) === expectedCounts.map(_ / 64.0))
+  }
+
   test("unknown codec names fail on the driver, not mid-job") {
     val e = intercept[IllegalArgumentException] {
       MultimodalStub.features(docs, codec = Some("ffmpeg"))

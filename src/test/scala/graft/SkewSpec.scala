@@ -87,4 +87,50 @@ class SkewSpec extends AnyFunSuite {
     assert(salted === plain)
     assert(salted.nonEmpty)
   }
+
+  test("AQE skew-join splits a byte-skewed band join at runtime") {
+    // Why BOTH AQE skew-join and manual salting exist (SURVEY §4): AQE
+    // is the runtime safety net for byte-skew it can SEE — this test
+    // proves it engages on our session config (thresholds scaled to
+    // test data; production defaults are 256 MB / 5× median). But its
+    // detector is BYTES-linear while self-pair generation is ROWS-
+    // quadratic: a band of 100k 8-byte hashes is under 1 MB post-
+    // shuffle — invisible to any sane byte threshold — yet emits 5e9
+    // pairs on one task. That is why Skew.selfPairs keys its hot path
+    // on ROW COUNT (hotThreshold), and why the banding joins keep it
+    // rather than relying on AQE.
+    import spark.implicits._
+    // one hot key with a fat payload (byte skew AQE can detect) + cold
+    // keys; a dim side large enough that broadcast doesn't preempt the
+    // shuffle join
+    val pay = "x" * 200
+    val big = ((0 until 30000).map(i => ("hot", s"$pay$i")) ++
+      (0 until 3000).map(i => (s"cold_${i % 300}", s"p$i")))
+      .toDF("k", "payload")
+    val dim = (Seq("hot") ++ (0 until 300).map(i => s"cold_$i"))
+      .flatMap(k => (0 until 3).map(j => (k, j)))
+      .toDF("k", "j")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = big.join(dim, "k")
+      // execute THIS plan instance (count()/write() would build a new
+      // QueryExecution and leave this adaptive plan un-finalized)
+      val qe = joined.queryExecution
+      assert(qe.toRdd.count() === 30000L * 3 + 3000 * 3)
+      val finalPlan = qe.executedPlan.toString
+      assert(finalPlan.contains("isSkewJoin=true") || finalPlan.contains("skewed"),
+        s"AQE did not mark the join skew-split:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

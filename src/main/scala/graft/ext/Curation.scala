@@ -556,5 +556,76 @@ object Curation {
       cand.join(broadcast(bench), "sh")
         .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
         .where(col("n_overlap") >= 3)
+    },
+
+    // ── DSIR-style importance weighting (data selection) ───────────────
+    // Data Selection via Importance Resampling (Xie et al. 2023,
+    // arXiv:2302.03169): score every raw doc by how target-domain-like
+    // its HASHED N-GRAM feature distribution is, then keep the top
+    // slice. Target here = the src0 docs (the "curated in-domain
+    // sample"); features = unigram tokens hashed into a FIXED 4096
+    // buckets — the paper's point, and the 100 TB point: model size is
+    // 4096 counters regardless of corpus vocabulary, the two feature
+    // tables are one map-side-combined aggregation each, and scoring is
+    // a broadcast join of a constant-size relation onto one token pass.
+    // DIVERGENCE (documented): DSIR's weight is Π p_t/p_r over tokens
+    // (= exp Σ log-ratios); libm log/exp is not engine-portable, so the
+    // score is the ARITHMETIC mean of per-token probability ratios —
+    // same signal (monotone in per-token lift), integer-exact edges.
+    // Ratio math: smoothed (+1 count, +B denominator) bucket probs via
+    // one correctly-rounded DOUBLE expression — counts cast exactly
+    // (int64 < 2^53 up to ~9e15 tokens ≈ 36 PB of text), identical op
+    // order both engines — floored to ppm and capped at 100× (1e8 ppm)
+    // so a doc's BIGINT ratio sum is bounded by n_tok·1e8 (overflow
+    // needs a 9e10-token doc). Top-20 by (score, doc_id) plans as
+    // TakeOrderedAndProject — no global sort, no window.
+    Q(
+      "q146_dsir_importance", {
+        val b = s"${Portable.h60Duck("t")} % 4096"
+        s"""WITH tb AS (SELECT doc_id, source, lang, $b AS b
+           |            FROM (SELECT doc_id, source, lang,
+           |                    unnest(string_split(text, ' ')) AS t
+           |                  FROM documents)),
+           |raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY b),
+           |tgt AS (SELECT b, count(*) AS ct FROM tb WHERE source = 'src0' GROUP BY b),
+           |tot AS (SELECT count(*) AS nr,
+           |          count(CASE WHEN source = 'src0' THEN 1 END) AS nt FROM tb),
+           |feats AS (SELECT raw.b,
+           |  CAST(floor(least(((CAST(coalesce(ct, 0) + 1 AS DOUBLE) * CAST(nr + 4096 AS DOUBLE))
+           |    / (CAST(cr + 1 AS DOUBLE) * CAST(nt + 4096 AS DOUBLE))) * 1000000.0,
+           |    100000000.0)) AS BIGINT) AS ratio_ppm
+           |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot)
+           |SELECT tb.doc_id, tb.source, tb.lang, count(*) AS n_tok,
+           |  CAST(CAST(sum(ratio_ppm) AS BIGINT) // count(*) AS BIGINT) AS score_ppm
+           |FROM tb JOIN feats ON tb.b = feats.b
+           |GROUP BY tb.doc_id, tb.source, tb.lang
+           |ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin
+      }) { (s, d) =>
+      val tb = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"),
+          explode(expr("split(text, ' ')")).as("t"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          expr(s"${Portable.h60Spark("t")} % 4096").as("b"))
+        .persist() // one token pass feeds both feature tables and the probe
+      val raw = tb.groupBy("b").agg(count(lit(1)).as("cr"))
+      val tgt = tb.filter(col("source") === "src0")
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      val tot = tb.agg(
+        count(lit(1)).as("nr"),
+        count(expr("CASE WHEN source = 'src0' THEN 1 END")).as("nt"))
+      // feats is ≤ 4096 rows BY CONSTRUCTION (hashed feature space) —
+      // the broadcast hint is justified at any corpus size
+      val feats = raw.join(tgt, Seq("b"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("b"),
+          expr("CAST(floor(least(((CAST(coalesce(ct, 0) + 1 AS DOUBLE) * CAST(nr + 4096 AS DOUBLE))" +
+            " / (CAST(cr + 1 AS DOUBLE) * CAST(nt + 4096 AS DOUBLE))) * 1000000.0D," +
+            " 100000000.0D)) AS BIGINT)").as("ratio_ppm"))
+      tb.join(broadcast(feats), "b")
+        .groupBy("doc_id", "source", "lang")
+        .agg(count(lit(1)).as("n_tok"),
+          expr("sum(ratio_ppm) div count(*)").as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+        .limit(20)
     })
 }

@@ -31,6 +31,12 @@ object Scale {
     val sfDir = args(0)
     val names = args.lift(1).map(_.split(',').toSeq).getOrElse(hot)
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // Shuffle-partition override for partition-sizing experiments: a
+    // cluster sizes partitions to the data (AQE coalesces a high
+    // initial count down where small); the q64 ×100 spill reproduces
+    // and disappears purely with this knob — see SCALE.md.
+    sys.env.get("SPARK_GRAFT_SHUFFLE")
+      .foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
 
     val shufRead = new AtomicLong; val shufWrite = new AtomicLong
     val memSpill = new AtomicLong; val diskSpill = new AtomicLong

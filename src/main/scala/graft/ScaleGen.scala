@@ -70,6 +70,18 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    // the TPC-H star tables pass through UNSCALED so every registry
+    // query still runs against a scaled dir (q90 profiles lineitem;
+    // the star queries are dimension-bound and not what the soak
+    // measures) — raw load, not the typed loaders, so parquet types
+    // round-trip unchanged
+    Tables.names
+      .filterNot(Set("documents", "events", "embeddings"))
+      .foreach { t =>
+        Tables.load(spark, src, t)
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+
     println(s"""{"scalegen":"$out","copies":$copies,"src":"$src"}""")
     spark.stop()
   }

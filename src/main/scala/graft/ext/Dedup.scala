@@ -662,6 +662,65 @@ object Dedup {
             " ELSE 'retained' END").as("fate"))
         .groupBy("source", "fate")
         .agg(count(lit(1)).as("n"))
+    },
+
+    // ── Dedup threshold calibration sweep ──────────────────────────────
+    // The tuning table behind q36's fixed 0.5: what would the corpus
+    // lose at each candidate Jaccard threshold? One exact-verify pass
+    // scores EVERY MinHash candidate as integer ppm (no threshold
+    // filter), then a 4-row threshold dimension fans each scored pair
+    // into the thresholds it clears — conditional work is
+    // candidates × 4, all dup-rate-sized; the corpus contributes one
+    // count. Per threshold: surviving pair count, docs dropped under
+    // the keep-smallest-id rule (q127's convention), and the corpus
+    // drop rate in ppm. This is the curve a data owner reads before
+    // committing a dedup config; at 100 TB it runs on the same
+    // candidates q36 already generates.
+    Q(
+      "q148_threshold_sweep",
+      s"""WITH $shingles5Duck,
+         |$minhashCandDuck,
+         |sarr AS (SELECT doc_id, list(sh) AS arr, count(*) AS n FROM sh GROUP BY doc_id),
+         |scored AS (SELECT a_id, b_id,
+         |    CAST(c * 1000000 // (na + nb - c) AS BIGINT) AS jppm
+         |  FROM (SELECT a_id, b_id, sa.n AS na, sb.n AS nb,
+         |          len(list_intersect(sa.arr, sb.arr)) AS c
+         |        FROM cand
+         |        JOIN sarr sa ON sa.doc_id = a_id
+         |        JOIN sarr sb ON sb.doc_id = b_id)),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |th AS (SELECT unnest([300000, 500000, 700000, 900000]) AS threshold_ppm)
+         |SELECT th.threshold_ppm,
+         |  CAST(count(s.a_id) AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT s.b_id) AS BIGINT) AS n_dropped,
+         |  CAST(CAST(count(DISTINCT s.b_id) AS BIGINT) * 1000000 // nd.n_docs
+         |       AS BIGINT) AS drop_ppm
+         |FROM th CROSS JOIN nd LEFT JOIN scored s ON s.jppm >= th.threshold_ppm
+         |GROUP BY th.threshold_ppm, nd.n_docs""".stripMargin) { (s, d) =>
+      val cand = minhashCandidates(s, d).persist()
+      val candIds = cand.select(col("a_id").as("doc_id"))
+        .union(cand.select(col("b_id")))
+      val sarr = shingles5(s, d)
+        .join(candIds, Seq("doc_id"), "left_semi")
+        .groupBy("doc_id")
+        .agg(collect_list("sh").as("arr"), count(lit(1)).as("n"))
+      val scored = cand
+        .join(sarr.as("sa"), col("sa.doc_id") === col("a_id"))
+        .join(sarr.as("sb"), col("sb.doc_id") === col("b_id"))
+        .withColumn("c", expr("cast(size(array_intersect(sa.arr, sb.arr)) as bigint)"))
+        .select(col("a_id"), col("b_id"),
+          expr("c * 1000000 div (sa.n + sb.n - c)").as("jppm"))
+      val nd = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val th = s.range(0, 4).select(
+        (col("id") * 200000 + 300000).cast("long").as("threshold_ppm"))
+      th.crossJoin(broadcast(nd))
+        .join(scored, col("jppm") >= col("threshold_ppm"), "left")
+        .groupBy("threshold_ppm", "n_docs")
+        .agg(
+          count(col("a_id")).as("n_pairs"),
+          countDistinct(col("b_id")).as("n_dropped"))
+        .select(col("threshold_ppm"), col("n_pairs"), col("n_dropped"),
+          expr("n_dropped * 1000000 div n_docs").as("drop_ppm"))
     })
 
   /** Exact-Jaccard verification of a candidate-pair relation against

@@ -787,5 +787,46 @@ object TextAnalysis {
         .select(col("sa"), col("sb"), col("smin"),
           expr("ta_tc + tb_tc - smin").as("smax"),
           expr("smin * 1000000 div (ta_tc + tb_tc - smin)").as("wjaccard_ppm"))
+    },
+
+    // ── Token diversity: Gini-Simpson impurity + effective vocab ───────
+    // The full-distribution repetition lens q55's top-token share can't
+    // see: a doc cycling 5 tokens evenly has a low top-1 share but
+    // catastrophic diversity. Gini-Simpson impurity 1 − Σpᵢ² is the
+    // log-free diversity index (Shannon entropy needs libm log — not
+    // engine-portable), and its inverse Σpᵢ²⁻¹ = n²/Σcᵢ² is the
+    // "effective vocabulary size" (perplexity's order-2 Rényi cousin) —
+    // the per-doc number a curation gate thresholds. Pure BIGINT:
+    // impurity_ppm = 10⁶ − (Σcᵢ²·10⁶) div n². Overflow needs a PER-DOC
+    // length past n²·10⁶ > 2⁶³ ⇒ n > 3.03e6 tokens (~12 MB of text) —
+    // a per-document bound independent of corpus size; past it,
+    // pre-divide per token. Shape: one (doc, token) counting exchange
+    // (map-side combined) then a per-doc reduce — corpus-linear.
+    Q(
+      "q147_token_gini",
+      """WITH tc AS (SELECT doc_id, t, count(*) AS c
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |                  FROM documents)
+        |            GROUP BY doc_id, t),
+        |agg AS (SELECT doc_id,
+        |          CAST(sum(c) AS BIGINT) AS n,
+        |          CAST(sum(c * c) AS BIGINT) AS s2,
+        |          CAST(count(*) AS BIGINT) AS n_distinct
+        |        FROM tc GROUP BY doc_id)
+        |SELECT doc_id, n AS n_tokens, n_distinct,
+        |  CAST(1000000 - (s2 * 1000000) // (n * n) AS BIGINT) AS gini_ppm,
+        |  CAST((n * n) // s2 AS BIGINT) AS eff_vocab
+        |FROM agg""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr("split(text, ' ')")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          sum("c").as("n"),
+          expr("sum(c * c)").as("s2"),
+          count(lit(1)).as("n_distinct"))
+        .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
+          expr("1000000 - (s2 * 1000000) div (n * n)").as("gini_ppm"),
+          expr("(n * n) div s2").as("eff_vocab"))
     })
 }

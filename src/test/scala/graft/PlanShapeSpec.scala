@@ -227,4 +227,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("dynamicpruning"),
       s"no dynamic partition-pruning filter reached the fact scan:\n$plan")
   }
+
+  test("q146 DSIR probes through a broadcast of the constant-size feature table") {
+    // the scoring join must broadcast the ≤4096-row hashed-feature
+    // relation onto the token pass — a shuffle join here would
+    // re-exchange the whole corpus's tokens on bucket id
+    val plan = SparkEntry.queries("q146_dsir_importance")(spark, sf)
+      .queryExecution.sparkPlan
+    val bhj = allNodes(plan).collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"no broadcast join in the DSIR plan:\n$plan")
+    // and the top-20 must be TakeOrderedAndProject, not a global sort
+    assert(allNodes(plan).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"DSIR top-20 is not TakeOrderedAndProject:\n$plan")
+  }
+
+  test("q148 threshold sweep builds its nested-loop join on the 4-row side") {
+    // the inequality join (jppm >= threshold) is necessarily a
+    // BroadcastNestedLoopJoin — legitimate ONLY because the build side
+    // is the 4-row threshold dimension; building on the scored-pair
+    // side would broadcast a dup-rate-sized relation
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val plan = SparkEntry.queries("q148_threshold_sweep")(spark, sf)
+      .queryExecution.sparkPlan
+    val bnl = allNodes(plan).collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnl.nonEmpty, s"expected the threshold BNL join:\n$plan")
+    val outer = bnl.maxBy(_.collect { case n => n }.size)
+    val buildTree = outer.buildSide match {
+      case BuildLeft => outer.left
+      case BuildRight => outer.right
+    }
+    // the build subtree is the threshold×count side: it contains NO
+    // join (the scored-pair side contains the two array joins)
+    assert(allNodes(buildTree).count(_.isInstanceOf[BroadcastHashJoinExec]) == 0,
+      s"BNL built on the scored-pair side:\n$outer")
+  }
 }

@@ -26,7 +26,15 @@ object StreamBench {
     val n = args.lift(0).map(_.toLong).getOrElse(1000000L)
     val nFiles = args.lift(1).map(_.toInt).getOrElse(32)
     val perTrigger = args.lift(2).map(_.toInt).getOrElse(4)
+    // 4th arg "tws": run the alert throttle on Spark 4
+    // transformWithState + RocksDB instead of fMGWS + the default
+    // HDFS-backed store — the two state-API paths ThrottleSpec proves
+    // equivalent, measured head to head
+    val tws = args.lift(3).contains("tws")
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    if (tws) spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
     val root = Files.createTempDirectory("graft_streambench").toString
     val (src, lake, alerts, ckpt) =
@@ -41,7 +49,7 @@ object StreamBench {
     val t0 = System.nanoTime()
     val (lakeQ, alertQ) = IngestStream.start(
       IngestStream.fileSource(spark, src, Some(perTrigger)),
-      lake, alerts, ckpt)
+      lake, alerts, ckpt, useTransformWithState = tws)
     lakeQ.awaitTermination()
     val lakeSec = (System.nanoTime() - t0) / 1e9
     alertQ.awaitTermination()
@@ -60,7 +68,7 @@ object StreamBench {
     val landed = spark.read.json(lake).count()
     val alertRows = spark.read.parquet(alerts).count()
     println(
-      s"""{"metric":"stream_ingest","events":$n,"wall_sec":${f"$wallSec%.1f"},""" +
+      s"""{"metric":"stream_ingest","state_api":"${if (tws) "transformWithState+rocksdb" else "fMGWS+hdfs"}","events":$n,"wall_sec":${f"$wallSec%.1f"},""" +
         s""""lake_sec":${f"$lakeSec%.1f"},"events_per_sec":${(n / wallSec).toInt},""" +
         s""""n_batches":${batches.length},"batch_ms_p50":${pct(0.5)},""" +
         s""""batch_ms_p95":${pct(0.95)},"batch_ms_max":${pct(1.0)},""" +

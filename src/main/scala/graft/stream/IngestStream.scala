@@ -185,7 +185,8 @@ object IngestStream {
       lakePath: String,
       alertPath: String,
       checkpointRoot: String,
-      watermarkDelay: String = "10 minutes"): (StreamingQuery, StreamingQuery) = {
+      watermarkDelay: String = "10 minutes",
+      useTransformWithState: Boolean = false): (StreamingQuery, StreamingQuery) = {
     // Per-micro-batch summary counts — the Lambda's batch summary
     // (lamda.py:533-541, SURVEY §2.4 A4) as observable metrics: free
     // (piggybacks the sink pass), surfaced in every
@@ -262,7 +263,14 @@ object IngestStream {
       .start()
 
     val occ = occurrences(process(rawStream))
-    val sent = Throttle(occ.withWatermark("eventTime", watermarkDelay))
+    val wm = occ.withWatermark("eventTime", watermarkDelay)
+    // same state machine on either API: the fMGWS default, or Spark 4
+    // transformWithState (requires the RocksDB provider on the session)
+    // — ThrottleSpec proves both paths equivalent; StreamBench measures
+    // them
+    val sent =
+      if (useTransformWithState) Throttle.transformWithState(wm)
+      else Throttle(wm)
     // SNS-shaped notification columns (lamda.py:285-314, SURVEY §2.1
     // S9): subject/message templates + recommended-action lookup.
     val (subject, message) = Alerts.formatMessage(

@@ -41,10 +41,22 @@ object StreamBench {
       (s"$root/src", s"$root/lake", s"$root/alerts", s"$root/ckpt")
 
     // producer → files is the faithful topology (the reference's
-    // producer publishes to MQTT, never feeds the Lambda in-process)
-    FarmProducer.records(spark, n)
-      .repartition(nFiles)
-      .write.text(src)
+    // producer publishes to MQTT, never feeds the Lambda in-process).
+    // Shards are contiguous event-time slices (range partitions, no
+    // shuffle) and the mtime stamping below pins the file source's
+    // (modTime, path) pick order to event-time order — so micro-batches
+    // arrive in-order like a broker stream, the watermark/TTL are
+    // exercised mid-stream, and the alert count is run-deterministic
+    // (round-robin shards made every batch replay the full 34-day
+    // range, and mtime ties made the batch composition — and hence
+    // suppression decisions — vary run to run)
+    FarmProducer.records(spark, n, numPartitions = nFiles).write.text(src)
+    val parts = new java.io.File(src).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val nowMs = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(nowMs - (parts.length - i) * 1000L)
+    }
 
     val t0 = System.nanoTime()
     val (lakeQ, alertQ) = IngestStream.start(

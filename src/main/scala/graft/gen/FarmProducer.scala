@@ -67,9 +67,10 @@ object FarmProducer {
       n: Long,
       seed: Long = 42L,
       faultPct: Int = 10,
-      alertPct: Int = 15): DataFrame =
+      alertPct: Int = 15,
+      numPartitions: Int = 0): DataFrame =
     recordsWithRates(spark, n, seed,
-      lit(faultPct / 100.0), lit(alertPct / 100.0))
+      lit(faultPct / 100.0), lit(alertPct / 100.0), numPartitions)
 
   /** [[records]] with the reference's staged degradation schedule: the
     * fault/alert rates ramp with the record index instead of being
@@ -94,8 +95,15 @@ object FarmProducer {
       n: Long,
       seed: Long,
       faultRate: org.apache.spark.sql.Column,
-      alertRate: org.apache.spark.sql.Column): DataFrame = {
-    val base = spark.range(n).withColumn("sd", lit(seed))
+      alertRate: org.apache.spark.sql.Column,
+      numPartitions: Int = 0): DataFrame = {
+    // range partitions are CONTIGUOUS id slices, and every derived
+    // field (timestamp included) is a function of id — so with an
+    // explicit numPartitions each output partition is a contiguous
+    // event-time slice, which lets callers write time-ordered shards
+    // (the broker analog) without a shuffle
+    val base = (if (numPartitions > 0) spark.range(0L, n, 1L, numPartitions)
+                else spark.range(n)).withColumn("sd", lit(seed))
 
     // per-record draws
     def draw(tag: String, mod: Int): org.apache.spark.sql.Column =

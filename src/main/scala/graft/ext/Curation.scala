@@ -627,5 +627,42 @@ object Curation {
           expr("sum(ratio_ppm) div count(*)").as("score_ppm"))
         .orderBy(col("score_ppm").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // ── Context-window chunking with stride ────────────────────────────
+    // The training-prep step between curation and packing: split each
+    // document into model-context-sized token windows (W=32) with
+    // overlap (stride S=24, so 8 tokens of context carry over), the
+    // standard recipe for next-token training over docs longer than the
+    // context. Chunk count is 1 + ceil(max(n−W, 0)/S) — every token is
+    // covered, the last window may run short. Output one row per chunk
+    // with its md5, so the oracle certifies the exact chunk contents,
+    // boundaries, and count. Scale shape: pure narrow per-row work —
+    // split/transform/posexplode with NO exchange at all (the ×(W/S)
+    // amplification happens inside the map stage); downstream consumers
+    // (packing q60, tokenize) see chunks as ordinary docs.
+    Q(
+      "q150_chunk_windows",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |ch AS (SELECT doc_id,
+        |    unnest(list_transform(range(0, (greatest(len(ws) - 32, 0) + 23) // 24 + 1),
+        |      i -> {'idx': i,
+        |            'ntok': len(ws[(i*24+1):(i*24+32)]),
+        |            'h': md5(array_to_string(ws[(i*24+1):(i*24+32)], ' '))})) AS u
+        |  FROM ws)
+        |SELECT doc_id, CAST(u.idx AS BIGINT) AS chunk_idx,
+        |  CAST(u.ntok AS BIGINT) AS n_tok, u.h AS chunk_hash
+        |FROM ch""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        // sequence upper bound ≥ 0 by construction (greatest(..., 0)),
+        // so the descending-sequence edge (ADVICE r5) cannot trigger
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, (greatest(size(ws) - 32, 0) + 23) div 24)," +
+            " i -> struct(size(slice(ws, i * 24 + 1, 32)) as ntok," +
+            " md5(array_join(slice(ws, i * 24 + 1, 32), ' ')) as h))")))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          col("col.ntok").cast("long").as("n_tok"),
+          col("col.h").as("chunk_hash"))
     })
 }

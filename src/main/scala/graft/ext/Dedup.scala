@@ -721,6 +721,77 @@ object Dedup {
           countDistinct(col("b_id")).as("n_dropped"))
         .select(col("threshold_ppm"), col("n_pairs"), col("n_dropped"),
           expr("n_dropped * 1000000 div n_docs").as("drop_ppm"))
+    },
+
+    // ── Sub-document (segment-level) corpus dedup + reconstruction ─────
+    // The C4/RefinedWeb-class rewrite: dedup at a granularity FINER than
+    // the document — repeated boilerplate spans are dropped corpus-wide
+    // (keep-first by (doc_id, pos)) while the rest of each document
+    // survives, then documents are REBUILT from their surviving
+    // segments. Unit here is non-overlapping 10-token segments (the
+    // corpus has no sentence boundaries). Output per doc: segment
+    // counts before/after and the md5 of the reconstructed text, so the
+    // oracle certifies the rebuilt corpus byte-for-byte, not just the
+    // drop counts. Scale shape: the keep-DECISION exchange carries
+    // (16-byte md5, id, pos) — never text; segment text crosses the
+    // wire exactly once, in the decision→segment join that forms the
+    // rewrite output itself, and the rebuild groupBy is keyed on doc_id
+    // (text volume ≤ corpus size by construction). An all-duplicate doc
+    // reconstructs to the empty string (md5('') both engines).
+    Q(
+      "q149_segment_dedup",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |segs AS (SELECT doc_id,
+        |    unnest(list_transform(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+        |      i -> {'pos': i, 'seg': array_to_string(ws[(i*10+1):(i*10+10)], ' ')})) AS u
+        |  FROM ws),
+        |seg2 AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.seg AS seg FROM segs),
+        |dec AS (SELECT doc_id, pos, seg,
+        |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        |  FROM seg2),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs
+        |        FROM seg2 GROUP BY doc_id),
+        |kept AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |           md5(string_agg(seg, ' ' ORDER BY pos)) AS kept_hash
+        |         FROM dec WHERE rn = 1 GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_segs,
+        |  COALESCE(k.n_kept, 0) AS n_kept,
+        |  COALESCE(k.kept_hash, md5('')) AS kept_hash
+        |FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id""".stripMargin) { (s, d) =>
+      val segs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(ws) / 10.0) as int) - 1)," +
+            " i -> array_join(slice(ws, i * 10 + 1, 10), ' '))")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("seg"))
+      val hashed = segs
+        .select(col("doc_id"), col("pos"), col("seg"),
+          md5(col("seg")).as("h"))
+        .persist() // two consumers: the keep decision and the rebuild join
+      // keep-first DECISION over hashes only: min (doc_id, pos) per
+      // segment value — the exchange never carries segment text
+      val keep = hashed
+        .groupBy("h")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+        .select(col("h").as("kh"), col("k.doc_id").as("kdoc"),
+          col("k.pos").as("kpos"))
+      val tot = hashed.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+      // the one text-bearing exchange: surviving segments join back to
+      // their text to form the rewritten corpus
+      val keptSegs = hashed.join(keep,
+        col("h") === col("kh") && col("doc_id") === col("kdoc") &&
+          col("pos") === col("kpos"))
+      val kept = keptSegs
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          sort_array(collect_list(struct(col("pos"), col("seg")))).as("ps"))
+        .select(col("doc_id"), col("n_kept"),
+          md5(expr("array_join(transform(ps, p -> p.seg), ' ')")).as("kept_hash"))
+      tot.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_hash"), md5(lit(""))).as("kept_hash"))
     })
 
   /** Exact-Jaccard verification of a candidate-pair relation against

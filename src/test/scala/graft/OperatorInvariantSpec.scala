@@ -76,4 +76,59 @@ class OperatorInvariantSpec extends AnyFunSuite {
     assert(total === 1000000L * attributed,
       s"credits $total != 1e6 x $attributed purchases")
   }
+
+  // The driver corpus guarantees ≥10 tokens per doc, so the oracle gate
+  // cannot exercise the short/empty-doc edges of the segmenting queries
+  // (the r5-ADVICE failure class: descending sequence() on degenerate
+  // input). Pin them on a fixture.
+  private def degenerateDocs(): String = {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a"), // single token
+      (2L, ""), // empty text (split yields [""])
+      // 21 tokens: segment 1 repeats segment 0; trailing "a" repeats doc1
+      (3L, "a b c d e f g h i j a b c d e f g h i j a"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("degen").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q149 segment dedup: short/empty docs survive; keep-first drops repeats") {
+    val dir = degenerateDocs()
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md5.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val rows = SparkEntry.queries("q149_segment_dedup")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_segs"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("kept_hash")))).toMap
+    assert(rows(1L) === ((1L, 1L, hex("a"))))
+    assert(rows(2L) === ((1L, 1L, hex(""))))
+    // doc3: repeated middle segment dropped corpus-positionally, and the
+    // trailing "a" segment lost keep-first to doc1
+    assert(rows(3L) === ((3L, 1L, hex("a b c d e f g h i j"))))
+  }
+
+  test("q150 chunking covers every token exactly to the document end") {
+    val dir = degenerateDocs()
+    val rows = SparkEntry.queries("q150_chunk_windows")(spark, dir).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    // single-token and empty docs still yield exactly one chunk
+    assert(byDoc(1L).length === 1 && byDoc(1L).head.getAs[Long]("n_tok") === 1L)
+    assert(byDoc(2L).length === 1 && byDoc(2L).head.getAs[Long]("n_tok") === 1L)
+    // coverage: the last chunk's window must end exactly at token n
+    byDoc.foreach { case (docId, chunks) =>
+      val n = Map(1L -> 1L, 2L -> 1L, 3L -> 21L)(docId)
+      val end = chunks.map(c =>
+        c.getAs[Long]("chunk_idx") * 24 + c.getAs[Long]("n_tok")).max
+      assert(end === n, s"doc $docId: coverage ends at $end, want $n")
+      // stride contract: chunk_idx is dense from 0
+      val idxs = chunks.map(_.getAs[Long]("chunk_idx")).sorted
+      assert(idxs.sameElements(0L until idxs.length.toLong),
+        s"doc $docId: chunk indices not dense: ${idxs.mkString(",")}")
+    }
+  }
 }

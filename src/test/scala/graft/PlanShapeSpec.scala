@@ -261,4 +261,48 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(allNodes(buildTree).count(_.isInstanceOf[BroadcastHashJoinExec]) == 0,
       s"BNL built on the scored-pair side:\n$outer")
   }
+
+  test("q150 chunking plans with zero exchanges (pure map pipeline)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // executedPlan: exchanges are inserted by EnsureRequirements
+    val plan = SparkEntry.queries("q150_chunk_windows")(spark, sf)
+      .queryExecution.executedPlan
+    val shuffles = allNodes(plan).collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"chunking must not shuffle — ×(W/S) amplification is map-side:\n$plan")
+  }
+
+  test("q149 segment dedup's keep-decision exchange carries hashes, not text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the sf0.001 parquet is one split, and a 1-partition child
+    // satisfies every distribution — Spark elides all exchanges and
+    // the assertion would hold vacuously; split the scan so the plan
+    // takes its real multi-partition shape
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    val plan =
+      try SparkEntry.queries("q149_segment_dedup")(spark, sf)
+        .queryExecution.executedPlan
+      finally {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+        spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+      }
+    // the scale contract has two halves: (a) the keep-DECISION
+    // aggregate shuffles (h, partial-min) with no text aboard; (b)
+    // segment text crosses the wire AT MOST once — in the rewrite join
+    // that forms the output (zero times when AQE broadcasts the keep
+    // side, as it does at test SFs)
+    val hExchanges = allNodes(plan).collect {
+      case e: ShuffleExchangeExec if e.output.exists(_.name == "h") => e
+    }
+    val decision = hExchanges.filterNot(_.output.exists(_.name == "seg"))
+    assert(decision.nonEmpty, s"no text-free hash-keyed decision exchange:\n$plan")
+    val withText = allNodes(plan).collect {
+      case e: ShuffleExchangeExec if e.output.exists(_.name == "seg") => e
+    }
+    assert(withText.size <= 1,
+      s"segment text crosses the wire ${withText.size}× (max 1):\n$plan")
+  }
 }

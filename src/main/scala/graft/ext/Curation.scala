@@ -664,5 +664,55 @@ object Curation {
         .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
           col("col.ntok").cast("long").as("n_tok"),
           col("col.h").as("chunk_hash"))
+    },
+
+    // ── Length-bucketed batching + padding-waste audit ─────────────────
+    // The inference/eval-serving counterpart of training-side packing
+    // (q60): sequences batched together pad to the longest in the
+    // batch, so servers bucket by length first. Fixed power-of-two
+    // boundaries (32/64/128/256/512 — explicit CASE, not log2(): float
+    // log at an exact power of two is not guaranteed correctly rounded
+    // in either engine, and real servers use a fixed bucket table
+    // anyway). Per bucket: sequence/batch counts at batch size 16, the
+    // padded token volume actually computed, and the ppm of it that is
+    // padding — the number the bucket boundaries are tuned to minimize.
+    //
+    // Scale: one narrow projection (token count per doc) into a
+    // 5-row combine-reduced aggregate; nothing but (bucket, n, 1)
+    // crosses the exchange. waste_ppm divides two exact int64-valued
+    // doubles (padded < 2⁵³ holds to ~9e15 padded tokens per bucket —
+    // beyond any real shard; the division-then-scale is two correctly-
+    // rounded IEEE ops, identical in both engines).
+    Q(
+      "q152_length_buckets",
+      """WITH n AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents),
+        |b AS (SELECT n, CAST(CASE WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+        |                 WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256
+        |                 ELSE 512 END AS BIGINT) AS bucket FROM n),
+        |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_seqs,
+        |        CAST(sum(n) AS BIGINT) AS n_tokens
+        |      FROM b GROUP BY bucket)
+        |SELECT bucket, n_seqs, n_tokens,
+        |  n_seqs * bucket AS padded_tokens,
+        |  (n_seqs + 15) // 16 AS n_batches,
+        |  CAST(floor(CAST(n_seqs * bucket - n_tokens AS DOUBLE)
+        |       / CAST(n_seqs * bucket AS DOUBLE) * 1000000.0) AS BIGINT)
+        |    AS waste_ppm
+        |FROM g""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(expr("cast(size(split(text, ' ')) as bigint)").as("n"))
+        .select(col("n"), expr(
+          "cast(CASE WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64" +
+            " WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256" +
+            " ELSE 512 END as bigint)").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_seqs"), sum("n").as("n_tokens"))
+        .select(col("bucket"), col("n_seqs"), col("n_tokens"),
+          (col("n_seqs") * col("bucket")).as("padded_tokens"),
+          expr("(n_seqs + 15) div 16").as("n_batches"),
+          expr("cast(floor(cast(n_seqs * bucket - n_tokens as double)" +
+            " / cast(n_seqs * bucket as double) * 1000000.0D) as bigint)")
+            .as("waste_ppm"))
     })
 }

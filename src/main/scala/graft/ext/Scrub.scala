@@ -157,5 +157,53 @@ object Scrub {
           // could straddle the threshold differently on a near-tie
           expr("floor(max(CASE WHEN n = 2 THEN top_c END) * 1000000.0D" +
             " / max(CASE WHEN n = 2 THEN total_c END)) / 1000000.0D >= 0.2D").as("repetitive"))
+    },
+
+    // ── k-anonymity audit over release metadata ────────────────────────
+    // The privacy check a corpus release runs AFTER content scrubbing
+    // (q54 removes PII from text; this measures re-identification risk
+    // from the metadata that ships alongside it): a document whose
+    // quasi-identifier tuple — (lang, source, coarse length bucket)
+    // here — is shared by fewer than k=5 documents can be singled out
+    // by anyone who knows those attributes (Sweeney 2002). Per source:
+    // the achieved k (the smallest group = the k the release actually
+    // provides), group/risk counts, and the ppm of docs needing
+    // suppression or generalization to reach k=5.
+    //
+    // Scale: two hash aggregations. The first is keyed on the quasi-id
+    // tuple — by definition coarse (its whole point is to be low-
+    // cardinality), so the combine-reduced exchange carries one row per
+    // distinct tuple, metadata-sized at any corpus size; the second
+    // reduces tuples per source. No text ever moves. All counts are
+    // BIGINT; the ppm is integer-division of integer counts — no
+    // float aggregation anywhere.
+    Q(
+      "q151_k_anonymity",
+      """WITH g AS (SELECT lang, source, n_chars // 100 AS len_bucket,
+        |             CAST(count(*) AS BIGINT) AS c
+        |           FROM documents GROUP BY 1, 2, 3)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  min(c) AS k_anonymity,
+        |  CAST(count(CASE WHEN c < 5 THEN 1 END) AS BIGINT) AS n_risky_groups,
+        |  CAST(COALESCE(sum(CASE WHEN c < 5 THEN c END), 0) AS BIGINT) AS n_risky_docs,
+        |  CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(sum(CASE WHEN c < 5 THEN c END), 0) AS BIGINT)
+        |    * 1000000 // CAST(sum(c) AS BIGINT) AS risky_ppm
+        |FROM g GROUP BY source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars div 100").as("len_bucket"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_groups"),
+          min("c").as("k_anonymity"),
+          count(when(col("c") < 5, 1)).as("n_risky_groups"),
+          coalesce(sum(when(col("c") < 5, col("c"))), lit(0L)).as("n_risky_docs"),
+          sum("c").as("n_docs"))
+        .select(col("source"), col("n_groups"), col("k_anonymity"),
+          col("n_risky_groups"), col("n_risky_docs"), col("n_docs"),
+          expr("n_risky_docs * 1000000L div n_docs").as("risky_ppm"))
     })
 }

@@ -103,6 +103,77 @@ object Similarity {
       .withColumn("nrm", expr("sqrt(cast(vec_ldot(qe, qe) as double))"))
   }
 
+  /** IVF candidate generation (q40's search, pre-ranking): coarse
+    * partition = `label`, integer centroids, 2-probe, exact quantized
+    * cosine on the probed partitions only. Returns `(qid, neighbor_id,
+    * cos)`; q40 ranks it to top-5, q153 audits that top-5 against the
+    * brute-force truth.
+    */
+  private def ivfCand(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qv = nv(s, d)
+    // centroid per (label, dim): integer sum + floor-divide mean —
+    // order-independent, so no sequential-fold contortions needed
+    val pos = qv
+      .select(col("label"), col("vec_id"),
+        posexplode(col("qe")).as(Seq("p", "v")))
+      .select(col("label"), (col("p") + 1).as("i"), col("v"))
+    val cent = pos.groupBy("label", "i")
+      .agg(sum("v").as("cs"), count(lit(1)).as("n"))
+    val cvec = cent
+      .select(col("label"), col("i"),
+        expr("cast(floor(cast(cs as double) / n) as bigint)").as("cq"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(i, cq))), x -> x.cq)").as("cvec"))
+    val q = qv.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qe").as("qq"), col("nrm").as("qnrm"))
+    // probe: 2 nearest centroids per query (integer dots, tiny frames)
+    val qc = broadcast(q).crossJoin(broadcast(cvec))
+      .select(col("qid"), col("label"), col("qq"), col("qnrm"), expr(
+        "cast(vec_ldot(qq, cvec) as double)" +
+          " / (qnrm * sqrt(cast(vec_ldot(cvec, cvec) as double)))")
+        .as("ccos"))
+    val probe = qc
+      .withColumn("r", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ccos").desc, col("label"))))
+      .filter(col("r") <= 2)
+      .select(col("qid"), col("label").as("plabel"), col("qq"), col("qnrm"))
+    probe.join(qv.as("e"),
+        col("e.label") === col("plabel") && col("e.vec_id") =!= col("qid"))
+      .select(col("qid"), col("e.vec_id").as("neighbor_id"),
+        expr("cast(vec_ldot(qq, e.qe) as double) / (qnrm * e.nrm)").as("cos"))
+  }
+
+  /** DuckDB mirror of [[ivfCand]]: CTE chain ending in
+    * `cand(qid, neighbor_id, cos)` (also leaves `nv` in scope).
+    */
+  private val ivfCandDuck =
+    s"""qv AS (SELECT vec_id, label, embedding,
+       |         list_transform(embedding, x -> ${qD("x")}) AS qe FROM embeddings),
+       |pos AS (SELECT label, vec_id, i, qe[i] AS v
+       |        FROM qv, generate_series(1, 64) g(i)),
+       |cent AS (SELECT label, i, CAST(sum(v) AS BIGINT) AS cs, count(*) AS n
+       |         FROM pos GROUP BY label, i),
+       |cvec AS (SELECT label,
+       |           list(CAST(floor(CAST(cs AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cvec
+       |         FROM cent GROUP BY label),
+       |$nvDuck,
+       |q AS (SELECT qv.vec_id AS qid, qv.embedding AS qemb, qv.qe AS qq, nv.nrm AS qnrm
+       |      FROM qv JOIN nv ON nv.vec_id = qv.vec_id WHERE qv.vec_id < 10),
+       |qc AS (SELECT qid, label,
+       |         CAST(${idotD("qq", "cvec")} AS DOUBLE)
+       |           / (qnrm * sqrt(CAST(${idotD("cvec", "cvec")} AS DOUBLE))) AS ccos
+       |       FROM q, cvec),
+       |probe AS (SELECT qid, label
+       |          FROM (SELECT qid, label,
+       |                  row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, label) AS r
+       |                FROM qc) WHERE r <= 2),
+       |cand AS (SELECT q.qid, e.vec_id AS neighbor_id,
+       |           CAST(${qdotD("q.qemb", "e.embedding")} AS DOUBLE) / (q.qnrm * e.nrm) AS cos
+       |         FROM probe p
+       |         JOIN q ON q.qid = p.qid
+       |         JOIN nv e ON e.label = p.label AND e.vec_id <> q.qid)""".stripMargin
+
   val all: Seq[Q] = Seq(
     // ── Embedding-cosine near-dup pairs (brute force baseline) ─────────
     // Full pair scan a<b. The corpus has no planted high-cosine dups
@@ -157,33 +228,11 @@ object Similarity {
     // scale-invariant, so the floor in the mean only perturbs the
     // centroid direction by < 2⁻²⁰ per component. Each query probes its
     // 2 nearest centroids and searches only those partitions.
+    // (Candidate generation lives in [[ivfCand]]/[[ivfCandDuck]],
+    // shared with the q153 recall audit.)
     Q(
       "q40_ivf_ann",
-      s"""WITH qv AS (SELECT vec_id, label, embedding,
-         |             list_transform(embedding, x -> ${qD("x")}) AS qe FROM embeddings),
-         |pos AS (SELECT label, vec_id, i, qe[i] AS v
-         |        FROM qv, generate_series(1, 64) g(i)),
-         |cent AS (SELECT label, i, CAST(sum(v) AS BIGINT) AS cs, count(*) AS n
-         |         FROM pos GROUP BY label, i),
-         |cvec AS (SELECT label,
-         |           list(CAST(floor(CAST(cs AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cvec
-         |         FROM cent GROUP BY label),
-         |$nvDuck,
-         |q AS (SELECT qv.vec_id AS qid, qv.embedding AS qemb, qv.qe AS qq, nv.nrm AS qnrm
-         |      FROM qv JOIN nv ON nv.vec_id = qv.vec_id WHERE qv.vec_id < 10),
-         |qc AS (SELECT qid, label,
-         |         CAST(${idotD("qq", "cvec")} AS DOUBLE)
-         |           / (qnrm * sqrt(CAST(${idotD("cvec", "cvec")} AS DOUBLE))) AS ccos
-         |       FROM q, cvec),
-         |probe AS (SELECT qid, label
-         |          FROM (SELECT qid, label,
-         |                  row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, label) AS r
-         |                FROM qc) WHERE r <= 2),
-         |cand AS (SELECT q.qid, e.vec_id AS neighbor_id,
-         |           CAST(${qdotD("q.qemb", "e.embedding")} AS DOUBLE) / (q.qnrm * e.nrm) AS cos
-         |         FROM probe p
-         |         JOIN q ON q.qid = p.qid
-         |         JOIN nv e ON e.label = p.label AND e.vec_id <> q.qid)
+      s"""WITH $ivfCandDuck
          |SELECT qid, neighbor_id, rank,
          |  floor(cos * 1000000.0) / 1000000.0 AS cosine
          |FROM (SELECT qid, neighbor_id, cos,
@@ -191,42 +240,70 @@ object Similarity {
          |      FROM cand)
          |WHERE rank <= 5""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val qv = nv(s, d)
-      // centroid per (label, dim): integer sum + floor-divide mean —
-      // order-independent, so no sequential-fold contortions needed
-      val pos = qv
-        .select(col("label"), col("vec_id"),
-          posexplode(col("qe")).as(Seq("p", "v")))
-        .select(col("label"), (col("p") + 1).as("i"), col("v"))
-      val cent = pos.groupBy("label", "i")
-        .agg(sum("v").as("cs"), count(lit(1)).as("n"))
-      val cvec = cent
-        .select(col("label"), col("i"),
-          expr("cast(floor(cast(cs as double) / n) as bigint)").as("cq"))
-        .groupBy("label")
-        .agg(expr("transform(array_sort(collect_list(struct(i, cq))), x -> x.cq)").as("cvec"))
-      val q = qv.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("qe").as("qq"), col("nrm").as("qnrm"))
-      // probe: 2 nearest centroids per query (integer dots, tiny frames)
-      val qc = broadcast(q).crossJoin(broadcast(cvec))
-        .select(col("qid"), col("label"), col("qq"), col("qnrm"), expr(
-          "cast(vec_ldot(qq, cvec) as double)" +
-            " / (qnrm * sqrt(cast(vec_ldot(cvec, cvec) as double)))")
-          .as("ccos"))
-      val probe = qc
-        .withColumn("r", row_number().over(
-          Window.partitionBy("qid").orderBy(col("ccos").desc, col("label"))))
-        .filter(col("r") <= 2)
-        .select(col("qid"), col("label").as("plabel"), col("qq"), col("qnrm"))
-      probe.join(qv.as("e"),
-          col("e.label") === col("plabel") && col("e.vec_id") =!= col("qid"))
-        .select(col("qid"), col("e.vec_id").as("neighbor_id"),
-          expr("cast(vec_ldot(qq, e.qe) as double) / (qnrm * e.nrm)").as("cos"))
+      ivfCand(s, d)
         .withColumn("rank", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos").desc, col("neighbor_id"))))
         .filter(col("rank") <= 5)
         .select(col("qid"), col("neighbor_id"), col("rank"),
           expr("floor(cos * 1000000.0D) / 1000000.0D").as("cosine"))
+    },
+
+    // ── IVF recall audit (the q73 pattern, for the embedding path) ─────
+    // LSH blocking has its recall (q73) and precision (q126) audited;
+    // this closes the symmetry for the IVF path: exact top-5 from the
+    // brute-force scan (q39's kernel) vs IVF-probed top-5 (q40's), per
+    // query point. Recall@5 is the operating metric an IVF deployment
+    // tunes nprobe against — a probe count that stops finding the
+    // exact neighbors shows up here as recall < 1, not as a silent
+    // quality cliff in whatever consumes the neighbors.
+    //
+    // Scale: both sides are rank-5-truncated per query, so the audit
+    // join is (|Q|·5) rows regardless of corpus size; the cost is the
+    // two searches it composes — and the brute-force side is the same
+    // "queries ≪ corpus, one corpus scan" shape as q39, run over an
+    // audit SAMPLE of queries in production, never the full query log.
+    Q(
+      "q153_ivf_recall",
+      s"""WITH $ivfCandDuck,
+         |ivf AS (SELECT qid, neighbor_id
+         |        FROM (SELECT qid, neighbor_id,
+         |                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS r
+         |              FROM cand) WHERE r <= 5),
+         |bf AS (SELECT qid, neighbor_id
+         |       FROM (SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+         |               row_number() OVER (PARTITION BY a.vec_id
+         |                 ORDER BY CAST(${qdotD("a.embedding", "b.embedding")} AS DOUBLE)
+         |                          / (a.nrm * b.nrm) DESC, b.vec_id) AS r
+         |             FROM nv a JOIN nv b ON b.vec_id <> a.vec_id
+         |             WHERE a.vec_id < 10) WHERE r <= 5),
+         |f AS (SELECT bf.qid, CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |      FROM bf LEFT JOIN ivf ON ivf.qid = bf.qid AND ivf.neighbor_id = bf.neighbor_id)
+         |SELECT qid, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(CASE WHEN hit = 1 THEN 1 END) AS BIGINT) AS n_found,
+         |  floor(count(CASE WHEN hit = 1 THEN 1 END) * 1000000.0 / count(*)) / 1000000.0 AS recall
+         |FROM f GROUP BY qid""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = nv(s, d)
+      val ivf = ivfCand(s, d)
+        .withColumn("r", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("neighbor_id"))))
+        .filter(col("r") <= 5)
+        .select(col("qid"), col("neighbor_id"), lit(1).as("hit"))
+      val bf = broadcast(e.filter(col("vec_id") < 10).as("a"))
+        .join(e.as("b"), col("b.vec_id") =!= col("a.vec_id"))
+        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("neighbor_id"),
+          expr("cast(vec_ldot(a.qe, b.qe) as double) / (a.nrm * b.nrm)").as("cos"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("neighbor_id"))))
+        .filter(col("r") <= 5)
+        .select(col("qid"), col("neighbor_id"))
+      bf.join(ivf, Seq("qid", "neighbor_id"), "left")
+        .groupBy("qid")
+        .agg(
+          count(lit(1)).as("n_exact"),
+          count(expr("CASE WHEN hit = 1 THEN 1 END")).as("n_found"),
+          expr("floor(count(CASE WHEN hit = 1 THEN 1 END) * 1000000.0D / count(1)) / 1000000.0D")
+            .as("recall"))
     },
 
     // ── Random-hyperplane LSH ANN (the other scale path) ───────────────

@@ -828,5 +828,117 @@ object TextAnalysis {
         .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
           expr("1000000 - (s2 * 1000000) div (n * n)").as("gini_ppm"),
           expr("(n * n) div s2").as("eff_vocab"))
+    },
+
+    // ── BPE tokenizer training (the merge LOOP, not just step 1) ───────
+    // q71 counts the candidate pairs of the FIRST merge; this runs the
+    // actual training recursion (Sennrich et al. 2016): 6 rounds of
+    // {count weighted adjacent pairs → pick the global argmax → merge
+    // it greedily left-to-right in every word}. The corpus is first
+    // reduced to a (word, freq, char-tokens) vocabulary relation — the
+    // classic trick that makes BPE tractable: the iteration runs over
+    // DISTINCT words weighted by frequency, so each round is
+    // vocabulary-sized no matter how large the corpus is. The argmax is
+    // a TakeOrdered(1) whose single row is driver metadata (the merge
+    // table IS the training output — same scalar-decision shape as the
+    // q06 watermark); re-tokenization is a codegen'd aggregate() fold,
+    // greedy left-to-right so chains resolve deterministically
+    // ([a,a,a,a] → [aa,aa], [a,a,a] → [aa,a]) — DuckDB mirrors it with
+    // an identical list_reduce. tokens_after (Σ freq·|toks| after each
+    // round) certifies the merge APPLICATION cross-engine, not just the
+    // pair choice; ties break on (count DESC, pair ASC), both engines
+    // byte-order on this ASCII vocabulary.
+    //
+    // Scale: one corpus pass builds the vocabulary; each round is one
+    // combine-reduced pair count over it (pairs ≤ Σ|toks| per word,
+    // exchanged as (a, b, partial-sum)) + one narrow rewrite. The
+    // per-round collect is 1 row. Real tokenizer training (30k merges)
+    // would checkpoint the vocabulary relation every ~50 rounds the
+    // same way Clustering.scala truncates fixpoint lineage.
+    Q(
+      "q154_bpe_train", {
+        def step(i: Int) =
+          s"""p$i AS (SELECT u.a AS a, u.b AS b, CAST(sum(freq) AS BIGINT) AS c
+             |  FROM (SELECT freq, unnest(list_transform(range(1, len(toks)),
+             |         j -> {'a': toks[j], 'b': toks[j+1]})) AS u
+             |        FROM w${i - 1} WHERE len(toks) >= 2)
+             |  GROUP BY u.a, u.b),
+             |m$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+             |w$i AS (SELECT word, freq,
+             |    CASE WHEN len(toks) < 2 THEN toks ELSE
+             |    list_reduce(list_transform(toks, t -> [t]),
+             |      (acc, x) -> CASE WHEN acc[-1] = m$i.a AND x[1] = m$i.b
+             |                       THEN list_append(acc[:-2], m$i.a || m$i.b)
+             |                       ELSE list_concat(acc, x) END) END AS toks
+             |  FROM w${i - 1}, m$i),
+             |t$i AS (SELECT CAST(sum(freq * len(toks)) AS BIGINT) AS t FROM w$i)"""
+            .stripMargin
+        s"""WITH wf AS (SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+           |  WHERE t <> '' GROUP BY t),
+           |w0 AS (SELECT word, freq,
+           |    list_transform(range(1, len(word) + 1), i -> word[i:i]) AS toks
+           |  FROM wf),
+           |${(1 to 6).map(step).mkString(",\n")}
+           |SELECT * FROM (
+           |${(1 to 6).map(i =>
+               s"SELECT CAST($i AS BIGINT) AS step, a AS lhs, b AS rhs, " +
+                 s"a || b AS merged, c AS pair_count, " +
+                 s"(SELECT t FROM t$i) AS tokens_after FROM m$i")
+             .mkString("\nUNION ALL ")})
+           |ORDER BY step""".stripMargin
+      }) { (s, d) =>
+      import scala.collection.mutable.ArrayBuffer
+      val wf = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      var w = wf.select(col("word"), col("freq"),
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+          .as("toks")).persist()
+      val cached = ArrayBuffer(w)
+      val merges = ArrayBuffer[(Long, String, String, String, Long, Long)]()
+      var stepN = 1L
+      var exhausted = false
+      while (stepN <= 6L && !exhausted) {
+        val top = w.filter(size(col("toks")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(toks) - 1)," +
+              " j -> struct(element_at(toks, j) as a, element_at(toks, j + 1) as b))"))
+            .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("freq").as("c"))
+          .orderBy(col("c").desc, col("a"), col("b"))
+          .limit(1).collect()
+        // vocabularies can exhaust mergeable pairs before round 6 (every
+        // word a single token) — stop, emitting only the realized rows,
+        // exactly like the oracle's empty m_i CTEs
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b, c) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          // greedy left-to-right fold; CASE order guards element_at on
+          // the empty accumulator (first element) under either ANSI
+          // setting
+          val next = w.select(col("word"), col("freq"),
+            when(size(col("toks")) < 2, col("toks")).otherwise(
+              aggregate(col("toks"), array().cast("array<string>"),
+                (acc, x) => when(size(acc) === 0, array(x))
+                  .when(element_at(acc, -1) === lit(a) && x === lit(b),
+                    concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                  .otherwise(concat(acc, array(x))))).as("toks"))
+            .persist()
+          cached += next
+          w = next
+          val tokensAfter = w.agg(sum(size(col("toks")) * col("freq")))
+            .collect()(0).getLong(0)
+          merges += ((stepN, a, b, a + b, c, tokensAfter))
+          stepN += 1
+        }
+      }
+      cached.foreach(_.unpersist())
+      import s.implicits._
+      merges.toSeq
+        .toDF("step", "lhs", "rhs", "merged", "pair_count", "tokens_after")
     })
 }

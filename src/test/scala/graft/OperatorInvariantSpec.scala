@@ -131,4 +131,81 @@ class OperatorInvariantSpec extends AnyFunSuite {
         s"doc $docId: chunk indices not dense: ${idxs.mkString(",")}")
     }
   }
+
+  test("q151 k-anonymity accounting reconciles against the raw corpus") {
+    val rows = SparkEntry.queries("q151_k_anonymity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    rows.foreach { r =>
+      val (groups, k, riskyG, riskyD) = (r.getAs[Long]("n_groups"),
+        r.getAs[Long]("k_anonymity"), r.getAs[Long]("n_risky_groups"),
+        r.getAs[Long]("n_risky_docs"))
+      assert(k >= 1L && groups >= 1L)
+      // a risky group holds 1..4 docs by definition of k=5
+      assert(riskyD >= riskyG && riskyD <= 4L * riskyG, r.toString)
+      // the achieved k and the risk flag must agree
+      assert((k < 5L) === (riskyG > 0L), r.toString)
+      assert(r.getAs[Long]("risky_ppm") ===
+        riskyD * 1000000L / r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("q152 length buckets partition the corpus; waste is the padding") {
+    val rows = SparkEntry.queries("q152_length_buckets")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_seqs")).sum === nDocs)
+    rows.foreach { r =>
+      val (b, n, tok, pad) = (r.getAs[Long]("bucket"), r.getAs[Long]("n_seqs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("padded_tokens"))
+      assert(Set(32L, 64L, 128L, 256L, 512L).contains(b))
+      assert(pad === n * b && pad >= tok, r.toString)
+      assert(r.getAs[Long]("n_batches") === (n + 15L) / 16L)
+      val ppm = r.getAs[Long]("waste_ppm")
+      assert(ppm >= 0L && ppm < 1000000L)
+      assert(ppm === math.floor((pad - tok).toDouble / pad * 1000000.0).toLong)
+    }
+  }
+
+  test("q153 IVF recall audit is bounded and counts real intersections") {
+    val rows = SparkEntry.queries("q153_ivf_recall")(spark, sf).collect()
+    // one row per query point, the fixed qid < 10 probe set
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val (ne, nf) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_found"))
+      assert(ne === 5L)
+      assert(nf >= 0L && nf <= ne)
+      assert(r.getAs[Double]("recall") ===
+        math.floor(nf * 1000000.0 / ne) / 1000000.0)
+    }
+  }
+
+  test("q154 BPE runs the merge recursion, not just step 1") {
+    // Hand-computable vocabulary: "abab"x2, "ab"x1.
+    //   round 1: pairs (a,b)->5, (b,a)->2  => merge (a,b), 5 tokens left
+    //   round 2: pairs (ab,ab)->2          => merge (ab,ab), 3 tokens left
+    //   round 3: no adjacent pairs remain  => loop stops early
+    // Exercises: frequency weighting, greedy left-to-right application
+    // ([a,b,a,b] -> [ab,ab], not [ab,a,b]), and pair exhaustion.
+    import spark.implicits._
+    val docs = Seq((1L, "abab abab ab")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q154_bpe_train")(spark, dir)
+      .orderBy("step").collect()
+    assert(rows.length === 2, s"want 2 merges, got ${rows.mkString("; ")}")
+    val r1 = rows(0)
+    assert(r1.getAs[String]("lhs") === "a" && r1.getAs[String]("rhs") === "b")
+    assert(r1.getAs[String]("merged") === "ab")
+    assert(r1.getAs[Long]("pair_count") === 5L)
+    assert(r1.getAs[Long]("tokens_after") === 5L)
+    val r2 = rows(1)
+    assert(r2.getAs[String]("lhs") === "ab" && r2.getAs[String]("rhs") === "ab")
+    assert(r2.getAs[String]("merged") === "abab")
+    assert(r2.getAs[Long]("pair_count") === 2L)
+    assert(r2.getAs[Long]("tokens_after") === 3L)
+  }
 }

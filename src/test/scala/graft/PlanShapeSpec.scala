@@ -305,4 +305,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(withText.size <= 1,
       s"segment text crosses the wire ${withText.size}× (max 1):\n$plan")
   }
+
+  test("q152 length buckets: one combine-reduced exchange, no text aboard") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // force the multi-partition shape (see q149 above) so the exchange
+    // is real, then check the whole length histogram reduces map-side:
+    // the one shuffle carries (bucket, partial aggregates), never text
+    // or per-document rows
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    val plan =
+      try SparkEntry.queries("q152_length_buckets")(spark, sf)
+        .queryExecution.executedPlan
+      finally {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+        spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+      }
+    val shuffles = allNodes(plan).collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size === 1, s"want exactly one exchange:\n$plan")
+    assert(!shuffles.head.output.exists(a =>
+        a.name == "text" || a.name == "n"),
+      s"per-document data crosses the exchange:\n$plan")
+    // partial aggregation below the exchange (map-side combine)
+    val partial = allNodes(shuffles.head).collect {
+      case a: HashAggregateExec => a
+    }
+    assert(partial.nonEmpty, s"no map-side partial aggregate:\n$plan")
+  }
 }

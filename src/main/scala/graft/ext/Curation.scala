@@ -285,6 +285,60 @@ object Curation {
           explode(expr("sequence(1, n_copies)")).as("copy"))
     },
 
+    // ── Temperature-scaled mixture weights (multi-source rebalance) ────
+    // The multilingual/multi-source sampling rule (XLM-R, Conneau et
+    // al. 2020): raw source shares pᵢ flattened to qᵢ ∝ pᵢ^α so rare
+    // sources are upsampled without letting any one source dominate.
+    // α = 0.5 EXACTLY — not a tunable float — because √x is the one
+    // power IEEE guarantees correctly rounded in both engines; pow(x,
+    // 0.7) has no such guarantee and the two libms may disagree in the
+    // last ulp. The share pᵢ is floor(n·10⁶/total) via DOUBLE — a
+    // BIGINT n·10⁶ would wrap at 9.2e12 corpus tokens (≈50 TB of
+    // text, the r5-ADVICE overflow class), while the double staging is
+    // value-exact below 2⁵³ and engine-identical above it (same two
+    // correctly-rounded ops). Everything else is integer: sᵢ =
+    // ⌊√(ppmᵢ)⌋, weights = sᵢ·10⁶ div Σsⱼ (integer sum — no float
+    // accumulation), boost = qᵢ/pᵢ in ppm (NULL for sub-ppm trace
+    // sources via nullif, not a div-by-zero).
+    //
+    // Scale: one combine-reduced (source, count) aggregate, then every
+    // total is the scalar-total pattern (broadcast 1-row crossJoin) —
+    // nothing larger than the source list ever moves.
+    Q(
+      "q155_temperature_mix",
+      """WITH c AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM c),
+        |p AS (SELECT source, n_tokens,
+        |        CAST(floor(CAST(n_tokens AS DOUBLE) * 1000000.0
+        |          / CAST(total AS DOUBLE)) AS BIGINT) AS p_ppm FROM c, t),
+        |s AS (SELECT source, n_tokens, p_ppm,
+        |        CAST(floor(sqrt(CAST(p_ppm AS DOUBLE))) AS BIGINT) AS s_i
+        |      FROM p),
+        |st AS (SELECT CAST(sum(s_i) AS BIGINT) AS s_total FROM s)
+        |SELECT source, n_tokens, p_ppm,
+        |  s_i * 1000000 // s_total AS q_ppm,
+        |  (s_i * 1000000 // s_total) * 1000000 // nullif(p_ppm, 0) AS boost_ppm
+        |FROM s, st""".stripMargin) { (s, d) =>
+      val c = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(expr("cast(sum(size(split(text, ' '))) as bigint)").as("n_tokens"))
+      val t = c.agg(sum("n_tokens").as("total"))
+      val p = c.crossJoin(broadcast(t))
+        .select(col("source"), col("n_tokens"),
+          expr("cast(floor(cast(n_tokens as double) * 1000000.0D" +
+            " / cast(total as double)) as bigint)").as("p_ppm"))
+      val sq = p.select(col("source"), col("n_tokens"), col("p_ppm"),
+        expr("cast(floor(sqrt(cast(p_ppm as double))) as bigint)").as("s_i"))
+      val st = sq.agg(sum("s_i").as("s_total"))
+      sq.crossJoin(broadcast(st))
+        .select(col("source"), col("n_tokens"), col("p_ppm"),
+          expr("s_i * 1000000L div s_total").as("q_ppm"),
+          expr("(s_i * 1000000L div s_total) * 1000000L div nullif(p_ppm, 0)")
+            .as("boost_ppm"))
+    },
+
     // ── Sequence-length histogram: the packing-planner's profile ───────
     // Power-of-two length bins per lang with doc counts, token mass,
     // cumulative docs and share-of-lang — the distribution a packing

@@ -856,89 +856,160 @@ object TextAnalysis {
     // would checkpoint the vocabulary relation every ~50 rounds the
     // same way Clustering.scala truncates fixpoint lineage.
     Q(
-      "q154_bpe_train", {
-        def step(i: Int) =
-          s"""p$i AS (SELECT u.a AS a, u.b AS b, CAST(sum(freq) AS BIGINT) AS c
-             |  FROM (SELECT freq, unnest(list_transform(range(1, len(toks)),
-             |         j -> {'a': toks[j], 'b': toks[j+1]})) AS u
-             |        FROM w${i - 1} WHERE len(toks) >= 2)
-             |  GROUP BY u.a, u.b),
-             |m$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
-             |w$i AS (SELECT word, freq,
-             |    CASE WHEN len(toks) < 2 THEN toks ELSE
-             |    list_reduce(list_transform(toks, t -> [t]),
-             |      (acc, x) -> CASE WHEN acc[-1] = m$i.a AND x[1] = m$i.b
-             |                       THEN list_append(acc[:-2], m$i.a || m$i.b)
-             |                       ELSE list_concat(acc, x) END) END AS toks
-             |  FROM w${i - 1}, m$i),
-             |t$i AS (SELECT CAST(sum(freq * len(toks)) AS BIGINT) AS t FROM w$i)"""
-            .stripMargin
-        s"""WITH wf AS (SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
-           |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
-           |  WHERE t <> '' GROUP BY t),
-           |w0 AS (SELECT word, freq,
-           |    list_transform(range(1, len(word) + 1), i -> word[i:i]) AS toks
-           |  FROM wf),
-           |${(1 to 6).map(step).mkString(",\n")}
-           |SELECT * FROM (
-           |${(1 to 6).map(i =>
-               s"SELECT CAST($i AS BIGINT) AS step, a AS lhs, b AS rhs, " +
-                 s"a || b AS merged, c AS pair_count, " +
-                 s"(SELECT t FROM t$i) AS tokens_after FROM m$i")
-             .mkString("\nUNION ALL ")})
-           |ORDER BY step""".stripMargin
-      }) { (s, d) =>
-      import scala.collection.mutable.ArrayBuffer
-      val wf = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(col("word") =!= "")
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-      var w = wf.select(col("word"), col("freq"),
-        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
-          .as("toks")).persist()
-      val cached = ArrayBuffer(w)
-      val merges = ArrayBuffer[(Long, String, String, String, Long, Long)]()
-      var stepN = 1L
-      var exhausted = false
-      while (stepN <= 6L && !exhausted) {
-        val top = w.filter(size(col("toks")) >= 2)
-          .select(col("freq"), explode(expr(
-            "transform(sequence(1, size(toks) - 1)," +
-              " j -> struct(element_at(toks, j) as a, element_at(toks, j + 1) as b))"))
-            .as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum("freq").as("c"))
-          .orderBy(col("c").desc, col("a"), col("b"))
-          .limit(1).collect()
-        // vocabularies can exhaust mergeable pairs before round 6 (every
-        // word a single token) — stop, emitting only the realized rows,
-        // exactly like the oracle's empty m_i CTEs
-        if (top.isEmpty) exhausted = true
-        else {
-          val (a, b, c) =
-            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          // greedy left-to-right fold; CASE order guards element_at on
-          // the empty accumulator (first element) under either ANSI
-          // setting
-          val next = w.select(col("word"), col("freq"),
-            when(size(col("toks")) < 2, col("toks")).otherwise(
-              aggregate(col("toks"), array().cast("array<string>"),
-                (acc, x) => when(size(acc) === 0, array(x))
-                  .when(element_at(acc, -1) === lit(a) && x === lit(b),
-                    concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-                  .otherwise(concat(acc, array(x))))).as("toks"))
-            .persist()
-          cached += next
-          w = next
-          val tokensAfter = w.agg(sum(size(col("toks")) * col("freq")))
-            .collect()(0).getLong(0)
-          merges += ((stepN, a, b, a + b, c, tokensAfter))
-          stepN += 1
-        }
-      }
-      cached.foreach(_.unpersist())
+      "q154_bpe_train",
+      s"""WITH ${bpeChainDuck(6)}
+         |SELECT * FROM (
+         |${(1 to 6).map(i =>
+             s"SELECT CAST($i AS BIGINT) AS step, a AS lhs, b AS rhs, " +
+               s"a || b AS merged, c AS pair_count, " +
+               s"(SELECT t FROM t$i) AS tokens_after FROM m$i")
+           .mkString("\nUNION ALL ")})
+         |ORDER BY step""".stripMargin) { (s, d) =>
+      val (w, merges) = bpeTrain(s, d)
+      w.unpersist()
       import s.implicits._
-      merges.toSeq
-        .toDF("step", "lhs", "rhs", "merged", "pair_count", "tokens_after")
+      merges.toDF("step", "lhs", "rhs", "merged", "pair_count", "tokens_after")
+    },
+
+    // ── BPE encode: apply the trained merges back to the corpus ────────
+    // The other half of the tokenizer lifecycle: q154 trains the merge
+    // table; this ENCODES with it and reports what the tokenizer buys —
+    // per-document BPE token counts and the chars-per-token compression
+    // the 6 merges achieve. Tokenization happens ONCE per distinct
+    // word (the trained vocabulary relation already holds each word's
+    // final token sequence); the corpus then joins its exploded words
+    // to that table — a corpus-sized probe of a vocabulary-sized
+    // relation, the same shape HuggingFace's fast tokenizers exploit
+    // with their word cache. No broadcast hint: the vocabulary grows
+    // with corpus diversity, so the build side is AQE's runtime call
+    // (the q58 lesson), and everything after the join is a map-side-
+    // combined per-doc sum — token sequences never cross an exchange.
+    Q(
+      "q156_bpe_encode",
+      s"""WITH ${bpeChainDuck(6)},
+         |enc AS (SELECT word, CAST(len(toks) AS BIGINT) AS n_toks,
+         |          CAST(len(word) AS BIGINT) AS n_wchars FROM w6),
+         |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |       FROM documents),
+         |j AS (SELECT doc_id, n_toks, n_wchars
+         |      FROM (SELECT * FROM dw WHERE word <> '') dw2
+         |      JOIN enc ON enc.word = dw2.word)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(n_wchars) AS BIGINT) AS n_word_chars,
+         |  CAST(sum(n_wchars) AS BIGINT) * 1000000
+         |    // CAST(sum(n_toks) AS BIGINT) AS chars_per_token_ppm
+         |FROM j GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val (w, _) = bpeTrain(s, d)
+      // the final vocabulary stays persisted inside the returned plan;
+      // the registry runners clearCache() after each query (Q contract)
+      val enc = w.select(col("word"),
+        size(col("toks")).cast("long").as("n_toks"),
+        length(col("word")).cast("long").as("n_wchars"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .join(enc, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_toks").as("n_bpe_tokens"),
+          sum("n_wchars").as("n_word_chars"))
+        .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+          col("n_word_chars"),
+          expr("n_word_chars * 1000000L div n_bpe_tokens")
+            .as("chars_per_token_ppm"))
     })
+
+  /** DuckDB mirror of [[bpeTrain]]'s recursion as a CTE chain (no WITH
+    * prefix): `wf` (word frequencies) → `w0` (char tokens) → k rounds
+    * of `p_i` (pair counts) / `m_i` (argmax merge) / `w_i` (greedy
+    * re-tokenization via list_reduce) / `t_i` (token total). Ends with
+    * `w$k` = the trained vocabulary, shared by q154 and q156.
+    */
+  private def bpeChainDuck(k: Int): String = {
+    def step(i: Int) =
+      s"""p$i AS (SELECT u.a AS a, u.b AS b, CAST(sum(freq) AS BIGINT) AS c
+         |  FROM (SELECT freq, unnest(list_transform(range(1, len(toks)),
+         |         j -> {'a': toks[j], 'b': toks[j+1]})) AS u
+         |        FROM w${i - 1} WHERE len(toks) >= 2)
+         |  GROUP BY u.a, u.b),
+         |m$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+         |w$i AS (SELECT word, freq,
+         |    CASE WHEN len(toks) < 2 THEN toks ELSE
+         |    list_reduce(list_transform(toks, t -> [t]),
+         |      (acc, x) -> CASE WHEN acc[-1] = m$i.a AND x[1] = m$i.b
+         |                       THEN list_append(acc[:-2], m$i.a || m$i.b)
+         |                       ELSE list_concat(acc, x) END) END AS toks
+         |  FROM w${i - 1}, m$i),
+         |t$i AS (SELECT CAST(sum(freq * len(toks)) AS BIGINT) AS t FROM w$i)"""
+        .stripMargin
+    s"""wf AS (SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> '' GROUP BY t),
+       |w0 AS (SELECT word, freq,
+       |    list_transform(range(1, len(word) + 1), i -> word[i:i]) AS toks
+       |  FROM wf),
+       |${(1 to k).map(step).mkString(",\n")}""".stripMargin
+  }
+
+  /** The BPE training loop shared by q154 (emits the merge table) and
+    * q156 (encodes with the final vocabulary): 6 rounds of weighted
+    * pair count → global argmax → greedy merge. Returns the FINAL
+    * (word, freq, toks) relation — still persisted; q154 unpersists it
+    * immediately, q156 returns a plan that consumes it — plus one
+    * (step, lhs, rhs, merged, pair_count, tokens_after) row per
+    * realized merge. Intermediate rounds are unpersisted here.
+    */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame,
+         Seq[(Long, String, String, String, Long, Long)]) = {
+    import scala.collection.mutable.ArrayBuffer
+    val wf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var w = wf.select(col("word"), col("freq"),
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("toks")).persist()
+    val merges = ArrayBuffer[(Long, String, String, String, Long, Long)]()
+    var stepN = 1L
+    var exhausted = false
+    while (stepN <= 6L && !exhausted) {
+      val top = w.filter(size(col("toks")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " j -> struct(element_at(toks, j) as a, element_at(toks, j + 1) as b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      // vocabularies can exhaust mergeable pairs before round 6 (every
+      // word a single token) — stop, emitting only the realized rows,
+      // exactly like the oracle's empty m_i CTEs
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        // greedy left-to-right fold; CASE order guards element_at on
+        // the empty accumulator (first element) under either ANSI
+        // setting
+        val next = w.select(col("word"), col("freq"),
+          when(size(col("toks")) < 2, col("toks")).otherwise(
+            aggregate(col("toks"), array().cast("array<string>"),
+              (acc, x) => when(size(acc) === 0, array(x))
+                .when(element_at(acc, -1) === lit(a) && x === lit(b),
+                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                .otherwise(concat(acc, array(x))))).as("toks"))
+          .persist()
+        val tokensAfter = next.agg(sum(size(col("toks")) * col("freq")))
+          .collect()(0).getLong(0)
+        w.unpersist()
+        w = next
+        merges += ((stepN, a, b, a + b, c, tokensAfter))
+        stepN += 1
+      }
+    }
+    (w, merges.toSeq)
+  }
 }

@@ -181,6 +181,41 @@ class OperatorInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("q155 temperature weights flatten the distribution, books balance") {
+    val rows = SparkEntry.queries("q155_temperature_mix")(spark, sf).collect()
+    assert(rows.length > 1)
+    // weights are a distribution up to per-source floor truncation
+    val qSum = rows.map(_.getAs[Long]("q_ppm")).sum
+    assert(qSum <= 1000000L && qSum >= 1000000L - rows.length)
+    // α=0.5 flattens: rarer sources get boosted ABOVE their raw share,
+    // the most common source gets damped below it — and the boost is
+    // monotone decreasing in the raw share
+    val byShare = rows.sortBy(_.getAs[Long]("p_ppm"))
+    val boosts = byShare.map(_.getAs[Long]("boost_ppm"))
+    assert(boosts.head >= boosts.last)
+    assert(boosts.head > 1000000L, s"rarest source not upsampled: $boosts")
+    assert(boosts.last < 1000000L, s"top source not damped: $boosts")
+  }
+
+  test("q156 BPE encode reconciles with q154's final token total") {
+    // Σ per-doc BPE tokens must equal the tokens_after of the last
+    // merge round: training counts Σ freq·|toks| over the vocabulary,
+    // encoding sums |toks| over every word occurrence — same quantity
+    // reached by two different plans
+    val trained = SparkEntry.queries("q154_bpe_train")(spark, sf)
+      .orderBy(col("step").desc).limit(1).collect()(0)
+      .getAs[Long]("tokens_after")
+    val enc = SparkEntry.queries("q156_bpe_encode")(spark, sf).collect()
+    assert(enc.map(_.getAs[Long]("n_bpe_tokens")).sum === trained)
+    enc.foreach { r =>
+      // merging only ever shrinks: tokens ≤ chars, and at least 1
+      // token per word survives
+      assert(r.getAs[Long]("n_bpe_tokens") <= r.getAs[Long]("n_word_chars"))
+      assert(r.getAs[Long]("n_bpe_tokens") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("chars_per_token_ppm") >= 1000000L)
+    }
+  }
+
   test("q154 BPE runs the merge recursion, not just step 1") {
     // Hand-computable vocabulary: "abab"x2, "ab"x1.
     //   round 1: pairs (a,b)->5, (b,a)->2  => merge (a,b), 5 tokens left

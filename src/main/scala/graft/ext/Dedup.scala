@@ -268,6 +268,56 @@ object Dedup {
           expr("floor(n_dup_docs * 1000000.0D / n_docs) / 1000000.0D").as("dup_rate"))
     },
 
+    // ── Near-dup source-provenance matrix (who duplicates whom) ────────
+    // q66 says HOW MUCH each source duplicates; this says AGAINST WHOM:
+    // verified near-dup pairs mapped to an order-normalized
+    // (source, source) matrix — the audit that separates "crawl dumps
+    // mirroring each other" (off-diagonal mass between two crawls)
+    // from "a source that repeats itself" (diagonal mass), which imply
+    // different fixes (drop one dump vs dedup within the source).
+    // least/greatest normalization makes the matrix upper-triangular
+    // without caring which doc got the smaller id.
+    //
+    // Scale: pairs are dup-rate-sized; the two provenance joins probe
+    // the narrow (doc_id, source) projection with AQE free to pick the
+    // build side (a mirror-heavy crawl can make the pair set a
+    // double-digit corpus fraction — the q66 reasoning); the matrix
+    // aggregate is |sources|² rows at most. pair_share_ppm stays in
+    // BIGINT: pairs·10⁶ wraps only past 9.2e12 verified pairs, which
+    // would mean the corpus is mostly duplicates.
+    Q(
+      "q157_dup_source_matrix",
+      s"""WITH $shingles5Duck,
+         |$minhashCandDuck,
+         |$minhashPairsThresholdDuck,
+         |ps AS (SELECT least(da.source, db.source) AS src_a,
+         |         greatest(da.source, db.source) AS src_b
+         |       FROM pairs
+         |       JOIN documents da ON da.doc_id = a_id
+         |       JOIN documents db ON db.doc_id = b_id),
+         |g AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |      FROM ps GROUP BY src_a, src_b),
+         |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS total FROM g)
+         |SELECT src_a, src_b, n_pairs,
+         |  n_pairs * 1000000 // total AS pair_share_ppm,
+         |  src_a = src_b AS within_source
+         |FROM g, t""".stripMargin) { (s, d) =>
+      val pairs = minhashPairs(s, d).select("a_id", "b_id")
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val g = pairs
+        .join(src.as("da"), col("da.doc_id") === col("a_id"))
+        .join(src.as("db"), col("db.doc_id") === col("b_id"))
+        .select(least(col("da.source"), col("db.source")).as("src_a"),
+          greatest(col("da.source"), col("db.source")).as("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_pairs"))
+      val t = g.agg(sum("n_pairs").as("total"))
+      g.crossJoin(broadcast(t))
+        .select(col("src_a"), col("src_b"), col("n_pairs"),
+          expr("n_pairs * 1000000L div total").as("pair_share_ppm"),
+          (col("src_a") === col("src_b")).as("within_source"))
+    },
+
     // ── LSH recall audit: MinHash candidates vs exact ground truth ─────
     // The guardrail a dedup pipeline runs on a sample before trusting
     // its LSH knobs (k, bands, threshold) at full scale: compare the

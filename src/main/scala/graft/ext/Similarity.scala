@@ -375,6 +375,55 @@ object Similarity {
           expr("floor(cos * 1000000.0D) / 1000000.0D").as("cosine"))
     },
 
+    // ── Semantic decontamination (embedding-space benchmark overlap) ───
+    // The embedding-side complement of the n-gram contamination checks
+    // (q50 exact overlap, q102 bloom-prefiltered): paraphrased or
+    // reformatted eval items share no 8-gram with their corpus twin
+    // but sit next to it in embedding space. The first 20 vectors
+    // stand in for the benchmark set (the q39 fixture convention);
+    // every corpus vector reports its nearest benchmark item when the
+    // cosine clears 0.4 (the corpus's demonstration operating point —
+    // real decontamination runs ~0.9 on text embeddings).
+    //
+    // Scale: the benchmark set is small BY DEFINITION (eval suites are
+    // thousands of items), so it broadcasts and the corpus streams
+    // once — the q39 brute-force shape with the roles reversed; the
+    // per-vector top-1 window shuffles only (vec_id, bench_id, cos)
+    // triples for rows that already cleared the threshold prefilter,
+    // a contamination-rate-sized relation, not the corpus.
+    Q(
+      "q158_semantic_decontamination",
+      s"""WITH $nvDuck,
+         |bench AS (SELECT * FROM nv WHERE vec_id < 20),
+         |corp AS (SELECT * FROM nv WHERE vec_id >= 20),
+         |sc AS (SELECT c.vec_id AS vec_id, b.vec_id AS bench_id,
+         |         CAST(${qdotD("c.embedding", "b.embedding")} AS DOUBLE)
+         |           / (c.nrm * b.nrm) AS cos
+         |       FROM corp c, bench b)
+         |SELECT vec_id, bench_id,
+         |  floor(cos * 1000000.0) / 1000000.0 AS cosine
+         |FROM (SELECT vec_id, bench_id, cos,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos DESC, bench_id) AS r
+         |      FROM sc WHERE cos >= 0.4)
+         |WHERE r = 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = nv(s, d)
+      val bench = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("bench_id"), col("qe").as("bqe"),
+          col("nrm").as("bnrm"))
+      e.filter(col("vec_id") >= 20)
+        .crossJoin(broadcast(bench))
+        .select(col("vec_id"), col("bench_id"),
+          expr("cast(vec_ldot(qe, bqe) as double) / (nrm * bnrm)").as("cos"))
+        .filter(col("cos") >= 0.4)
+        .withColumn("r", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cos").desc, col("bench_id"))))
+        .filter(col("r") === 1)
+        .select(col("vec_id"), col("bench_id"),
+          expr("floor(cos * 1000000.0D) / 1000000.0D").as("cosine"))
+    },
+
     // ── Semantic dedup within coarse clusters (SemDeDup shape) ─────────
     // The embedding-space dedup of Abbas et al. 2023 ("SemDeDup"):
     // partition the corpus into coarse clusters (here `label`, the same

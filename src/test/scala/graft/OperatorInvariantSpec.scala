@@ -216,6 +216,34 @@ class OperatorInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("q157 source matrix is normalized and reconciles with q36's pairs") {
+    val m = SparkEntry.queries("q157_dup_source_matrix")(spark, sf).collect()
+    assert(m.nonEmpty)
+    // order normalization: upper-triangular, diagonal flagged
+    m.foreach { r =>
+      val (a, b) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      assert(a <= b)
+      assert(r.getAs[Boolean]("within_source") === (a == b))
+    }
+    // every verified near-dup pair lands in exactly one matrix cell
+    val nPairs = SparkEntry.queries("q36_minhash_lsh")(spark, sf).count()
+    assert(m.map(_.getAs[Long]("n_pairs")).sum === nPairs)
+    val shareSum = m.map(_.getAs[Long]("pair_share_ppm")).sum
+    assert(shareSum <= 1000000L && shareSum >= 1000000L - m.length)
+  }
+
+  test("q158 decontamination reports one nearest benchmark hit per vector") {
+    val rows = SparkEntry.queries("q158_semantic_decontamination")(spark, sf)
+      .collect()
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length === ids.length, "duplicate vec_id rows")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_id") >= 20L)
+      assert(r.getAs[Long]("bench_id") < 20L)
+      assert(r.getAs[Double]("cosine") >= 0.4)
+    }
+  }
+
   test("q154 BPE runs the merge recursion, not just step 1") {
     // Hand-computable vocabulary: "abab"x2, "ab"x1.
     //   round 1: pairs (a,b)->5, (b,a)->2  => merge (a,b), 5 tokens left

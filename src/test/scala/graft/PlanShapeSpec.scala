@@ -306,6 +306,54 @@ class PlanShapeSpec extends AnyFunSuite {
       s"segment text crosses the wire ${withText.size}× (max 1):\n$plan")
   }
 
+  test("q158 decontamination broadcasts the benchmark side, streams the corpus") {
+    // the cross join is a BroadcastNestedLoopJoin by construction;
+    // legitimate ONLY because the broadcast side is the benchmark set
+    // (structurally small) — broadcasting the corpus side would ship
+    // the whole embedding table to every executor
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val plan = SparkEntry.queries("q158_semantic_decontamination")(spark, sf)
+      .queryExecution.sparkPlan
+    val bnl = allNodes(plan).collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnl.nonEmpty, s"expected the benchmark cross join:\n$plan")
+    bnl.foreach { j =>
+      val buildTree = j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }
+      // the benchmark subtree carries the vec_id < 20 scan filter; the
+      // corpus subtree filters vec_id >= 20
+      val s = buildTree.toString
+      assert(s.contains("vec_id#") && s.contains("< 20"),
+        s"BNL built on the corpus side:\n$j")
+    }
+  }
+
+  test("q156 BPE encode never broadcasts the corpus into the vocab probe") {
+    // the word join's build side is AQE's call (the vocabulary grows
+    // with corpus diversity — the q58 lesson), but whichever side is
+    // built, the CORPUS explode must stay streamed: its subtree scans
+    // documents, the vocabulary subtree is the cached training output
+    val plan = SparkEntry.queries("q156_bpe_encode")(spark, sf)
+      .queryExecution.sparkPlan
+    val joins = allNodes(plan).collect { case j: BroadcastHashJoinExec => j }
+    joins.foreach { j =>
+      val buildTree = j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }
+      // the corpus side is recognizable by a DIRECT parquet scan of the
+      // documents table; the vocab side reads the cached training
+      // output (its own documents scan hides behind the InMemoryRelation
+      // boundary, so plain collect — no cache descent — separates them)
+      val directScans = buildTree.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(!directScans.exists(_.toString.contains("documents")),
+        s"corpus side chosen as broadcast build:\n$j")
+    }
+  }
+
   test("q152 length buckets: one combine-reduced exchange, no text aboard") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     // force the multi-partition shape (see q149 above) so the exchange

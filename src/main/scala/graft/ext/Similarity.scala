@@ -138,7 +138,16 @@ object Similarity {
         Window.partitionBy("qid").orderBy(col("ccos").desc, col("label"))))
       .filter(col("r") <= 2)
       .select(col("qid"), col("label").as("plabel"), col("qq"), col("qnrm"))
-    probe.join(qv.as("e"),
+    // the probe relation is ≤ |Q|·nprobe rows BY CONSTRUCTION (a query
+    // batch × 2 probed partitions) — a structural bound, so the forced
+    // broadcast is legitimate (the q146 rule). Without it the planner
+    // sizes the join off the CORPUS side: at test SF it broadcast the
+    // whole embedding table, and at ×100 it degraded to shuffling the
+    // corpus by label (57 MB compressed at the x100 soak) — exactly
+    // the exchange an IVF probe exists to avoid. With the probe side
+    // pinned, the corpus streams once through a hash join and its
+    // label partitions never move.
+    broadcast(probe).join(qv.as("e"),
         col("e.label") === col("plabel") && col("e.vec_id") =!= col("qid"))
       .select(col("qid"), col("e.vec_id").as("neighbor_id"),
         expr("cast(vec_ldot(qq, e.qe) as double) / (qnrm * e.nrm)").as("cos"))

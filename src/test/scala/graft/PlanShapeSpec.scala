@@ -306,6 +306,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"segment text crosses the wire ${withText.size}× (max 1):\n$plan")
   }
 
+  test("q40/q153 IVF probe join broadcasts the probe side, streams the corpus") {
+    // the probed-partition join must build on the |Q|·nprobe probe
+    // relation — at x100 an unpinned plan shuffled (or broadcast) the
+    // corpus by label, the exact exchange IVF probing exists to avoid
+    for (name <- Seq("q40_ivf_ann", "q153_ivf_recall")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.sparkPlan
+      val labelJoins = allNodes(plan).collect {
+        case j: BroadcastHashJoinExec
+            if j.leftKeys.exists(_.toString.contains("plabel")) ||
+              j.rightKeys.exists(_.toString.contains("plabel")) => j
+      }
+      assert(labelJoins.nonEmpty, s"$name: no probed-partition join:\n$plan")
+      labelJoins.foreach { j =>
+        val buildTree = j.buildSide match {
+          case BuildLeft => j.left
+          case BuildRight => j.right
+        }
+        assert(buildTree.output.exists(_.name == "plabel"),
+          s"$name: corpus side built instead of the probe side:\n$j")
+      }
+    }
+  }
+
   test("q158 decontamination broadcasts the benchmark side, streams the corpus") {
     // the cross join is a BroadcastNestedLoopJoin by construction;
     // legitimate ONLY because the broadcast side is the benchmark set

@@ -104,12 +104,16 @@ object Similarity {
   }
 
   /** IVF candidate generation (q40's search, pre-ranking): coarse
-    * partition = `label`, integer centroids, 2-probe, exact quantized
-    * cosine on the probed partitions only. Returns `(qid, neighbor_id,
-    * cos)`; q40 ranks it to top-5, q153 audits that top-5 against the
-    * brute-force truth.
+    * partition = `label`, integer centroids, `maxProbe`-probe, exact
+    * quantized cosine on the probed partitions only. Returns `(qid,
+    * neighbor_id, cos, pr)` where `pr` is the probe rank of the
+    * partition that produced the candidate; q40 ranks the 2-probe set
+    * to top-5, q153 audits that top-5 against the brute-force truth,
+    * q159 sweeps `pr ≤ nprobe` over the 4-probe set for the tuning
+    * curve.
     */
-  private def ivfCand(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  private def ivfCand(s: org.apache.spark.sql.SparkSession, d: String,
+      maxProbe: Int = 2): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qv = nv(s, d)
     // centroid per (label, dim): integer sum + floor-divide mean —
@@ -136,8 +140,9 @@ object Similarity {
     val probe = qc
       .withColumn("r", row_number().over(
         Window.partitionBy("qid").orderBy(col("ccos").desc, col("label"))))
-      .filter(col("r") <= 2)
-      .select(col("qid"), col("label").as("plabel"), col("qq"), col("qnrm"))
+      .filter(col("r") <= maxProbe)
+      .select(col("qid"), col("label").as("plabel"),
+        col("r").cast("long").as("pr"), col("qq"), col("qnrm"))
     // the probe relation is ≤ |Q|·nprobe rows BY CONSTRUCTION (a query
     // batch × 2 probed partitions) — a structural bound, so the forced
     // broadcast is legitimate (the q146 rule). Without it the planner
@@ -150,13 +155,14 @@ object Similarity {
     broadcast(probe).join(qv.as("e"),
         col("e.label") === col("plabel") && col("e.vec_id") =!= col("qid"))
       .select(col("qid"), col("e.vec_id").as("neighbor_id"),
-        expr("cast(vec_ldot(qq, e.qe) as double) / (qnrm * e.nrm)").as("cos"))
+        expr("cast(vec_ldot(qq, e.qe) as double) / (qnrm * e.nrm)").as("cos"),
+        col("pr"))
   }
 
   /** DuckDB mirror of [[ivfCand]]: CTE chain ending in
-    * `cand(qid, neighbor_id, cos)` (also leaves `nv` in scope).
+    * `cand(qid, neighbor_id, cos, pr)` (also leaves `nv` in scope).
     */
-  private val ivfCandDuck =
+  private def ivfCandDuck(maxProbe: Int = 2) =
     s"""qv AS (SELECT vec_id, label, embedding,
        |         list_transform(embedding, x -> ${qD("x")}) AS qe FROM embeddings),
        |pos AS (SELECT label, vec_id, i, qe[i] AS v
@@ -173,15 +179,44 @@ object Similarity {
        |         CAST(${idotD("qq", "cvec")} AS DOUBLE)
        |           / (qnrm * sqrt(CAST(${idotD("cvec", "cvec")} AS DOUBLE))) AS ccos
        |       FROM q, cvec),
-       |probe AS (SELECT qid, label
+       |probe AS (SELECT qid, label, CAST(r AS BIGINT) AS pr
        |          FROM (SELECT qid, label,
        |                  row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, label) AS r
-       |                FROM qc) WHERE r <= 2),
+       |                FROM qc) WHERE r <= $maxProbe),
        |cand AS (SELECT q.qid, e.vec_id AS neighbor_id,
-       |           CAST(${qdotD("q.qemb", "e.embedding")} AS DOUBLE) / (q.qnrm * e.nrm) AS cos
+       |           CAST(${qdotD("q.qemb", "e.embedding")} AS DOUBLE) / (q.qnrm * e.nrm) AS cos,
+       |           p.pr AS pr
        |         FROM probe p
        |         JOIN q ON q.qid = p.qid
        |         JOIN nv e ON e.label = p.label AND e.vec_id <> q.qid)""".stripMargin
+
+  /** DuckDB brute-force exact top-5 per query point (q39's kernel as a
+    * CTE, expects `nv` in scope) — the ground truth both recall audits
+    * compare against.
+    */
+  private val bfTop5Duck =
+    s"""bf AS (SELECT qid, neighbor_id
+       |       FROM (SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+       |               row_number() OVER (PARTITION BY a.vec_id
+       |                 ORDER BY CAST(${qdotD("a.embedding", "b.embedding")} AS DOUBLE)
+       |                          / (a.nrm * b.nrm) DESC, b.vec_id) AS r
+       |             FROM nv a JOIN nv b ON b.vec_id <> a.vec_id
+       |             WHERE a.vec_id < 10) WHERE r <= 5)""".stripMargin
+
+  /** Spark mirror of [[bfTop5Duck]]: exact top-5 `(qid, neighbor_id)`
+    * per query point from the brute-force scan over an [[nv]] relation.
+    */
+  private def bfTop5(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    broadcast(e.filter(col("vec_id") < 10).as("a"))
+      .join(e.as("b"), col("b.vec_id") =!= col("a.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("neighbor_id"),
+        expr("cast(vec_ldot(a.qe, b.qe) as double) / (a.nrm * b.nrm)").as("cos"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("r") <= 5)
+      .select(col("qid"), col("neighbor_id"))
+  }
 
   val all: Seq[Q] = Seq(
     // ── Embedding-cosine near-dup pairs (brute force baseline) ─────────
@@ -241,7 +276,7 @@ object Similarity {
     // shared with the q153 recall audit.)
     Q(
       "q40_ivf_ann",
-      s"""WITH $ivfCandDuck
+      s"""WITH ${ivfCandDuck()}
          |SELECT qid, neighbor_id, rank,
          |  floor(cos * 1000000.0) / 1000000.0 AS cosine
          |FROM (SELECT qid, neighbor_id, cos,
@@ -273,18 +308,12 @@ object Similarity {
     // audit SAMPLE of queries in production, never the full query log.
     Q(
       "q153_ivf_recall",
-      s"""WITH $ivfCandDuck,
+      s"""WITH ${ivfCandDuck()},
          |ivf AS (SELECT qid, neighbor_id
          |        FROM (SELECT qid, neighbor_id,
          |                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS r
          |              FROM cand) WHERE r <= 5),
-         |bf AS (SELECT qid, neighbor_id
-         |       FROM (SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
-         |               row_number() OVER (PARTITION BY a.vec_id
-         |                 ORDER BY CAST(${qdotD("a.embedding", "b.embedding")} AS DOUBLE)
-         |                          / (a.nrm * b.nrm) DESC, b.vec_id) AS r
-         |             FROM nv a JOIN nv b ON b.vec_id <> a.vec_id
-         |             WHERE a.vec_id < 10) WHERE r <= 5),
+         |$bfTop5Duck,
          |f AS (SELECT bf.qid, CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
          |      FROM bf LEFT JOIN ivf ON ivf.qid = bf.qid AND ivf.neighbor_id = bf.neighbor_id)
          |SELECT qid, CAST(count(*) AS BIGINT) AS n_exact,
@@ -298,21 +327,64 @@ object Similarity {
           Window.partitionBy("qid").orderBy(col("cos").desc, col("neighbor_id"))))
         .filter(col("r") <= 5)
         .select(col("qid"), col("neighbor_id"), lit(1).as("hit"))
-      val bf = broadcast(e.filter(col("vec_id") < 10).as("a"))
-        .join(e.as("b"), col("b.vec_id") =!= col("a.vec_id"))
-        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("neighbor_id"),
-          expr("cast(vec_ldot(a.qe, b.qe) as double) / (a.nrm * b.nrm)").as("cos"))
-        .withColumn("r", row_number().over(
-          Window.partitionBy("qid").orderBy(col("cos").desc, col("neighbor_id"))))
-        .filter(col("r") <= 5)
-        .select(col("qid"), col("neighbor_id"))
-      bf.join(ivf, Seq("qid", "neighbor_id"), "left")
+      bfTop5(e).join(ivf, Seq("qid", "neighbor_id"), "left")
         .groupBy("qid")
         .agg(
           count(lit(1)).as("n_exact"),
           count(expr("CASE WHEN hit = 1 THEN 1 END")).as("n_found"),
           expr("floor(count(CASE WHEN hit = 1 THEN 1 END) * 1000000.0D / count(1)) / 1000000.0D")
             .as("recall"))
+    },
+
+    // ── nprobe tuning sweep (the q148 pattern, for the IVF knob) ───────
+    // q153 audits the DEPLOYED operating point; this produces the curve
+    // the point is chosen FROM: recall@5 at nprobe 1..4, computed from
+    // ONE 4-probe candidate generation — each candidate carries the
+    // probe rank `pr` of the partition that produced it, and a 4-row
+    // nprobe dimension fans candidates into every sweep arm with
+    // pr ≤ nprobe (the same one-score-many-thresholds trick as q148's
+    // Jaccard sweep; the BNL join is legitimate because the build side
+    // is the 4-row dimension). More probes monotonically widen the
+    // candidate set, so recall is non-decreasing by construction —
+    // the spec pins it and the oracle certifies the exact values.
+    Q(
+      "q159_nprobe_sweep",
+      s"""WITH ${ivfCandDuck(4)},
+         |probes AS (SELECT CAST(unnest([1, 2, 3, 4]) AS BIGINT) AS np),
+         |iv AS (SELECT np, qid, neighbor_id
+         |       FROM (SELECT p.np, c.qid, c.neighbor_id,
+         |               row_number() OVER (PARTITION BY p.np, c.qid
+         |                 ORDER BY c.cos DESC, c.neighbor_id) AS r
+         |             FROM cand c JOIN probes p ON c.pr <= p.np)
+         |       WHERE r <= 5),
+         |$bfTop5Duck,
+         |f AS (SELECT p.np, CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |      FROM bf CROSS JOIN probes p
+         |      LEFT JOIN iv ON iv.np = p.np AND iv.qid = bf.qid
+         |        AND iv.neighbor_id = bf.neighbor_id)
+         |SELECT np AS nprobe, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(CASE WHEN hit = 1 THEN 1 END) AS BIGINT) AS n_found,
+         |  floor(count(CASE WHEN hit = 1 THEN 1 END) * 1000000.0 / count(*)) / 1000000.0 AS recall
+         |FROM f GROUP BY np""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = nv(s, d)
+      val probes = s.range(1, 5).select(col("id").as("np"))
+      val iv = ivfCand(s, d, maxProbe = 4)
+        .join(broadcast(probes), col("pr") <= col("np"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("np", "qid").orderBy(col("cos").desc, col("neighbor_id"))))
+        .filter(col("r") <= 5)
+        .select(col("np"), col("qid"), col("neighbor_id"), lit(1).as("hit"))
+      bfTop5(e).crossJoin(broadcast(probes))
+        .join(iv, Seq("np", "qid", "neighbor_id"), "left")
+        .groupBy("np")
+        .agg(
+          count(lit(1)).as("n_exact"),
+          count(expr("CASE WHEN hit = 1 THEN 1 END")).as("n_found"),
+          expr("floor(count(CASE WHEN hit = 1 THEN 1 END) * 1000000.0D / count(1)) / 1000000.0D")
+            .as("recall"))
+        .select(col("np").as("nprobe"), col("n_exact"), col("n_found"),
+          col("recall"))
     },
 
     // ── Random-hyperplane LSH ANN (the other scale path) ───────────────

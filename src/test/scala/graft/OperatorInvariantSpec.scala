@@ -214,6 +214,7 @@ class OperatorInvariantSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_bpe_tokens") >= r.getAs[Long]("n_words"))
       assert(r.getAs[Long]("chars_per_token_ppm") >= 1000000L)
     }
+    spark.catalog.clearCache() // q156 leaves the trained vocab persisted
   }
 
   test("q157 source matrix is normalized and reconciles with q36's pairs") {
@@ -230,6 +231,7 @@ class OperatorInvariantSpec extends AnyFunSuite {
     assert(m.map(_.getAs[Long]("n_pairs")).sum === nPairs)
     val shareSum = m.map(_.getAs[Long]("pair_share_ppm")).sum
     assert(shareSum <= 1000000L && shareSum >= 1000000L - m.length)
+    spark.catalog.clearCache() // q36/q157 persist shingle relations
   }
 
   test("q158 decontamination reports one nearest benchmark hit per vector") {
@@ -242,6 +244,20 @@ class OperatorInvariantSpec extends AnyFunSuite {
       assert(r.getAs[Long]("bench_id") < 20L)
       assert(r.getAs[Double]("cosine") >= 0.4)
     }
+  }
+
+  test("q159 nprobe sweep is monotone and agrees with q153 at nprobe=2") {
+    val sweep = SparkEntry.queries("q159_nprobe_sweep")(spark, sf)
+      .orderBy("nprobe").collect()
+    assert(sweep.length === 4)
+    sweep.foreach(r => assert(r.getAs[Long]("n_exact") === 50L))
+    // more probes can only widen the candidate set
+    val found = sweep.map(_.getAs[Long]("n_found"))
+    assert(found.sameElements(found.sorted),
+      s"recall not monotone in nprobe: ${found.mkString(",")}")
+    // the sweep's nprobe=2 arm IS q153's deployed operating point
+    val q153 = SparkEntry.queries("q153_ivf_recall")(spark, sf).collect()
+    assert(found(1) === q153.map(_.getAs[Long]("n_found")).sum)
   }
 
   test("q154 BPE runs the merge recursion, not just step 1") {

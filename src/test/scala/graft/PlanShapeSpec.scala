@@ -376,6 +376,7 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!directScans.exists(_.toString.contains("documents")),
         s"corpus side chosen as broadcast build:\n$j")
     }
+    spark.catalog.clearCache() // q156 leaves the trained vocab persisted
   }
 
   test("q152 length buckets: one combine-reduced exchange, no text aboard") {

@@ -260,6 +260,39 @@ object Clustering {
           (col("r") === 1).as("keep"))
     },
 
+    // ── Leakage-free split: assign whole dup clusters to one side ──────
+    // The fix for what q62 audits: a per-doc hash split (q52) puts two
+    // near-duplicates of the same page on opposite sides of the
+    // train/val boundary, and the model "generalizes" to its own
+    // training data. Flipping the coin on the CLUSTER id instead makes
+    // cross-split leakage impossible by construction — every member of
+    // a near-dup cluster (q53's connected components; singletons are
+    // their own cluster) lands on the same side, same 90/5/5 hash-coin
+    // convention as q52 so the two splits are directly comparable.
+    //
+    // Scale: the split is one hash expression over q53's cluster map —
+    // a narrow (doc_id, cluster_id) relation; everything expensive is
+    // the shared CC machinery, already bounded (dup-rate-sized pairs,
+    // round-capped propagation with large-star fallback).
+    Q(
+      "q160_cluster_split", {
+        val coin = Portable.h60Duck("concat('split|', cluster_id::VARCHAR)")
+        s"""WITH RECURSIVE ${Dedup.simhashPairsDuck},
+           |$ccDuck
+           |SELECT doc_id, cluster_id,
+           |  CASE WHEN $coin % 100 < 90 THEN 'train'
+           |       WHEN $coin % 100 < 95 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM cc""".stripMargin
+      }) { (s, d) =>
+      val coin =
+        s"${Portable.h60Spark("concat('split|', cast(cluster_id as string))")} % 100"
+      simhashClusters(s, d)
+        .select(col("doc_id"), col("cluster_id"),
+          expr(s"CASE WHEN $coin < 90 THEN 'train'" +
+            s" WHEN $coin < 95 THEN 'val' ELSE 'test' END").as("split"))
+    },
+
     // ── Triangle census over the near-dup graph ────────────────────────
     // Transitivity audit for the dup graph: SimHash pairs are not
     // transitive (A≈B, B≈C does not force A≈C at hamming ≤ 6), and the

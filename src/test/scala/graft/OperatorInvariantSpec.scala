@@ -260,6 +260,27 @@ class OperatorInvariantSpec extends AnyFunSuite {
     assert(found(1) === q153.map(_.getAs[Long]("n_found")).sum)
   }
 
+  test("q160 cluster split covers the corpus and cannot leak near-dups") {
+    val split = SparkEntry.queries("q160_cluster_split")(spark, sf)
+    val rows = split.collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    assert(rows.map(_.getAs[String]("split")).toSet
+      .subsetOf(Set("train", "val", "test")))
+    // the guarantee q62 audits for the doc-hash split: here NO verified
+    // near-dup pair may straddle a split boundary, by construction —
+    // check it against the actual pair relation, not the construction
+    val pairs = SparkEntry.queries("q37_simhash")(spark, sf)
+      .select(col("a_id"), col("b_id"))
+    val sp = split.select(col("doc_id"), col("split"))
+    val leaked = pairs
+      .join(sp.as("sa"), col("sa.doc_id") === col("a_id"))
+      .join(sp.as("sb"), col("sb.doc_id") === col("b_id"))
+      .filter(col("sa.split") =!= col("sb.split"))
+      .count()
+    assert(leaked === 0L, s"$leaked near-dup pairs straddle a split")
+    spark.catalog.clearCache() // pair machinery persists shingles
+  }
+
   test("q154 BPE runs the merge recursion, not just step 1") {
     // Hand-computable vocabulary: "abab"x2, "ab"x1.
     //   round 1: pairs (a,b)->5, (b,a)->2  => merge (a,b), 5 tokens left

@@ -387,6 +387,54 @@ object Similarity {
           col("recall"))
     },
 
+    // ── Hard-negative mining (contrastive-training sampling) ───────────
+    // The sampling step of embedding-model training (DPR, Karpukhin et
+    // al. 2020): for each anchor, the most-similar vectors of a
+    // DIFFERENT label are the hard negatives — the examples that
+    // actually move a contrastive loss, where random negatives are
+    // trivially separable. Same brute-force shape as q39 with a label
+    // disequality: anchors broadcast, corpus streams once, and the
+    // per-anchor top-3 is rank-truncated before anything else happens.
+    // In production the anchor set is the training batch (structurally
+    // small) and the scan side is pre-filtered by the ANN index
+    // (q40/q47); the exact scan here is the auditable ground truth.
+    Q(
+      "q162_hard_negatives",
+      s"""WITH $nvDuck,
+         |anch AS (SELECT * FROM nv WHERE vec_id < 10),
+         |neg AS (SELECT a.vec_id AS qid, a.label AS anchor_label,
+         |          b.vec_id AS neighbor_id, b.label AS neg_label,
+         |          CAST(${qdotD("a.embedding", "b.embedding")} AS DOUBLE)
+         |            / (a.nrm * b.nrm) AS cos
+         |        FROM anch a JOIN nv b
+         |          ON b.label <> a.label AND b.vec_id <> a.vec_id)
+         |SELECT qid, anchor_label, neighbor_id, neg_label, rank,
+         |  floor(cos * 1000000.0) / 1000000.0 AS cosine
+         |FROM (SELECT qid, anchor_label, neighbor_id, neg_label, cos,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM neg)
+         |WHERE rank <= 3""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = nv(s, d)
+      val anch = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("anchor_label"),
+          col("qe").as("aqe"), col("nrm").as("anrm"))
+      broadcast(anch)
+        .join(e.as("b"),
+          col("b.label") =!= col("anchor_label") &&
+            col("b.vec_id") =!= col("qid"))
+        .select(col("qid"), col("anchor_label"),
+          col("b.vec_id").as("neighbor_id"), col("b.label").as("neg_label"),
+          expr("cast(vec_ldot(aqe, b.qe) as double) / (anrm * b.nrm)").as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("neighbor_id"))))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("anchor_label"), col("neighbor_id"),
+          col("neg_label"), col("rank"),
+          expr("floor(cos * 1000000.0D) / 1000000.0D").as("cosine"))
+    },
+
     // ── Random-hyperplane LSH ANN (the other scale path) ───────────────
     // 6 deterministic hyperplanes (md5-derived integer components in
     // [-1000, 1000], identical in both engines) → 64 sign buckets; each

@@ -918,6 +918,74 @@ object TextAnalysis {
           col("n_word_chars"),
           expr("n_word_chars * 1000000L div n_bpe_tokens")
             .as("chars_per_token_ppm"))
+    },
+
+    // ── Weak-supervision majority vote (Snorkel-style label model) ─────
+    // Three deterministic labeling functions over signals the engine
+    // already computes, each voting keep(+1) / drop(−1) / abstain(0);
+    // the label is the sign of the vote sum (ties abstain), and per-LF
+    // agreement with the majority is the diagnostic that finds a
+    // broken rule before it pollutes training (Ratner et al. 2017 —
+    // the simple-majority special case of the label model):
+    //   LF1 token count        < 15 drop, > 25 keep
+    //   LF2 mean word len ×100 < 350 drop, > 450 keep (integer exact:
+    //       word chars = n_chars − (n−1) on this single-spaced corpus)
+    //   LF3 lexical diversity  < 500000 ppm drop, > 700000 ppm keep
+    // All thresholds compare INTEGER quantities — no float anywhere,
+    // so the votes are engine-exact by construction.
+    //
+    // Scale: LF1/LF2 are narrow projections; LF3 is the one exchange —
+    // a (doc, token) combine-reduced distinct count (q147's shape).
+    // The vote is a zero-cost map over the joined per-doc row.
+    Q(
+      "q161_weak_labels",
+      """WITH tok AS (SELECT doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT t.t) AS BIGINT) AS nd
+        |  FROM (SELECT doc_id, n_chars, text,
+        |          unnest(string_split(text, ' ')) AS t
+        |        FROM documents) t
+        |  GROUP BY doc_id, n_chars, text),
+        |lf AS (SELECT doc_id,
+        |    CASE WHEN n < 15 THEN -1 WHEN n > 25 THEN 1 ELSE 0 END AS lf_len,
+        |    CASE WHEN (n_chars - (n - 1)) * 100 // n < 350 THEN -1
+        |         WHEN (n_chars - (n - 1)) * 100 // n > 450 THEN 1
+        |         ELSE 0 END AS lf_wlen,
+        |    CASE WHEN nd * 1000000 // n < 500000 THEN -1
+        |         WHEN nd * 1000000 // n > 700000 THEN 1
+        |         ELSE 0 END AS lf_div
+        |  FROM tok)
+        |SELECT doc_id, lf_len, lf_wlen, lf_div,
+        |  CASE WHEN lf_len + lf_wlen + lf_div > 0 THEN 'keep'
+        |       WHEN lf_len + lf_wlen + lf_div < 0 THEN 'drop'
+        |       ELSE 'abstain' END AS label,
+        |  CAST(CASE WHEN lf_len <> 0 THEN 1 ELSE 0 END +
+        |       CASE WHEN lf_wlen <> 0 THEN 1 ELSE 0 END +
+        |       CASE WHEN lf_div <> 0 THEN 1 ELSE 0 END AS BIGINT) AS n_voting
+        |FROM lf""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          expr("cast(size(split(text, ' ')) as bigint)").as("n"),
+          explode(split(col("text"), " ")).as("t"))
+        .groupBy("doc_id", "n_chars", "n")
+        .agg(countDistinct("t").as("nd"))
+      tok.select(col("doc_id"),
+          expr("CASE WHEN n < 15 THEN -1 WHEN n > 25 THEN 1 ELSE 0 END")
+            .as("lf_len"),
+          expr("CASE WHEN (n_chars - (n - 1)) * 100 div n < 350 THEN -1" +
+            " WHEN (n_chars - (n - 1)) * 100 div n > 450 THEN 1" +
+            " ELSE 0 END").as("lf_wlen"),
+          expr("CASE WHEN nd * 1000000 div n < 500000 THEN -1" +
+            " WHEN nd * 1000000 div n > 700000 THEN 1" +
+            " ELSE 0 END").as("lf_div"))
+        .select(col("doc_id"), col("lf_len"), col("lf_wlen"), col("lf_div"),
+          expr("CASE WHEN lf_len + lf_wlen + lf_div > 0 THEN 'keep'" +
+            " WHEN lf_len + lf_wlen + lf_div < 0 THEN 'drop'" +
+            " ELSE 'abstain' END").as("label"),
+          expr("cast((CASE WHEN lf_len <> 0 THEN 1 ELSE 0 END) +" +
+            " (CASE WHEN lf_wlen <> 0 THEN 1 ELSE 0 END) +" +
+            " (CASE WHEN lf_div <> 0 THEN 1 ELSE 0 END) as bigint)")
+            .as("n_voting"))
     })
 
   /** DuckDB mirror of [[bpeTrain]]'s recursion as a CTE chain (no WITH

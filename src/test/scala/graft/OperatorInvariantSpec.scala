@@ -281,6 +281,36 @@ class OperatorInvariantSpec extends AnyFunSuite {
     spark.catalog.clearCache() // pair machinery persists shingles
   }
 
+  test("q161 weak labels: majority sign, abstains, and coverage") {
+    val rows = SparkEntry.queries("q161_weak_labels")(spark, sf).collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val votes = Seq(r.getAs[Int]("lf_len"), r.getAs[Int]("lf_wlen"),
+        r.getAs[Int]("lf_div"))
+      assert(votes.forall(v => v >= -1 && v <= 1))
+      val expected =
+        if (votes.sum > 0) "keep" else if (votes.sum < 0) "drop" else "abstain"
+      assert(r.getAs[String]("label") === expected, r.toString)
+      assert(r.getAs[Long]("n_voting") === votes.count(_ != 0).toLong)
+    }
+    // the rule set must actually discriminate on this corpus — if every
+    // doc abstains the LF thresholds are dead and the op is vacuous
+    assert(rows.exists(_.getAs[String]("label") != "abstain"))
+  }
+
+  test("q162 hard negatives are top-ranked and never share the anchor label") {
+    val rows = SparkEntry.queries("q162_hard_negatives")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size === 10)
+    byQ.foreach { case (q, negs) =>
+      assert(negs.map(_.getAs[Int]("rank")).sorted.sameElements(Seq(1, 2, 3)))
+      negs.foreach { n =>
+        assert(n.getAs[Int]("neg_label") != n.getAs[Int]("anchor_label"),
+          s"anchor $q mined a same-label negative: $n")
+      }
+    }
+  }
+
   test("q154 BPE runs the merge recursion, not just step 1") {
     // Hand-computable vocabulary: "abab"x2, "ab"x1.
     //   round 1: pairs (a,b)->5, (b,a)->2  => merge (a,b), 5 tokens left

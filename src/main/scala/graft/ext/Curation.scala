@@ -339,6 +339,56 @@ object Curation {
             .as("boost_ppm"))
     },
 
+    // ── Seeded global shuffle + shard manifest (training ingestion) ────
+    // The last hop before the trainer: a DETERMINISTIC shuffle (hash
+    // order, seeded — rerunning the pipeline must reproduce the exact
+    // batch sequence) and an assignment into fixed shards, with a
+    // manifest row per shard. Order is certified cross-engine without
+    // materializing any per-shard list: rank each doc within its shard
+    // by the seeded order key, fold (rank, doc_id) into a hash, and
+    // integer-SUM the folds — the rank captures order inside an
+    // associative aggregate, so the checksum is exchange-friendly
+    // where a collect_list manifest would concentrate a whole shard
+    // in one task. Checksums are reduced mod 10⁹ before summing:
+    // the BIGINT sum stays exact below 9.2e9 docs PER SHARD (shard
+    // counts are chosen to keep shards ~GB-sized long before that).
+    //
+    // Scale: one window sort within shard (the same sort the shard
+    // writer needs anyway) + a 32-row combine-reduced manifest
+    // aggregate. Nothing but (shard, rank, ids) moves.
+    Q(
+      "q163_shuffle_shards", {
+        val shard = Portable.h60Duck("concat('shuf|42|', doc_id::VARCHAR)")
+        val ordk = Portable.h60Duck("concat('ord|42|', doc_id::VARCHAR)")
+        s"""WITH a AS (SELECT doc_id,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+           |    $shard % 32 AS shard, $ordk AS ordk
+           |  FROM documents),
+           |r AS (SELECT doc_id, n, shard,
+           |    row_number() OVER (PARTITION BY shard ORDER BY ordk, doc_id) AS rk
+           |  FROM a)
+           |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n) AS BIGINT) AS n_tokens,
+           |  CAST(sum(${Portable.h60Duck("concat(rk::VARCHAR, '|', doc_id::VARCHAR)")} % 1000000000) AS BIGINT)
+           |    AS order_sum
+           |FROM r GROUP BY shard""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val shard =
+        s"${Portable.h60Spark("concat('shuf|42|', cast(doc_id as string))")} % 32"
+      val ordk = Portable.h60Spark("concat('ord|42|', cast(doc_id as string))")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("cast(size(split(text, ' ')) as bigint)").as("n"),
+          expr(shard).as("shard"), expr(ordk).as("ordk"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("shard").orderBy(col("ordk"), col("doc_id"))))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
+          sum(expr(s"${Portable.h60Spark("concat(cast(rk as string), '|', cast(doc_id as string))")} % 1000000000"))
+            .as("order_sum"))
+    },
+
     // ── Sequence-length histogram: the packing-planner's profile ───────
     // Power-of-two length bins per lang with doc counts, token mass,
     // cumulative docs and share-of-lang — the distribution a packing

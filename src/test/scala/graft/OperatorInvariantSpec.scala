@@ -311,6 +311,21 @@ class OperatorInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("q163 shuffle shards: deterministic, covering, bounded") {
+    val run1 = SparkEntry.queries("q163_shuffle_shards")(spark, sf)
+      .orderBy("shard").collect()
+    assert(run1.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sf).count())
+    run1.foreach(r =>
+      assert(r.getAs[Long]("shard") >= 0L && r.getAs[Long]("shard") < 32L))
+    // the whole point: re-running the pipeline reproduces the exact
+    // order — the order-sensitive checksum must be bit-identical
+    val run2 = SparkEntry.queries("q163_shuffle_shards")(spark, sf)
+      .orderBy("shard").collect()
+    assert(run1.map(_.getAs[Long]("order_sum"))
+      .sameElements(run2.map(_.getAs[Long]("order_sum"))))
+  }
+
   test("q154 BPE runs the merge recursion, not just step 1") {
     // Hand-computable vocabulary: "abab"x2, "ab"x1.
     //   round 1: pairs (a,b)->5, (b,a)->2  => merge (a,b), 5 tokens left

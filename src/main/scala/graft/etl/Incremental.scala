@@ -29,7 +29,7 @@ object Incremental {
     */
   def watermark(fact: Option[DataFrame]): Timestamp =
     fact.flatMap { f =>
-      try Option(f.agg(max(col("full_date"))).head.getTimestamp(0))
+      try Option(f.agg(max(col("full_date"))).head().getTimestamp(0))
       catch { case _: Exception => None }
     }.getOrElse(Epoch)
 

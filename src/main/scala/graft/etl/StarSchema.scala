@@ -104,7 +104,7 @@ object StarSchema {
       case None => candidates
     }
     val base = existing
-      .map(_.agg(coalesce(max(col(keyName)), lit(0L))).head.getLong(0))
+      .map(_.agg(coalesce(max(col(keyName)), lit(0L))).head().getLong(0))
       .getOrElse(0L)
     orderedIds(fresh, keyName, orderCols, base)
   }

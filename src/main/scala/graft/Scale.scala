@@ -17,15 +17,16 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   * fits memory means the partition sizing story failed.
   */
 object Scale {
-  /** The 10 most expensive registry queries per the round-5 bench —
-    * the ones whose scale claims are worth soaking (all documents-table
-    * dedup/text paths; the rest of the registry is dimension-sized).
+  /** The most expensive registry queries per the latest (late-round-6)
+    * bench — the ones whose scale claims are worth soaking (all
+    * documents-table dedup/text/tokenizer paths; the rest of the
+    * registry is dimension-sized).
     */
   val hot: Seq[String] = Seq(
     "q127_curation_ledger", "q67_canonical_docs", "q104_containment",
-    "q35_ngram_jaccard", "q66_dup_rate_by_source", "q73_lsh_recall_audit",
-    "q53_dedup_clusters", "q126_lsh_precision", "q91_edit_distance_verify",
-    "q64_boilerplate_ngrams")
+    "q53_dedup_clusters", "q35_ngram_jaccard", "q156_bpe_encode",
+    "q154_bpe_train", "q160_cluster_split", "q78_duplicated_spans",
+    "q148_threshold_sweep", "q157_dup_source_matrix", "q102_bloom_contamination")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -63,6 +63,10 @@ object Scale {
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
+    // drain straggler warmup task-end events before the first measured
+    // reset — same 500 ms bound as the per-query drain below (r6 ADVICE:
+    // without this, warmup stragglers pollute the first query's numbers)
+    Thread.sleep(500)
 
     var totalSec = 0.0
     names.foreach { n =>

@@ -777,9 +777,16 @@ object Curation {
     // boundaries (32/64/128/256/512 — explicit CASE, not log2(): float
     // log at an exact power of two is not guaranteed correctly rounded
     // in either engine, and real servers use a fixed bucket table
-    // anyway). Per bucket: sequence/batch counts at batch size 16, the
-    // padded token volume actually computed, and the ppm of it that is
-    // padding — the number the bucket boundaries are tuned to minimize.
+    // anyway). Sequences longer than the last boundary go to an
+    // explicit overflow bucket (label -1) that pads to its own longest
+    // sequence — padding to a boundary SHORTER than the sequence would
+    // be dishonest (r6 ADVICE), and a real server falls back to
+    // max-in-batch exactly this way. `pad_to` carries the realized pad
+    // width per bucket (= the boundary for labeled buckets, = max(n)
+    // for overflow). Per bucket: sequence/batch counts at batch size
+    // 16, the padded token volume actually computed, and the ppm of it
+    // that is padding — the number the boundaries are tuned to
+    // minimize.
     //
     // Scale: one narrow projection (token count per doc) into a
     // 5-row combine-reduced aggregate; nothing but (bucket, n, 1)
@@ -793,15 +800,18 @@ object Curation {
         |           FROM documents),
         |b AS (SELECT n, CAST(CASE WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
         |                 WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256
-        |                 ELSE 512 END AS BIGINT) AS bucket FROM n),
+        |                 WHEN n <= 512 THEN 512
+        |                 ELSE -1 END AS BIGINT) AS bucket FROM n),
         |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_seqs,
-        |        CAST(sum(n) AS BIGINT) AS n_tokens
+        |        CAST(sum(n) AS BIGINT) AS n_tokens,
+        |        CASE WHEN bucket = -1 THEN CAST(max(n) AS BIGINT)
+        |             ELSE bucket END AS pad_to
         |      FROM b GROUP BY bucket)
-        |SELECT bucket, n_seqs, n_tokens,
-        |  n_seqs * bucket AS padded_tokens,
+        |SELECT bucket, n_seqs, n_tokens, pad_to,
+        |  n_seqs * pad_to AS padded_tokens,
         |  (n_seqs + 15) // 16 AS n_batches,
-        |  CAST(floor(CAST(n_seqs * bucket - n_tokens AS DOUBLE)
-        |       / CAST(n_seqs * bucket AS DOUBLE) * 1000000.0) AS BIGINT)
+        |  CAST(floor(CAST(n_seqs * pad_to - n_tokens AS DOUBLE)
+        |       / CAST(n_seqs * pad_to AS DOUBLE) * 1000000.0) AS BIGINT)
         |    AS waste_ppm
         |FROM g""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
@@ -809,14 +819,16 @@ object Curation {
         .select(col("n"), expr(
           "cast(CASE WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64" +
             " WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256" +
-            " ELSE 512 END as bigint)").as("bucket"))
+            " WHEN n <= 512 THEN 512 ELSE -1 END as bigint)").as("bucket"))
         .groupBy("bucket")
-        .agg(count(lit(1)).as("n_seqs"), sum("n").as("n_tokens"))
-        .select(col("bucket"), col("n_seqs"), col("n_tokens"),
-          (col("n_seqs") * col("bucket")).as("padded_tokens"),
+        .agg(count(lit(1)).as("n_seqs"), sum("n").as("n_tokens"),
+          expr("CASE WHEN bucket = -1 THEN max(n) ELSE bucket END")
+            .as("pad_to"))
+        .select(col("bucket"), col("n_seqs"), col("n_tokens"), col("pad_to"),
+          (col("n_seqs") * col("pad_to")).as("padded_tokens"),
           expr("(n_seqs + 15) div 16").as("n_batches"),
-          expr("cast(floor(cast(n_seqs * bucket - n_tokens as double)" +
-            " / cast(n_seqs * bucket as double) * 1000000.0D) as bigint)")
+          expr("cast(floor(cast(n_seqs * pad_to - n_tokens as double)" +
+            " / cast(n_seqs * pad_to as double) * 1000000.0D) as bigint)")
             .as("waste_ppm"))
     })
 }

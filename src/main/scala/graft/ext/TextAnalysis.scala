@@ -1003,12 +1003,12 @@ object TextAnalysis {
          |  GROUP BY u.a, u.b),
          |m$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
          |w$i AS (SELECT word, freq,
-         |    CASE WHEN len(toks) < 2 THEN toks ELSE
+         |    CASE WHEN m$i.a IS NULL OR len(toks) < 2 THEN toks ELSE
          |    list_reduce(list_transform(toks, t -> [t]),
          |      (acc, x) -> CASE WHEN acc[-1] = m$i.a AND x[1] = m$i.b
          |                       THEN list_append(acc[:-2], m$i.a || m$i.b)
          |                       ELSE list_concat(acc, x) END) END AS toks
-         |  FROM w${i - 1}, m$i),
+         |  FROM w${i - 1} LEFT JOIN m$i ON TRUE),
          |t$i AS (SELECT CAST(sum(freq * len(toks)) AS BIGINT) AS t FROM w$i)"""
         .stripMargin
     s"""wf AS (SELECT t AS word, CAST(count(*) AS BIGINT) AS freq

@@ -159,12 +159,41 @@ class OperatorInvariantSpec extends AnyFunSuite {
     rows.foreach { r =>
       val (b, n, tok, pad) = (r.getAs[Long]("bucket"), r.getAs[Long]("n_seqs"),
         r.getAs[Long]("n_tokens"), r.getAs[Long]("padded_tokens"))
-      assert(Set(32L, 64L, 128L, 256L, 512L).contains(b))
-      assert(pad === n * b && pad >= tok, r.toString)
+      val padTo = r.getAs[Long]("pad_to")
+      assert(Set(-1L, 32L, 64L, 128L, 256L, 512L).contains(b))
+      if (b > 0) assert(padTo === b) else assert(padTo > 512L, r.toString)
+      assert(pad === n * padTo && pad >= tok, r.toString)
       assert(r.getAs[Long]("n_batches") === (n + 15L) / 16L)
       val ppm = r.getAs[Long]("waste_ppm")
       assert(ppm >= 0L && ppm < 1000000L)
       assert(ppm === math.floor((pad - tok).toDouble / pad * 1000000.0).toLong)
+    }
+  }
+
+  test("q152 overflow bucket pads >512-token docs to their own max (r6 ADVICE)") {
+    // the driver corpus never exceeds 512 tokens, so exercise the
+    // overflow arm on a synthetic documents table: 600- and 700-token
+    // docs land in bucket -1 padded to 700; a 10-token doc stays in 32
+    val dir = java.nio.file.Files.createTempDirectory("q152ovf").toString
+    try {
+      import spark.implicits._
+      Seq((1L, ("w " * 600).trim, 601L), (2L, ("w " * 700).trim, 701L),
+          (3L, ("w " * 10).trim, 11L))
+        .toDF("doc_id", "text", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = SparkEntry.queries("q152_length_buckets")(spark, dir)
+        .collect().map(r => r.getAs[Long]("bucket") -> r).toMap
+      val ovf = rows(-1L)
+      assert(ovf.getAs[Long]("n_seqs") === 2L)
+      assert(ovf.getAs[Long]("pad_to") === 700L)
+      assert(ovf.getAs[Long]("padded_tokens") === 1400L)
+      assert(ovf.getAs[Long]("n_tokens") === 1300L)
+      assert(ovf.getAs[Long]("padded_tokens") >= ovf.getAs[Long]("n_tokens"))
+      assert(ovf.getAs[Long]("waste_ppm") ===
+        math.floor(100.0 / 1400.0 * 1000000.0).toLong)
+      assert(rows(32L).getAs[Long]("n_seqs") === 1L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
 

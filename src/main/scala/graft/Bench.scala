@@ -33,7 +33,7 @@ object Bench {
             case e: Throwable => System.err.println(
               s"[bench] warmup $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
           }
-          spark.catalog.clearCache()
+          CacheScope.drain(); spark.catalog.clearCache()
         }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
@@ -57,7 +57,7 @@ object Bench {
         // its own multi-consumer stages (signature tables etc.) so later
         // runs are neither helped by warm blocks nor squeezed by
         // accumulated ones
-        spark.catalog.clearCache()
+        CacheScope.drain(); spark.catalog.clearCache()
         (dt, ok)
       }
       // min over SUCCESSFUL runs only: a repeat that fast-fails (e.g. a

@@ -1,0 +1,70 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Query-scoped cache registry (r6 VERDICT "persist-leak class").
+  *
+  * Registry queries persist multi-consumer intermediates (signature
+  * tables, token passes) that back the *returned* lazy plan — so the
+  * query function itself can never unpersist them: the cache must
+  * outlive the function and die right after the caller's terminal
+  * action. This object is that lifetime: every registry-path
+  * `persist()` / `localCheckpoint()` routes through [[scoped]] /
+  * [[checkpointed]], and every runner (Verify, Bench, Scale, specs)
+  * calls [[drain]] after each query's action. RegistrySpec then holds
+  * the line: after any registry query runs + drains,
+  * `sparkContext.getPersistentRDDs` must be empty — a raw
+  * `.persist()` added without scope registration fails the suite.
+  *
+  * Iterative operators (connected components, TextRank, BPE) still
+  * unpersist superseded rounds *inside* the loop for working-set
+  * hygiene; drain's second unpersist on those is a no-op. At 100 TB
+  * the distinction matters: a leaked cached relation isn't just memory
+  * pressure, it changes AQE's size estimates for later queries in the
+  * same session (a cached build side flipped a join decision in r6 —
+  * the q148 suite-order lesson).
+  */
+object CacheScope {
+  private val dfs = new ConcurrentLinkedQueue[Dataset[_]]()
+  private val rdds = new ConcurrentLinkedQueue[RDD[_]]()
+
+  /** Persist `ds` for the current query scope; released at [[drain]].
+    * Chain-friendly: `df.transform(CacheScope.scoped)`.
+    */
+  def scoped[T](ds: Dataset[T]): Dataset[T] = {
+    ds.persist()
+    dfs.add(ds)
+    ds
+  }
+
+  /** Eagerly localCheckpoint `df` and register the materialized blocks
+    * for release at [[drain]]. `Dataset.unpersist` can't reach a
+    * checkpoint's storage (it lives outside the CacheManager), so the
+    * persisted RDD is found by diffing `getPersistentRDDs` around the
+    * checkpoint call — runners are serialized per query, so the diff
+    * is exactly the checkpoint's blocks.
+    */
+  def checkpointed(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint()
+    sc.getPersistentRDDs.foreach { case (id, r) =>
+      if (!before.contains(id)) rdds.add(r)
+    }
+    out
+  }
+
+  /** Unpersist everything registered since the last drain. Called by
+    * runners after each query's terminal action; non-blocking (block
+    * removal proceeds async, registration bookkeeping is immediate).
+    */
+  def drain(): Unit = {
+    var d = dfs.poll()
+    while (d != null) { d.unpersist(blocking = false); d = dfs.poll() }
+    var r = rdds.poll()
+    while (r != null) { r.unpersist(blocking = false); r = rdds.poll() }
+  }
+}

@@ -61,7 +61,7 @@ object Scale {
       try SparkEntry.queries(n)(spark, warm)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      spark.catalog.clearCache()
+      CacheScope.drain(); spark.catalog.clearCache()
     }
     // drain straggler warmup task-end events before the first measured
     // reset — same 500 ms bound as the per-query drain below (r6 ADVICE:
@@ -78,7 +78,7 @@ object Scale {
         catch { case e: Throwable => e.getClass.getSimpleName }
       val dt = (System.nanoTime() - t0) / 1e9
       totalSec += dt
-      spark.catalog.clearCache()
+      CacheScope.drain(); spark.catalog.clearCache()
       // listener events drain asynchronously (the bus API is
       // private[spark]); half a second is far beyond the bus's drain
       // time for a single query's task set

@@ -21,8 +21,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries persist their own multi-consumer stages (signature
-      // tables etc.); drop them so 55+ queries in one session don't
-      // accumulate cached blocks into eviction churn
+      // tables etc.) through CacheScope; drop them so 157 queries in
+      // one session don't accumulate cached blocks into eviction
+      // churn — and don't skew later queries' AQE size estimates.
+      // clearCache() stays as the belt-and-braces sweep for anything
+      // cached outside the scope.
+      CacheScope.drain()
       spark.catalog.clearCache()
     }
     val json = SparkEntry.oracleSql

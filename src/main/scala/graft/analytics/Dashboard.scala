@@ -3,7 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.{Q, Tables}
+import graft.{CacheScope, Q, Tables}
 import graft.ext.Portable
 
 /** The reference's analytical query surface — the Power BI dashboard
@@ -328,7 +328,7 @@ object Dashboard {
         .select(col("user_id"),
           date_trunc("day", col("ts")).cast("date").as("day"))
         .distinct()
-        .persist() // presence bits feed DAU and the 7× coverage fan-out
+        .transform(CacheScope.scoped) // presence bits feed DAU and the 7× coverage fan-out
       val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
       val wau = ud
         .select(col("user_id"),
@@ -364,7 +364,7 @@ object Dashboard {
         .select(col("user_id"),
           date_trunc("day", col("ts")).cast("date").as("day"))
         .distinct()
-        .persist() // presence bits feed the first-day aggregate AND the split
+        .transform(CacheScope.scoped) // presence bits feed the first-day aggregate AND the split
       val f = ud.groupBy("user_id").agg(min("day").as("d0"))
       ud.join(f, "user_id")
         .groupBy("day")

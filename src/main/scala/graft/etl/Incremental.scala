@@ -3,6 +3,7 @@ package graft.etl
 import java.sql.Timestamp
 
 import org.apache.spark.sql.DataFrame
+import graft.CacheScope
 import org.apache.spark.sql.functions._
 
 /** Incremental high-watermark load — the reference's Glue driver logic
@@ -51,7 +52,7 @@ object Incremental {
     // orderedIds — and the fact join); without the persist every
     // consumer re-reads and re-filters the source. Callers unpersist
     // via result.newReadings after landing the outputs.
-    val fresh = newReadings(readings, watermark(fact)).persist()
+    val fresh = newReadings(readings, watermark(fact)).transform(CacheScope.scoped)
     if (fresh.isEmpty) {
       IncrementalResult(fresh, dims.map(_._1), dims.map(_._2), dims.map(_._3), dims.map(_._4), None)
     } else {

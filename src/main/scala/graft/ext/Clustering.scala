@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{Q, Tables}
+import graft.{CacheScope, Q, Tables}
 
 /** Near-duplicate CLUSTER formation — the step a real training-data
   * dedup pipeline runs after pair generation: LSH/SimHash emit pairs,
@@ -49,7 +49,7 @@ object Clustering {
     // both directions once; labels flow along edges either way
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .persist()
+      .transform(CacheScope.scoped)
     // localCheckpoint, NOT persist: persist caches data but the logical
     // plan still nests one level per round, and Catalyst's analysis of
     // that growing lineage goes super-linear — a 16-round chain graph
@@ -65,7 +65,7 @@ object Clustering {
     var labels = nodes.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
       .union(edges.groupBy(col("dst").as("id")).agg(min("src").as("lbl")))
       .groupBy("id").agg(min("lbl").as("lbl"))
-      .localCheckpoint()
+      .transform(CacheScope.checkpointed)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < propagationRounds) {
@@ -73,7 +73,7 @@ object Clustering {
         .select(col("dst").as("id"), col("lbl"))
       val next = labels.union(prop)
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
+        .transform(CacheScope.checkpointed)
       changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.lbl") =!= col("o.lbl"))
@@ -136,12 +136,12 @@ object Clustering {
     }
 
     var edges = canon(
-      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))).localCheckpoint()
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))).transform(CacheScope.checkpointed)
     var rounds = 0
     var stable = edges.isEmpty
     while (!stable && rounds < 60) {
       // same lineage-truncation discipline as the propagation loop
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).transform(CacheScope.checkpointed)
       // fixpoint test on canonical edge sets; both relations are the
       // (tiny) near-dup subgraph, so the two anti-joins are cheap
       stable = next.except(edges).isEmpty && edges.except(next).isEmpty
@@ -189,7 +189,7 @@ object Clustering {
     * cluster_id = doc_id.
     */
   private def simhashClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = Dedup.simhashPairs(s, d).persist()
+    val pairs = Dedup.simhashPairs(s, d).transform(CacheScope.scoped)
     val participants = pairs.select(col("a_id").as("doc_id"))
       .union(pairs.select(col("b_id").as("doc_id")))
       .distinct()
@@ -322,7 +322,7 @@ object Clustering {
          |FROM m GROUP BY doc_id""".stripMargin) { (s, d) =>
       val e = Dedup.simhashPairs(s, d)
         .select(col("a_id").as("a"), col("b_id").as("b"))
-        .distinct().persist()
+        .distinct().transform(CacheScope.scoped)
       val tri = e.as("p1")
         .join(e.as("p2"), col("p2.a") === col("p1.b"))
         .join(e.as("p3"),

@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.functions._
-import graft.{Q, Tables}
+import graft.{CacheScope, Q, Tables}
 
 /** Corpus-curation operators a training-data pipeline runs after
   * dedup/quality: deterministic stratified sampling, train/val/test
@@ -516,7 +516,7 @@ object Curation {
             .as("h1"),
           expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"))
         .crossJoin(broadcast(cut))
-        .persist() // one text scan + md5 pass serves both snapshot views
+        .transform(CacheScope.scoped) // one text scan + md5 pass serves both snapshot views
       val v1 = base.filter(col("doc_id") < col("c"))
         .select(col("doc_id").as("id1"), col("source").as("src1"),
           col("h1"), col("n_tokens").as("nt1"))
@@ -567,7 +567,7 @@ object Curation {
       val w = Tables.documents(s, d)
         .select(col("lang"), expr("cast(size(split(text, ' ')) as bigint)").as("n"))
         .groupBy("lang").agg(sum("n").as("w"))
-        .persist() // tiny lang aggregate, consumed by tot/base/lo chain
+        .transform(CacheScope.scoped) // tiny lang aggregate, consumed by tot/base/lo chain
       val tot = w.agg(sum("w").as("tw"))
       val base = w.crossJoin(broadcast(tot))
         .select(col("lang"), col("w"),
@@ -640,7 +640,7 @@ object Curation {
          |FROM corp c JOIN bench b ON b.sh = c.sh
          |GROUP BY c.doc_id HAVING count(*) >= 3""".stripMargin) { (s, d) =>
       val sh = Dedup.shingles5(s, d)
-      val bench = sh.filter(col("doc_id") < 50).select("sh").distinct().persist()
+      val bench = sh.filter(col("doc_id") < 50).select("sh").distinct().transform(CacheScope.scoped)
       val corp = sh.filter(col("doc_id") >= 50)
       // two probe positions per shingle from disjoint hash bits
       val p1 = "(sh % 4096)"
@@ -710,7 +710,7 @@ object Curation {
           explode(expr("split(text, ' ')")).as("t"))
         .select(col("doc_id"), col("source"), col("lang"),
           expr(s"${Portable.h60Spark("t")} % 4096").as("b"))
-        .persist() // one token pass feeds both feature tables and the probe
+        .transform(CacheScope.scoped) // one token pass feeds both feature tables and the probe
       val raw = tb.groupBy("b").agg(count(lit(1)).as("cr"))
       val tgt = tb.filter(col("source") === "src0")
         .groupBy("b").agg(count(lit(1)).as("ct"))

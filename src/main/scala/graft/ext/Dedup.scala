@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{Q, Tables}
+import graft.{CacheScope, Q, Tables}
 
 /** Deduplication operators for a training-data pipeline, over the
   * `documents` table: exact (hash groupBy), n-gram Jaccard similarity
@@ -115,7 +115,7 @@ object Dedup {
   private def containmentPairsOf(sh: DataFrame): DataFrame = {
     val dfc = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val rare = sh.join(broadcast(dfc.filter(col("df") > 100).select("sh")),
-      Seq("sh"), "left_anti").persist()
+      Seq("sh"), "left_anti").transform(CacheScope.scoped)
     val n = rare.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val c = rare.as("x")
       .join(rare.as("y"),
@@ -349,7 +349,7 @@ object Dedup {
          |  count(CASE WHEN hit = 0 THEN 1 END) AS n_missed,
          |  floor(count(CASE WHEN hit = 1 THEN 1 END) * 1000000.0 / count(*)) / 1000000.0 AS recall
          |FROM flags""".stripMargin) { (s, d) =>
-      val sh = shingles5(s, d).persist()
+      val sh = shingles5(s, d).transform(CacheScope.scoped)
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val exact = sh.as("a")
         .join(sh.as("b"),
@@ -432,14 +432,14 @@ object Dedup {
         .filter(col("sig").isNotNull)
         .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "mh")))
         .crossJoin(broadcast(cut))
-        .persist()
+        .transform(CacheScope.scoped)
       val bsig = sig.filter(col("doc_id") >= col("cut")).select("doc_id", "i", "mh")
       val csig = sig.filter(col("doc_id") < col("cut")).select("doc_id", "i", "mh")
       val cand = broadcast(bsig.as("b"))
         .join(csig.as("c"), col("b.i") === col("c.i") && col("b.mh") === col("c.mh"))
         .select(col("b.doc_id").as("new_id"), col("c.doc_id").as("dup_of"))
         .distinct()
-        .persist()
+        .transform(CacheScope.scoped)
       jaccardVerify(cand, shingles5(s, d), "new_id", "dup_of")
     },
 
@@ -498,7 +498,7 @@ object Dedup {
         .select(col("doc_id"), posexplode(expr(
           s"transform(sequence(1, size(ts) - 4), i -> $h)")).as(Seq("pos", "sh")))
         .select(col("doc_id"), (col("pos") + 1).as("i"), col("sh"))
-        .persist() // two consumers: the dup-set count and the hits join
+        .transform(CacheScope.scoped) // two consumers: the dup-set count and the hits join
       val dup = psh.groupBy("sh")
         .agg(countDistinct("doc_id").as("nd"))
         .filter(col("nd") >= 2).select("sh")
@@ -642,7 +642,7 @@ object Dedup {
          |  CAST((SELECT count(*) FROM pairs) * 1000000
          |       // (SELECT count(*) FROM cand) AS BIGINT) AS precision_ppm"""
         .stripMargin) { (s, d) =>
-      val cand = minhashCandidates(s, d).persist()
+      val cand = minhashCandidates(s, d).transform(CacheScope.scoped)
       val verified = jaccardVerify(cand, shingles5(s, d), "a_id", "b_id")
       val nc = cand.agg(count(lit(1)).as("n_candidates"))
       val nv = verified.agg(count(lit(1)).as("n_verified"))
@@ -695,8 +695,8 @@ object Dedup {
       // ONE shingle pass serves the near-dup verify AND the
       // containment stage (each would otherwise re-run the text scan
       // + shingle kernel)
-      val sh = shingles5(s, d).persist()
-      val cand = minhashCandidates(s, d).persist()
+      val sh = shingles5(s, d).transform(CacheScope.scoped)
+      val cand = minhashCandidates(s, d).transform(CacheScope.scoped)
       val dn = jaccardVerify(cand, sh, "a_id", "b_id")
         .select(col("b_id").as("doc_id")).distinct()
       val dc = containmentPairsOf(sh)
@@ -747,7 +747,7 @@ object Dedup {
          |       AS BIGINT) AS drop_ppm
          |FROM th CROSS JOIN nd LEFT JOIN scored s ON s.jppm >= th.threshold_ppm
          |GROUP BY th.threshold_ppm, nd.n_docs""".stripMargin) { (s, d) =>
-      val cand = minhashCandidates(s, d).persist()
+      val cand = minhashCandidates(s, d).transform(CacheScope.scoped)
       val candIds = cand.select(col("a_id").as("doc_id"))
         .union(cand.select(col("b_id")))
       val sarr = shingles5(s, d)
@@ -818,7 +818,7 @@ object Dedup {
       val hashed = segs
         .select(col("doc_id"), col("pos"), col("seg"),
           md5(col("seg")).as("h"))
-        .persist() // two consumers: the keep decision and the rebuild join
+        .transform(CacheScope.scoped) // two consumers: the keep decision and the rebuild join
       // keep-first DECISION over hashes only: min (doc_id, pos) per
       // segment value — the exchange never carries segment text
       val keep = hashed
@@ -904,7 +904,7 @@ object Dedup {
       .select(col("doc_id"), expr("minhash16(text)").as("sig"))
       .filter(col("sig").isNotNull)
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "mh")))
-      .persist()
+      .transform(CacheScope.scoped)
     Skew.selfPairs(sig, "doc_id", Seq("i", "mh")).distinct()
   }
 
@@ -915,7 +915,7 @@ object Dedup {
     * consumes it twice.
     */
   private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val cand = minhashCandidates(s, d).persist()
+    val cand = minhashCandidates(s, d).transform(CacheScope.scoped)
     jaccardVerify(cand, shingles5(s, d), "a_id", "b_id")
   }
 
@@ -930,7 +930,7 @@ object Dedup {
     val fp = Tables.documents(s, d)
       .select(col("doc_id"), expr("simhash60(text)").as("fp"))
       .filter(col("fp").isNotNull)
-      .persist()
+      .transform(CacheScope.scoped)
     simhashCandidates(simhashBands(fp))
   }
 

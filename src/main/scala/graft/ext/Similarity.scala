@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.functions._
-import graft.{Q, Tables}
+import graft.{CacheScope, Q, Tables}
 import graft.functions.VectorExpressions
 
 /** Similarity search over the `embeddings` table (`Array[Float]`, 64-d):
@@ -582,7 +582,7 @@ object Similarity {
          |FROM nv LEFT JOIN close ON close.vec_id = nv.vec_id""".stripMargin) { (s, d) =>
       // persisted: feeds both sides of the pair join AND the final
       // keep/drop left join — three consumers of one kernel projection
-      val e = nv(s, d).persist()
+      val e = nv(s, d).transform(CacheScope.scoped)
       val close = Skew.selfPairs(
           e.select("vec_id", "label", "qe", "nrm"),
           "vec_id", Seq("label"), payloadCols = Seq("qe", "nrm"))
@@ -721,7 +721,7 @@ object Similarity {
       VectorExpressions.register(s)
       val v = Tables.embeddings(s, d)
         .select(col("vec_id"), expr(qeSpark).as("qe"))
-        .persist() // consumed by seeding + 2 assignment passes + 2 recomputes
+        .transform(CacheScope.scoped) // consumed by seeding + 2 assignment passes + 2 recomputes
       val c0 = v.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cl"), col("qe").as("c"))
       def assign(cent: org.apache.spark.sql.DataFrame) =
@@ -738,7 +738,7 @@ object Similarity {
             expr("cast(floor(cast(cs as double) / n) as bigint)").as("cv"))
           .groupBy("cl")
           .agg(expr("transform(array_sort(collect_list(struct(p, cv))), x -> x.cv)").as("c"))
-      val a2 = assign(centroids(assign(c0))).persist() // stats + c2 membership
+      val a2 = assign(centroids(assign(c0))).transform(CacheScope.scoped) // stats + c2 membership
       a2.groupBy(col("cl").as("cluster"))
         .agg(count(lit(1)).as("n_members"), sum("dist").as("sse"))
         .join(centroids(a2).withColumnRenamed("cl", "c_cl"),
@@ -797,7 +797,7 @@ object Similarity {
       val ext = nv(s, d)
         .withColumn("qe16", expr("slice(qe, 1, 16)"))
         .withColumn("nrm16", expr("sqrt(cast(vec_ldot(qe16, qe16) as double))"))
-        .persist() // one corpus pass feeds both rankings
+        .transform(CacheScope.scoped) // one corpus pass feeds both rankings
       val q = ext.filter(col("vec_id") < 10)
       def top5(scoreExpr: String): org.apache.spark.sql.DataFrame =
         broadcast(q.as("q")).join(ext.as("e"), col("e.vec_id") =!= col("q.vec_id"))
@@ -847,7 +847,7 @@ object Similarity {
       VectorExpressions.register(s)
       val v = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), expr(qeSpark).as("qe"))
-        .persist() // one quantization pass feeds centroids AND distances
+        .transform(CacheScope.scoped) // one quantization pass feeds centroids AND distances
       val cent = labelCentroids(v)
       v.join(broadcast(cent), "label")
         .select(col("label"), col("vec_id"),
@@ -897,8 +897,8 @@ object Similarity {
       VectorExpressions.register(s)
       val v = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), expr(qeSpark).as("qe"))
-        .persist()
-      val cent = labelCentroids(v).persist() // member pass + |labels|² matrix
+        .transform(CacheScope.scoped)
+      val cent = labelCentroids(v).transform(CacheScope.scoped) // member pass + |labels|² matrix
       val intra = v.join(broadcast(cent), "label")
         .select(col("label"),
           expr("vec_ldot(qe, qe) - 2 * vec_ldot(qe, c) + vec_ldot(c, c)").as("dist"))

@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.functions._
-import graft.{Q, Tables}
+import graft.{CacheScope, Q, Tables}
 
 /** Dataset-statistics operators a training-data pipeline runs over its
   * corpus: exact percentile profiles per group and multi-level ROLLUP
@@ -290,7 +290,7 @@ object Statistics {
         val counts = df
           .select(expr(s"CAST($key AS STRING)").as("key"))
           .groupBy("key").agg(count(lit(1)).as("n"))
-          .persist() // two consumers: the summary agg and the top-1
+          .transform(CacheScope.scoped) // two consumers: the summary agg and the top-1
         val stats = counts.agg(
           count(lit(1)).as("n_keys"), sum("n").as("n_rows"), max("n").as("max_n"))
         val top = counts.orderBy(col("n").desc, col("key")).limit(1)
@@ -385,7 +385,7 @@ object Statistics {
          |FROM qq""".stripMargin) { (s, d) =>
       val uc = Tables.events(s, d)
         .groupBy("user_id").agg(count(lit(1)).as("n"))
-        .persist() // two consumers: the quartile summary and the fence count
+        .transform(CacheScope.scoped) // two consumers: the quartile summary and the fence count
       val qq = uc.agg(
           sort_array(collect_list(expr("n * 1000000"))).as("arr"),
           count(lit(1)).as("n_users"), max("n").as("max_n"))
@@ -940,7 +940,7 @@ object Statistics {
           leg("value", s"${Portable.qval("v")}::VARCHAR"),
           leg("props", "v")).mkString("\nUNION ALL\n")
       }) { (s, d) =>
-      val ev = Tables.events(s, d).persist() // 4 column legs × 2 aggregates
+      val ev = Tables.events(s, d).transform(CacheScope.scoped) // 4 column legs × 2 aggregates
       def leg(c: String, renderSpark: String): org.apache.spark.sql.DataFrame = {
         val stats = ev.agg(
           count(lit(1)).as("n_rows"),

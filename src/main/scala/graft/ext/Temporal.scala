@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.{Q, Tables}
+import graft.{CacheScope, Q, Tables}
 
 /** Temporal operators Spark has no native verb for, composed from
   * window functions (preference (a) of the custom-operator ladder:
@@ -643,7 +643,7 @@ object Temporal {
           date_trunc("day", col("ts")).cast("date").as("day"),
           col("event_type").as("item"))
         .distinct()
-        .persist() // presence bits feed basket count, item counts, pairs
+        .transform(CacheScope.scoped) // presence bits feed basket count, item counts, pairs
       val nb = items.select("user_id", "day").distinct()
         .agg(count(lit(1)).as("n"))
       val ic = items.groupBy("item").agg(count(lit(1)).as("c"))

@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.functions._
-import graft.{Q, Tables}
+import graft.{CacheScope, Q, Tables}
 
 /** Text-analysis operators for a large-scale training-data pipeline,
   * over the `documents` table: token counting, n-gram/stopword language
@@ -299,10 +299,15 @@ object TextAnalysis {
     // shingle hashes (never text) with map-side combine, then one join
     // of the corpus shingle stream against the common set. NO broadcast
     // hint on that join on purpose: the df≥K set is bounded by
-    // total-shingle-mass/K, which still grows with the corpus — AQE
-    // broadcasts it while it fits and falls back to a hash join when it
-    // doesn't, instead of an OOM'd hint. K=3 suits the test corpus; at
-    // production scale K is the boilerplate-frequency knob.
+    // total-shingle-mass/K, which still grows with the corpus — but it
+    // IS pinned to a shuffled HASH join (common as build side). Left to
+    // itself Spark falls back from broadcast to sort-merge, which sorts
+    // the corpus-sized shingle stream per reducer — the one disk spill
+    // the ×100 soak measured (546 MB, SCALE.md r6). A hash probe never
+    // sorts the stream, and its build side is the mass/K common set
+    // per partition — the df-cap bound, scaled out by partition count.
+    // K=3 suits the test corpus; at production scale K is the
+    // boilerplate-frequency knob.
     Q(
       "q64_boilerplate_ngrams",
       s"""WITH ${Dedup.shingles5Duck},
@@ -318,11 +323,11 @@ object TextAnalysis {
          |      FROM tot t LEFT JOIN com ON com.doc_id = t.doc_id)""".stripMargin) { (s, d) =>
       // the shingle stream feeds three consumers (df count, per-doc
       // totals, common join) — persist the 16-byte rows, not the text
-      val sh = Dedup.shingles5(s, d).persist()
+      val sh = Dedup.shingles5(s, d).transform(CacheScope.scoped)
       val common = sh.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 3).select("sh")
       val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-      val com = sh.join(common, "sh")
+      val com = sh.join(common.hint("shuffle_hash"), "sh")
         .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
       tot.join(com.withColumnRenamed("doc_id", "c_id"),
           col("doc_id") === col("c_id"), "left")
@@ -612,14 +617,14 @@ object TextAnalysis {
       val outw = edges.groupBy("a").agg(sum("w").as("ow"))
       // static per-round join input: edge fanned out with its source's
       // out-weight; persisted once, consumed by all 8 rounds
-      val eo = edges.join(outw, "a").persist()
+      val eo = edges.join(outw, "a").transform(CacheScope.scoped)
       var r = outw.select(col("a").as("v"), lit(1000000L).as("r"))
       for (_ <- 1 to 8)
         r = eo.join(r, eo("a") === r("v"))
           .groupBy(col("b"))
           .agg(sum(expr("(17 * r * w) div (20 * ow)")).as("contrib"))
           .select(col("b").as("v"), (lit(150000L) + col("contrib")).as("r"))
-          .localCheckpoint()
+          .transform(CacheScope.checkpointed)
       eo.unpersist()
       r.orderBy(col("r").desc, col("v")).limit(20)
         .select(col("v").as("token"), col("r").as("rank"))
@@ -721,7 +726,7 @@ object TextAnalysis {
           .as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("c_ab"))
-        .persist() // one adjacency pass feeds N, both unigram sides, and the probe
+        .transform(CacheScope.scoped) // one adjacency pass feeds N, both unigram sides, and the probe
       val n = pc.agg(sum("c_ab").as("n"))
       val ua = pc.groupBy("a").agg(sum("c_ab").as("c_a"))
       val ub = pc.groupBy("b").agg(sum("c_ab").as("c_b"))
@@ -772,7 +777,7 @@ object TextAnalysis {
       val prof = Tables.documents(s, d)
         .select(col("source"), explode(expr("split(text, ' ')")).as("token"))
         .groupBy("source", "token").agg(count(lit(1)).as("c"))
-        .persist() // one corpus reduction feeds totals AND the pair stage
+        .transform(CacheScope.scoped) // one corpus reduction feeds totals AND the pair stage
       val tot = prof.groupBy("source").agg(sum("c").as("tc"))
       // Σmax over the FULL vocabularies = tcᵃ + tcᵇ − Σmin (tokens
       // absent from one side contribute their full count to max):
@@ -1038,7 +1043,7 @@ object TextAnalysis {
       .groupBy("word").agg(count(lit(1)).as("freq"))
     var w = wf.select(col("word"), col("freq"),
       expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
-        .as("toks")).persist()
+        .as("toks")).transform(CacheScope.scoped)
     val merges = ArrayBuffer[(Long, String, String, String, Long, Long)]()
     var stepN = 1L
     var exhausted = false
@@ -1069,7 +1074,7 @@ object TextAnalysis {
                 .when(element_at(acc, -1) === lit(a) && x === lit(b),
                   concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
                 .otherwise(concat(acc, array(x))))).as("toks"))
-          .persist()
+          .transform(CacheScope.scoped)
         val tokensAfter = next.agg(sum(size(col("toks")) * col("freq")))
           .collect()(0).getLong(0)
         w.unpersist()

@@ -379,6 +379,45 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.catalog.clearCache() // q156 leaves the trained vocab persisted
   }
 
+  test("q64 boilerplate: common-set join hash-probes the stream, never sorts it") {
+    // the one measured ×100 spill (SCALE.md r6): AQE fell back from
+    // broadcast to sort-merge on sh⋈common and sorted the corpus-sized
+    // shingle stream per reducer. The shuffle_hash pin makes the df≥K
+    // common set the build side; assert no SortMergeJoin anywhere in
+    // q64 (its other join, tot⋈com, is doc-sized and hash/broadcast
+    // joins too under the forced multi-partition shape)
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    // disable broadcast so the hinted join must stand on its own (at
+    // production scale the common set outgrows any broadcast threshold)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan =
+      try SparkEntry.queries("q64_boilerplate_ngrams")(spark, sf)
+        .queryExecution.executedPlan
+      finally {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+        spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+        spark.catalog.clearCache() // q64 scope-persists the shingle stream
+      }
+    // only the sh-keyed join streams shingle-mass rows; tot⋈com is
+    // doc-sized and may legitimately sort-merge with broadcast off
+    val smjOnSh = allNodes(plan).collect {
+      case j: SortMergeJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "sh")) => j
+    }
+    assert(smjOnSh.isEmpty, s"sort-merge join sorts the shingle stream:\n$plan")
+    val shjOnSh = allNodes(plan).collect {
+      case j: ShuffledHashJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "sh")) => j
+    }
+    assert(shjOnSh.nonEmpty, s"shuffle_hash pin did not land:\n$plan")
+  }
+
   test("q152 length buckets: one combine-reduced exchange, no text aboard") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     // force the multi-partition shape (see q149 above) so the exchange

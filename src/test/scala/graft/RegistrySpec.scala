@@ -24,4 +24,30 @@ class RegistrySpec extends AnyFunSuite {
   test("entry() smoke: flagship query returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("no registry query leaks persistent RDDs past CacheScope.drain()") {
+    // The r6 persist-leak gate: every persist()/localCheckpoint() on a
+    // registry query path must be registered with CacheScope, so that
+    // a runner's post-action drain() releases ALL cached blocks — a
+    // leaked relation isn't just memory pressure, it skews AQE size
+    // estimates for every later query in the session (the q148
+    // suite-order lesson). A raw .persist() added without scope
+    // registration fails here with the offending query's name.
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    CacheScope.drain()
+    // other suites may have left blocks behind in the shared session;
+    // start from a clean slate so leaks are attributable
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    assert(sc.getPersistentRDDs.isEmpty)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      fn(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      CacheScope.drain()
+      val leaked = sc.getPersistentRDDs
+      assert(leaked.isEmpty,
+        s"$name leaked ${leaked.size} persistent RDD(s): " +
+          leaked.values.map(_.name).mkString(", "))
+    }
+  }
 }

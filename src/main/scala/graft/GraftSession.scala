@@ -23,9 +23,32 @@ object GraftSession {
     // "*" is valid for the master but not as a shuffle-partition count
     val nShuffle =
       if (cpus == "*") Runtime.getRuntime.availableProcessors().toString else cpus
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the master URL — the scale-proof
+    // path: `local-cluster[4,8,8192]` runs REAL separate executor JVMs
+    // (standalone-mode workers under SPARK_HOME) with real
+    // serialization, network-path exchanges, and per-executor heaps —
+    // the regime a single-process local[n] can't exercise (closure
+    // capture, broadcast transport, task-result limits). Executors
+    // boot from SPARK_HOME's jars, so only our compiled classes need
+    // shipping: extraClassPath defaults to this class's code source
+    // (target/scala-2.13/classes under sbt).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .withExtensions(new GraftExtensions)
+    val builder =
+      if (master.startsWith("local-cluster")) builder0
+        .config("spark.executor.extraClassPath", sys.env.getOrElse(
+          "SPARK_GRAFT_EXEC_CP",
+          new java.io.File(getClass.getProtectionDomain.getCodeSource
+            .getLocation.toURI).getAbsolutePath))
+        // standalone executors default to 1g regardless of the worker
+        // memory in the master string; size the executor heap to the
+        // worker's grant (local-cluster[4,8,8192] → ≤8g per executor)
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "6g"))
+      else builder0
+    val spark = builder
       .config("spark.sql.shuffle.partitions", nShuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

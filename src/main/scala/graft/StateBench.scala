@@ -96,6 +96,19 @@ object StateBench {
     val stateRows = lastState.map(_.numRowsTotal).getOrElse(-1L)
     val stateMemMb = lastState.map(_.memoryUsedBytes / 1e6).getOrElse(-1.0)
 
+    // state-size-over-time: one point per micro-batch (recentProgress
+    // holds the last 100 — at soak batch sizes that is every batch).
+    // The series is the TTL evidence: state rows should RISE to the
+    // TTL+watermark horizon and PLATEAU there across many horizons,
+    // not track the cumulative key count.
+    val series = progress.map { p =>
+      val so = p.stateOperators.headOption
+      s"""{"batch":${p.batchId},"rows_in":${p.numInputRows},""" +
+        s""""exec_ms":${p.durationMs.get("triggerExecution").toLong},""" +
+        s""""state_rows":${so.map(_.numRowsTotal).getOrElse(-1L)},""" +
+        s""""mem_mb":${f"${so.map(_.memoryUsedBytes / 1e6).getOrElse(-1.0)}%.1f"}}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"state_series","points":$series}""")
     println(
       s"""{"metric":"state_bench","state_api":"${if (mode == "twslog") "transformWithState+rocksdb+changelog" else if (tws) "transformWithState+rocksdb" else "fMGWS+hdfs"}","events":$n,"n_keys":$nKeys,""" +
         s""""wall_sec":${f"$wallSec%.1f"},"events_per_sec":${(n / wallSec).toInt},""" +

@@ -1,0 +1,136 @@
+package graft.analytics
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, SparkEntry}
+import graft.gen.FarmProducer
+import graft.rules.Validation
+import graft.schema.FarmSchema
+
+/** Reference-dashboard parity demo (`Dashboard/Dashboard.jpg`): run the
+  * producer → validate → dashboard pipeline end-to-end on a synthetic
+  * FarmProducer corpus and print our tile values beside the numbers
+  * the reference dashboard published (avg temperature 24.2 °C, avg
+  * humidity 58.7 %, avg wind 3.0 km/h, donut VALID 2.31K (93.1 %) /
+  * WARNING 0.17K (6.9 %) over 2.48K readings).
+  *
+  * The reference's corpus is private, so the values can't match — what
+  * the demo certifies is the *surface*: the same tiles compute from
+  * the same pipeline stages (wire JSON → PERMISSIVE parse →
+  * validation chain → warehouse-landed subset → aggregates), and the
+  * registry's dashboard queries (q20–q28, q48) all run over an
+  * events-shaped projection of the same corpus.
+  *
+  * `runMain graft.analytics.DashboardParity [nRecords] [faultPct]
+  * [alertPct]` (defaults 2480 — the reference's observed corpus size —
+  * and the producer's 10/15 fault model; the reference's production
+  * mix was visibly cleaner than its producer defaults, so lower rates
+  * approximate its donut more closely).
+  */
+object DashboardParity {
+
+  /** The published tile values read off `Dashboard/Dashboard.jpg`
+    * (SURVEY.md §2.4 A5/A6 and §5's observed-corpus row).
+    */
+  private val reference = Seq(
+    "readings (n)" -> "2480 (2.48K)",
+    "avg temperature (degC)" -> "24.2",
+    "avg humidity (%)" -> "58.7",
+    "avg wind speed (km/h)" -> "3.0",
+    "VALID share of landed" -> "93.1% (2.31K)",
+    "WARNING share of landed" -> "6.9% (0.17K)")
+
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toLong).getOrElse(2480L)
+    val faultPct = args.lift(1).map(_.toInt).getOrElse(10)
+    val alertPct = args.lift(2).map(_.toInt).getOrElse(15)
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val dir = Files.createTempDirectory("dash_parity").toString
+
+    // 1. Producer → landed corpus → Lambda-path parse + validation.
+    // The sink boundary between producer and parse is the faithful
+    // topology (and keeps the concat-tree out of the validator's plan).
+    FarmProducer.records(spark, n, faultPct = faultPct, alertPct = alertPct)
+      .write.mode("overwrite").parquet(s"$dir/raw")
+    val annotated = Validation.annotate(
+        FarmSchema.parse(spark.read.parquet(s"$dir/raw"), "raw"))
+      .filter(col("_corrupt").isNull)
+      .persist()
+
+    // The dashboard reads the warehouse, and INVALID records never land
+    // there (the reference routes them to the error prefix) — so tiles
+    // and donut shares are computed over the non-INVALID subset, the
+    // same denominator Power BI sees.
+    val landed = annotated.filter(col("validation_status") =!= "INVALID")
+    val tiles = landed.agg(
+      count(lit(1)).as("n"),
+      round(avg("sensor_temperature"), 1).as("t"),
+      round(avg("sensor_humidity"), 1).as("h"),
+      round(avg(col("weather_data.wind_speed_10m")), 1).as("w")).head()
+    val byStatus = annotated.groupBy("validation_status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nLanded = tiles.getLong(0)
+    def pct(k: String) =
+      f"${byStatus.getOrElse(k, 0L) * 100.0 / nLanded}%.1f%% (${byStatus.getOrElse(k, 0L)})"
+    val ours = Seq(
+      "readings (n)" -> s"$nLanded landed of $n produced",
+      "avg temperature (degC)" -> tiles.get(1).toString,
+      "avg humidity (%)" -> tiles.get(2).toString,
+      "avg wind speed (km/h)" -> tiles.get(3).toString,
+      "VALID share of landed" -> pct("VALID"),
+      "WARNING share of landed" -> pct("WARNING"))
+
+    println("== Dashboard tile parity (reference corpus is private; " +
+      "parity is the surface, not the values) ==")
+    println(f"${"tile"}%-26s | ${"reference (Dashboard.jpg)"}%-26s | graft (FarmProducer corpus)")
+    reference.zip(ours).foreach { case ((name, ref), (_, got)) =>
+      println(f"$name%-26s | $ref%-26s | $got")
+    }
+    val invalid = byStatus.getOrElse("INVALID", 0L)
+    println(s"(plus $invalid INVALID readings routed to the error " +
+      "prefix before the warehouse, per the reference's Lambda)")
+
+    // 2. The registry's dashboard query surface over the same corpus:
+    // project landed readings into the events shape (one event per
+    // usable sensor reading; ts re-strided to 15-minute steps so the
+    // date slicer q48 has a real window to cut) and run q20–q28/q48
+    // exactly as the driver does.
+    val sensors = Seq("temperature", "humidity", "water_level",
+      "nitrogen", "phosphorus", "potassium", "ph")
+    val idx = expr("cast(substring(event_id, 5) as bigint)")
+    landed.select(
+        idx.as("idx"),
+        expr("cast(substring(loc_id, 5) as bigint)").as("user_id"),
+        posexplode(array(sensors.map(s =>
+          struct(lit(s).as("t"), col(s"sensor_$s").as("v"))): _*)))
+      .filter(col("col.v").isNotNull)
+      .select(
+        (col("idx") * 7 + col("pos")).as("event_id"),
+        // long nanos, the driver's events wire type (Tables.events
+        // truncates with integral div — same read path as testdata)
+        ((lit(1704067200000000L) + col("idx") * 900L * 1000000L) * 1000L)
+          .as("ts"),
+        col("user_id"),
+        col("col.t").as("event_type"),
+        col("col.v").as("value"),
+        concat(lit("{\"k\": "), col("idx") % 9, lit("}")).as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    annotated.unpersist()
+
+    val dash = Seq("q20_avg_tiles", "q21_count_by_type", "q22_hourly_series",
+      "q23_daily_window", "q24_value_bins", "q25_totals_by_type",
+      "q26_share_by_user", "q27_validation_status", "q28_json_extract",
+      "q48_sliced_dashboard")
+    println("\n== Registry dashboard queries over the projected corpus ==")
+    dash.foreach { name =>
+      val out = SparkEntry.queries(name)(spark, dir)
+      val rows = out.count()
+      val head = out.sort(out.columns.toIndexedSeq.map(col): _*).head()
+      println(s"$name: $rows rows; first = $head")
+      graft.CacheScope.drain()
+    }
+    spark.stop()
+  }
+}

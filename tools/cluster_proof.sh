@@ -17,6 +17,14 @@ out=$(mktemp -d /tmp/graft_cluster.XXXXXX)
 trap 'rm -rf "$out"' EXIT
 
 export SPARK_GRAFT_MASTER="${SPARK_GRAFT_MASTER:-local-cluster[4,8,8192]}"
+# local-cluster's in-process ExecutorRunner builds each executor's
+# launch command via WorkerCommandBuilder, whose getScalaVersion()
+# probes $SPARK_HOME/launcher/target/scala-2.13 — a SOURCE-BUILD dir
+# that binary distributions don't have — unless this env var is set
+# (spark's own shell scripts set it via load-spark-env.sh; an
+# sbt-launched driver doesn't). Without it every executor dies with
+# "Cannot find any build directories."
+export SPARK_SCALA_VERSION=2.13
 export SPARK_GRAFT_EXEC_MEM="${SPARK_GRAFT_EXEC_MEM:-6g}"
 # 32 shuffle partitions to match the 4×8 task slots (and the local[32]
 # baseline numbers)

@@ -7,10 +7,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Session-wide flags set here rather than inside loaders (keeps loader
   * behavior call-order independent):
-  *  - `spark.sql.legacy.parquet.nanosAsLong`: the driver's
-  *    `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet
-  *    reader has no timestamp type for; this public flag reads the
-  *    nanos as a plain long (truncated to µs in [[Tables.events]]).
+  *  - `spark.sql.legacy.parquet.nanosAsLong`: earlier testdata
+  *    generations carried `events.ts` as TIMESTAMP(NANOS), which
+  *    Spark's parquet reader has no timestamp type for; this public
+  *    flag reads such nanos as a plain long (truncated to µs in
+  *    [[Tables.events]]). Harmless for the current timestamp[us] data —
+  *    kept so the type-adaptive loader still works if the driver ever
+  *    regenerates back to nanos.
   *  - UTC session time zone: all reference timestamps are UTC
   *    (ISO-8601 + "Z", `Producer /producer.py:357`), and the DuckDB
   *    oracle compares in UTC.

@@ -64,9 +64,10 @@ object Scale {
       CacheScope.drain(); spark.catalog.clearCache()
     }
     // drain straggler warmup task-end events before the first measured
-    // reset — same 500 ms bound as the per-query drain below (r6 ADVICE:
-    // without this, warmup stragglers pollute the first query's numbers)
-    Thread.sleep(500)
+    // reset (r6 ADVICE: without this, warmup stragglers pollute the
+    // first query's numbers). waitUntilEmpty is the REAL drain — the
+    // old Thread.sleep(500) was a bounded race (r7 ask #7).
+    org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
 
     var totalSec = 0.0
     names.foreach { n =>
@@ -79,10 +80,10 @@ object Scale {
       val dt = (System.nanoTime() - t0) / 1e9
       totalSec += dt
       CacheScope.drain(); spark.catalog.clearCache()
-      // listener events drain asynchronously (the bus API is
-      // private[spark]); half a second is far beyond the bus's drain
-      // time for a single query's task set
-      Thread.sleep(500)
+      // listener events post asynchronously; wait until the bus is
+      // actually empty before reading the counters (shim around the
+      // private[spark] waitUntilEmpty — see ListenerDrain)
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       def mb(v: AtomicLong) = v.get / 1048576.0
       println(f"""{"query":${Json.str(n)},"sec":$dt%.3f,"shuffle_read_mb":${mb(shufRead)}%.1f,"shuffle_write_mb":${mb(shufWrite)}%.1f,"spill_mem_mb":${mb(memSpill)}%.1f,"spill_disk_mb":${mb(diskSpill)}%.1f,"err":${Json.str(err)}}""")
     }

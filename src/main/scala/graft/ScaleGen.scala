@@ -47,9 +47,10 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
-    // raw load (not Tables.events): keeps ts as the LONG nanos the
-    // session-level nanosAsLong read produces, so the scaled parquet
-    // has the same shape the loader's `ts div 1000` expects
+    // raw load (not Tables.events): copies ts in whatever encoding the
+    // source parquet carries (LONG nanos via the session's nanosAsLong
+    // flag, or timestamp[us] after the testdata regeneration) — the
+    // type-adaptive Tables.events loader handles either on read-back
     Tables.load(spark, src, "events")
       .crossJoin(copyDf)
       .select(

@@ -24,19 +24,40 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized
-    * parquet reader rejects (PARQUET_TYPE_ILLEGAL). The session reads
-    * the nanos as a plain long (`spark.sql.legacy.parquet.nanosAsLong`,
-    * set at session construction — [[GraftSession]]); truncate to a
-    * microsecond timestamp with *integral* division (`div`, not `/` —
-    * long `/` is double division and epoch-nanos exceed a double's
-    * 53-bit mantissa). This matches DuckDB's µs truncation exactly, so
-    * oracle comparisons on raw ts values stay exact.
+  /** `events.parquet`'s `ts` encoding has drifted across testdata
+    * generations, so the loader is type-adaptive on the *read* schema:
+    *
+    *  - TIMESTAMP(NANOS) parquet (original data): Spark's reader has no
+    *    nanos timestamp type; the session's
+    *    `spark.sql.legacy.parquet.nanosAsLong` flag ([[GraftSession]])
+    *    surfaces it as a plain LONG of epoch-nanos. Truncate to µs with
+    *    *integral* division (`div`, not `/` — long `/` is double
+    *    division and epoch-nanos exceed a double's 53-bit mantissa),
+    *    matching DuckDB's µs truncation exactly.
+    *  - timestamp[us] parquet (regenerated data): arrives as
+    *    TIMESTAMP_NTZ (no tz in the footer) or TIMESTAMP (tz-aware);
+    *    cast to the session-UTC TimestampType so downstream time
+    *    functions and the driver's DuckDB schema compare see one type.
+    *    With the session zone pinned to UTC the NTZ→TS cast is
+    *    value-preserving.
+    *
+    * Branching on `schema("ts").dataType` (not on a session flag) means
+    * a future regeneration back to nanos — or on to tz-aware µs —
+    * cannot silently break 48 queries again; unknown encodings fail
+    * loudly here with the actual type in the message.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val raw = load(s, d, "events")
+    val ts = raw.schema("ts").dataType match {
+      case LongType                         => timestamp_micros(expr("ts div 1000"))
+      case TimestampType                    => col("ts")
+      case TimestampNTZType                 => col("ts").cast(TimestampType)
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other (expected LONG nanos or a timestamp)")
+    }
+    raw.withColumn("ts", ts)
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -12,6 +12,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus)
     new java.io.File(outDir).mkdirs()
+    // schema-drift tripwire: if the driver regenerated the testdata with
+    // a different encoding, name the column ONCE up front instead of
+    // erroring N queries deep in analysis (round-7 postmortem).
+    SchemaGuard.check(spark, sfDir).foreach(d => System.err.println(s"[verify] SCHEMA DRIFT: $d"))
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -177,6 +177,16 @@ object Throttle {
     }
   }
 
+  /** [[ThrottleState]] plus the bookkeeping the timer-coalescing TTL
+    * below needs: the key's newest occurrence (the TTL anchor) and
+    * whether a timer is currently outstanding. Private to the
+    * transformWithState path — the fMGWS path keeps the 2-field state
+    * (its single timeout slot lives outside the state row).
+    */
+  case class TwsThrottleState(
+      lastSentMs: Long, consecutive: Int,
+      lastSeenMs: Long, timerArmed: Boolean)
+
   /** The same state machine on Spark 4's `transformWithState` — the
     * arbitrary-stateful-processing API that supersedes
     * flatMapGroupsWithState (SPARK-40434; SURVEY §2.7 ST2 names it).
@@ -186,25 +196,44 @@ object Throttle {
     * timers, which make the event-time TTL a first-class timer instead
     * of fMGWS's single timeout slot.
     *
+    * TTL timers are COALESCED, not slid: the first occurrence arms one
+    * timer at (occurrence + 1h); later occurrences only update
+    * `lastSeenMs` in the value state; when the timer fires, the handler
+    * clears the state if the watermark really passed
+    * (lastSeen + 1h) and otherwise re-arms at that horizon. Observable
+    * behavior is identical to sliding the timer forward per batch
+    * (state lives until the watermark passes 1h beyond the newest
+    * occurrence) at amortized O(1) point reads/writes per key. The
+    * slide-forward formulation (listTimers + deleteTimer + registerTimer
+    * per key per batch) is quadratic on RocksDB at scale: listTimers is
+    * a prefix SCAN, and per-key delete+re-register fills the timer
+    * column family with tombstones every seek must step over — the 10M
+    * StateBench soak measured its batches degrading from 4 s (125k
+    * fresh keys/batch) to 175–514 s (625k fresh keys/batch) before this
+    * rewrite (SCALE.md §2).
+    *
     * Same contract as [[apply]]'s streaming path, spec'd by the same
     * fixtures in ThrottleSpec: CRITICAL bypass, 5-min suppression
     * across micro-batches, per-key independence, event-time TTL 1h
     * past the key's newest occurrence.
     */
   class ThrottleProcessor extends StatefulProcessor[(String, String), Occurrence, Sent] {
-    @transient private var st: ValueState[ThrottleState] = _
+    @transient private var st: ValueState[TwsThrottleState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       // no store-level TTL: expiry is the explicit event-time timer
       // below (store TTL is processing-time — not replayable)
-      st = getHandle.getValueState[ThrottleState](
-        "throttle", Encoders.product[ThrottleState], TTLConfig.NONE)
+      st = getHandle.getValueState[TwsThrottleState](
+        "throttle", Encoders.product[TwsThrottleState], TTLConfig.NONE)
 
     override def handleInputRows(
         key: (String, String),
         rows: Iterator[Occurrence],
         timerValues: TimerValues): Iterator[Sent] = {
-      var s = if (st.exists()) st.get() else ThrottleState(-1L, 0)
+      val prev =
+        if (st.exists()) st.get()
+        else TwsThrottleState(-1L, 0, Long.MinValue, timerArmed = false)
+      var s = ThrottleState(prev.lastSentMs, prev.consecutive)
       // micro-batch group: bounded by the trigger, sorted in memory
       // (the stateful shuffle delivers arbitrary within-key order)
       var lastMs = Long.MinValue
@@ -218,14 +247,11 @@ object Throttle {
             occ.eventId, occ.eventTime, new Timestamp(nowMs)))
         else None
       }
-      st.update(s)
-      if (lastMs != Long.MinValue) {
-        // slide the key's single TTL timer forward: drop any stale one,
-        // re-register at (newest occurrence + 1h) — fires when the
-        // watermark passes it, exactly fMGWS's setTimeoutTimestamp
-        getHandle.listTimers().foreach(getHandle.deleteTimer)
-        getHandle.registerTimer(lastMs + StateTtlMs)
-      }
+      val lastSeen = math.max(prev.lastSeenMs, lastMs)
+      if (!prev.timerArmed && lastSeen != Long.MinValue)
+        getHandle.registerTimer(lastSeen + StateTtlMs)
+      st.update(TwsThrottleState(
+        s.lastSentMs, s.consecutive, lastSeen, timerArmed = true))
       sent.iterator
     }
 
@@ -233,7 +259,22 @@ object Throttle {
         key: (String, String),
         timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[Sent] = {
-      st.clear()
+      if (st.exists()) {
+        val horizon = st.get().lastSeenMs + StateTtlMs
+        // the watermark is ≥ the fired timer's expiry; judging staleness
+        // against it (not the expiry) clears a key whose horizon the
+        // watermark already passed without one more timer hop
+        val wmMs = math.max(
+          timerValues.getCurrentWatermarkInMs(),
+          expiredTimerInfo.getExpiryTimeInMs())
+        if (horizon <= wmMs) st.clear()
+        else {
+          // newer occurrences arrived since this timer was armed:
+          // push the single timer out to the current TTL horizon
+          getHandle.registerTimer(horizon)
+          st.update(st.get().copy(timerArmed = true))
+        }
+      }
       Iterator.empty
     }
   }

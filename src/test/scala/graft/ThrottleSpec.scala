@@ -145,4 +145,53 @@ class ThrottleSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("transformWithState: coalesced TTL timers age state out (clear + re-arm paths)") {
+    // The TTL is output-invisible by design (it only bounds state), so
+    // this asserts on the engine's own numRowsTotal. Sequence drives
+    // BOTH expiry-handler branches: key A is seen twice (t0, t0+50min),
+    // so its first timer (armed at t0+1h from the first sighting) fires
+    // with a moved horizon — the re-arm/immediate-clear path — while B
+    // ages out through the plain clear path. Bulk evidence for the same
+    // invariant (629,200-row plateau over a 10M-key space) is the
+    // StateBench soak in SCALE.md §2.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Occurrence]
+      val q = Throttle.transformWithState(
+          input.toDS().withWatermark("eventTime", "10 minutes"))
+        .writeStream.format("memory").queryName("throttle_tws_ttl")
+        .outputMode("append").start()
+      try {
+        def addAndProcess(o: Occurrence): Unit = {
+          input.addData(o); q.processAllAvailable()
+        }
+        addAndProcess(occ(t0)) // A: arms timer at t0+1h
+        addAndProcess(occ(t0 + min(50))) // A again: horizon moves to t0+110min
+        addAndProcess(occ(t0 + min(180), key = "loc_B|High Temperature")) // B
+        addAndProcess(occ(t0 + min(300), key = "loc_D|High Temperature")) // watermark 170min: A's t0+60min timer fires, horizon 110min ≤ wm → clear
+        addAndProcess(occ(t0 + min(360), key = "loc_E|High Temperature")) // watermark 290min: B (horizon 240min) clears
+        // threshold = 1 and every send is ≥ 5 min after the key's last:
+        // all five occurrences send regardless of TTL (output-invariant)
+        assert(spark.table("throttle_tws_ttl").count() === 5)
+        // live state after the E batch: D + E only — A (re-arm path)
+        // and B (plain path) aged out
+        val rows = q.recentProgress.reverse
+          .flatMap(_.stateOperators.headOption).headOption
+          .map(_.numRowsTotal)
+        assert(rows.contains(2L), s"live state rows: $rows")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }

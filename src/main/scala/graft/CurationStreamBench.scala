@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ext.Dedup
+import graft.stream.StreamingCuration
+
+/** Throughput figure for the STREAMING CURATION path — the ingest-time
+  * Gopher gate + benchmark decontamination + corpus near-dup probe
+  * (`stream/StreamingCuration.scala`), the LLM-pipeline counterpart of
+  * StreamBench's reference-topology figure. Drives the corpus of an
+  * existing testdata/ScaleGen dir through file micro-batches:
+  *
+  *  1. the deployable [[StreamingCuration.run]] sink — per batch:
+  *     quality gate + contamination semi-join → verdict-partitioned
+  *     parquet lake; and
+  *  2. the [[StreamingCuration.nearDupCandidateIds]] stream — per-doc
+  *     minhash16 → stream-static semi-join against the corpus
+  *     signature relation → watermark-deduped candidate ids.
+  *
+  * Static sides are built the way a deployment would: the benchmark
+  * shingle set from a fixed eval sample (every 200th doc — guarantees
+  * a known contaminated fraction), the signature relation from the
+  * corpus itself (so every streamed doc collides — worst-case probe
+  * load). One JSON line per leg with docs/s and verdict counts.
+  *
+  * `runMain graft.CurationStreamBench <dir> [perTrigger]`
+  */
+object CurationStreamBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val perTrigger = args.lift(1).map(_.toInt).getOrElse(4)
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+    val root = Files.createTempDirectory("graft_curbench").toString
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+
+    // re-shard the corpus into event-time-ordered file shards (the
+    // StreamBench discipline): doc_id order IS arrival order, 1 doc/s
+    val src = s"$root/src"
+    val nFiles = 32
+    docs
+      .withColumn("ts", timestamp_micros(
+        lit(1704067200000000L) + col("doc_id") * 1000000L))
+      .repartitionByRange(nFiles, col("doc_id"))
+      .write.parquet(src)
+    val parts = new java.io.File(src).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val nowMs = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(nowMs - (parts.length - i) * 1000L)
+    }
+    val schema = spark.read.parquet(src).schema
+
+    // static sides, built once and persisted — the deployment shape
+    // (a benchmark shingle table and a bucketed signature table are
+    // write-once relations a stream probes per batch)
+    val bench = Dedup.shinglesOf(docs.filter(col("doc_id") % 200 === 0))
+      .select("sh").distinct().persist()
+    val benchN = bench.count()
+    val corpusSig = StreamingCuration.signatureTable(docs).persist()
+    val sigN = corpusSig.count()
+
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", perTrigger).parquet(src)
+
+    // ── leg 1: deployable verdict-partitioned lake sink ──────────────
+    val t0 = System.nanoTime()
+    val q1 = StreamingCuration.run(stream, bench, s"$root/lake", s"$root/ckpt1")
+    q1.awaitTermination()
+    val lakeSec = (System.nanoTime() - t0) / 1e9
+    val verdicts = spark.read.parquet(s"$root/lake")
+      .groupBy("verdict").agg(count(lit(1)).as("n"))
+      .collect().map(r => s""""${r.getString(0)}":${r.getLong(1)}""")
+      .sorted.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"curation_stream","leg":"gate+decontaminate lake sink","docs":$nDocs,""" +
+        s""""bench_shingles":$benchN,"wall_sec":${f"$lakeSec%.1f"},""" +
+        s""""docs_per_sec":${(nDocs / lakeSec).toInt},"verdicts":$verdicts}""")
+
+    // ── leg 2: streaming near-dup candidate gate ─────────────────────
+    val t1 = System.nanoTime()
+    val q2 = StreamingCuration
+      .nearDupCandidateIds(stream, corpusSig, "ts", "10 minutes")
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$root/ckpt2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val ndSec = (System.nanoTime() - t1) / 1e9
+    val progress = q2.recentProgress.filter(_.numInputRows > 0)
+    val candRows = progress.map(_.sink.numOutputRows).sum
+    println(
+      s"""{"metric":"curation_stream","leg":"near-dup candidate gate","docs":$nDocs,""" +
+        s""""corpus_sig_rows":$sigN,"wall_sec":${f"$ndSec%.1f"},""" +
+        s""""docs_per_sec":${(nDocs / ndSec).toInt},"n_batches":${progress.length},""" +
+        s""""candidates":$candRows}""")
+    spark.stop()
+  }
+}

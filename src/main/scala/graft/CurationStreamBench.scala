@@ -36,7 +36,9 @@ object CurationStreamBench {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
     val root = Files.createTempDirectory("graft_curbench").toString
-    val docs = Tables.documents(spark, dir)
+    // persist: setup consumes the corpus four times (count, re-shard
+    // write, benchmark shingles, signature table) — one scan, not four
+    val docs = Tables.documents(spark, dir).persist()
     val nDocs = docs.count()
 
     // re-shard the corpus into event-time-ordered file shards (the
@@ -64,6 +66,7 @@ object CurationStreamBench {
     val benchN = bench.count()
     val corpusSig = StreamingCuration.signatureTable(docs).persist()
     val sigN = corpusSig.count()
+    docs.unpersist()
 
     def stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", perTrigger).parquet(src)

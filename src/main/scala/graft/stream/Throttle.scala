@@ -177,15 +177,20 @@ object Throttle {
     }
   }
 
-  /** [[ThrottleState]] plus the bookkeeping the timer-coalescing TTL
-    * below needs: the key's newest occurrence (the TTL anchor) and
-    * whether a timer is currently outstanding. Private to the
-    * transformWithState path — the fMGWS path keeps the 2-field state
-    * (its single timeout slot lives outside the state row).
+  /** [[ThrottleState]] plus the key's newest occurrence — the TTL
+    * anchor the timer-coalescing logic below re-arms against. Private
+    * to the transformWithState path — the fMGWS path keeps the 2-field
+    * state (its single timeout slot lives outside the state row). A
+    * live state row IMPLIES an outstanding timer (armed at row
+    * creation; the expiry handler either clears both or re-arms), so
+    * no armed flag is stored. NOTE: this widened the value-state
+    * schema vs the pre-round-8 2-field row — a transformWithState
+    * query cannot restart from a checkpoint written before the change
+    * (UnsafeRow state encoding rejects added fields); all in-repo
+    * drivers use fresh checkpoint dirs.
     */
   case class TwsThrottleState(
-      lastSentMs: Long, consecutive: Int,
-      lastSeenMs: Long, timerArmed: Boolean)
+      lastSentMs: Long, consecutive: Int, lastSeenMs: Long)
 
   /** The same state machine on Spark 4's `transformWithState` — the
     * arbitrary-stateful-processing API that supersedes
@@ -230,9 +235,9 @@ object Throttle {
         key: (String, String),
         rows: Iterator[Occurrence],
         timerValues: TimerValues): Iterator[Sent] = {
+      val exists = st.exists()
       val prev =
-        if (st.exists()) st.get()
-        else TwsThrottleState(-1L, 0, Long.MinValue, timerArmed = false)
+        if (exists) st.get() else TwsThrottleState(-1L, 0, Long.MinValue)
       var s = ThrottleState(prev.lastSentMs, prev.consecutive)
       // micro-batch group: bounded by the trigger, sorted in memory
       // (the stateful shuffle delivers arbitrary within-key order)
@@ -248,10 +253,10 @@ object Throttle {
         else None
       }
       val lastSeen = math.max(prev.lastSeenMs, lastMs)
-      if (!prev.timerArmed && lastSeen != Long.MinValue)
+      // live row ⟺ outstanding timer, so arm only on row creation
+      if (!exists && lastSeen != Long.MinValue)
         getHandle.registerTimer(lastSeen + StateTtlMs)
-      st.update(TwsThrottleState(
-        s.lastSentMs, s.consecutive, lastSeen, timerArmed = true))
+      st.update(TwsThrottleState(s.lastSentMs, s.consecutive, lastSeen))
       sent.iterator
     }
 
@@ -268,12 +273,11 @@ object Throttle {
           timerValues.getCurrentWatermarkInMs(),
           expiredTimerInfo.getExpiryTimeInMs())
         if (horizon <= wmMs) st.clear()
-        else {
+        else
           // newer occurrences arrived since this timer was armed:
           // push the single timer out to the current TTL horizon
+          // (state row untouched — it already carries lastSeenMs)
           getHandle.registerTimer(horizon)
-          st.update(st.get().copy(timerArmed = true))
-        }
       }
       Iterator.empty
     }

@@ -151,8 +151,9 @@ class ThrottleSpec extends AnyFunSuite {
     // this asserts on the engine's own numRowsTotal. Sequence drives
     // BOTH expiry-handler branches: key A is seen twice (t0, t0+50min),
     // so its first timer (armed at t0+1h from the first sighting) fires
-    // with a moved horizon — the re-arm/immediate-clear path — while B
-    // ages out through the plain clear path. Bulk evidence for the same
+    // while the watermark is still short of the moved horizon — the
+    // RE-ARM path — and the re-armed timer later clears it, while B and
+    // C age out through the plain clear path. Bulk evidence for the same
     // invariant (629,200-row plateau over a 10M-key space) is the
     // StateBench soak in SCALE.md §2.
     val spark = TestSpark.spark
@@ -173,15 +174,17 @@ class ThrottleSpec extends AnyFunSuite {
           input.addData(o); q.processAllAvailable()
         }
         addAndProcess(occ(t0)) // A: arms timer at t0+1h
-        addAndProcess(occ(t0 + min(50))) // A again: horizon moves to t0+110min
-        addAndProcess(occ(t0 + min(180), key = "loc_B|High Temperature")) // B
-        addAndProcess(occ(t0 + min(300), key = "loc_D|High Temperature")) // watermark 170min: A's t0+60min timer fires, horizon 110min ≤ wm → clear
-        addAndProcess(occ(t0 + min(360), key = "loc_E|High Temperature")) // watermark 290min: B (horizon 240min) clears
+        addAndProcess(occ(t0 + min(50))) // A again: horizon moves to t0+110min (timer untouched)
+        addAndProcess(occ(t0 + min(85), key = "loc_C|High Temperature")) // C; watermark after this batch = 75min
+        addAndProcess(occ(t0 + min(180), key = "loc_B|High Temperature")) // batch runs at wm 75min: A's t0+60min timer fires, horizon 110min > 75 → RE-ARM at 110min
+        addAndProcess(occ(t0 + min(300), key = "loc_D|High Temperature")) // wm 170min: A's re-armed 110min timer fires → clear; C (horizon 145min) clears
+        addAndProcess(occ(t0 + min(360), key = "loc_E|High Temperature")) // wm 290min: B (horizon 240min) clears
         // threshold = 1 and every send is ≥ 5 min after the key's last:
-        // all five occurrences send regardless of TTL (output-invariant)
-        assert(spark.table("throttle_tws_ttl").count() === 5)
-        // live state after the E batch: D + E only — A (re-arm path)
-        // and B (plain path) aged out
+        // all six occurrences send regardless of TTL (output-invariant)
+        assert(spark.table("throttle_tws_ttl").count() === 6)
+        // live state after the E batch: D + E only — A (via the re-arm
+        // path: fired at 75min, re-armed to 110min, cleared at 170min)
+        // and B, C (plain clear path) aged out
         val rows = q.recentProgress.reverse
           .flatMap(_.stateOperators.headOption).headOption
           .map(_.numRowsTotal)

@@ -38,9 +38,19 @@ object StateBench {
     val mode = args.lift(4).getOrElse("")
     val tws = mode.startsWith("tws")
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    if (tws) spark.conf.set(
-      "spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    if (tws) {
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Avro state encoding: unlike the default UnsafeRow encoding,
+      // Avro supports ADDITIVE value-state schema evolution, so a
+      // checkpoint written before a state case class gained a field
+      // (e.g. TwsThrottleState's r8 lastSeenMs widening) restarts
+      // instead of failing on a row-format mismatch. Evolution is
+      // spec-proven in StateEvolutionSpec; cost at 10M keys is
+      // measured in SCALE.md §2.
+      spark.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
+    }
     if (mode == "twslog") spark.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
       "true")

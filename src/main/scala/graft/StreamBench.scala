@@ -32,9 +32,14 @@ object StreamBench {
     // equivalent, measured head to head
     val tws = args.lift(3).contains("tws")
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    if (tws) spark.conf.set(
-      "spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    if (tws) {
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // avro state encoding: additive state-schema evolution across
+      // restarts (StateEvolutionSpec; see Throttle.TwsThrottleState doc)
+      spark.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
+    }
 
     val root = Files.createTempDirectory("graft_streambench").toString
     val (src, lake, alerts, ckpt) =

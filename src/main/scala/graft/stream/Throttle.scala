@@ -184,10 +184,16 @@ object Throttle {
     * live state row IMPLIES an outstanding timer (armed at row
     * creation; the expiry handler either clears both or re-arms), so
     * no armed flag is stored. NOTE: this widened the value-state
-    * schema vs the pre-round-8 2-field row — a transformWithState
-    * query cannot restart from a checkpoint written before the change
-    * (UnsafeRow state encoding rejects added fields); all in-repo
-    * drivers use fresh checkpoint dirs.
+    * schema vs the pre-round-8 2-field row. Under the DEFAULT
+    * UnsafeRow state encoding a transformWithState query cannot
+    * restart from a checkpoint written before such a change (the row
+    * format rejects added fields) — so the in-repo tws drivers set
+    * `spark.sql.streaming.stateStore.encodingFormat=avro`, whose
+    * encoder supports additive schema evolution (nullable/defaulted
+    * new fields); StateEvolutionSpec proves a 2-field→3-field restart
+    * round-trip on a real checkpoint under both encodings (avro
+    * restarts; unsaferow fails with the expected
+    * STATE_STORE_* schema-incompatibility error).
     */
   case class TwsThrottleState(
       lastSentMs: Long, consecutive: Int, lastSeenMs: Long)
@@ -253,10 +259,16 @@ object Throttle {
         else None
       }
       val lastSeen = math.max(prev.lastSeenMs, lastMs)
-      // live row ⟺ outstanding timer, so arm only on row creation
-      if (!exists && lastSeen != Long.MinValue)
-        getHandle.registerTimer(lastSeen + StateTtlMs)
-      st.update(TwsThrottleState(s.lastSentMs, s.consecutive, lastSeen))
+      // live row ⟺ outstanding timer, so arm only on row creation —
+      // and WRITE only when the invariant can hold: a new key whose
+      // row iterator was empty (lastSeen stays MinValue) gets neither
+      // a timer nor a state row, else the row would leak forever
+      // (r8 ADVICE: the old code wrote the row unconditionally while
+      // the timer guard skipped arming)
+      if (lastSeen != Long.MinValue) {
+        if (!exists) getHandle.registerTimer(lastSeen + StateTtlMs)
+        st.update(TwsThrottleState(s.lastSentMs, s.consecutive, lastSeen))
+      }
       sent.iterator
     }
 

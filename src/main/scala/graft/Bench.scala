@@ -1,9 +1,44 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** The clean-host total-seconds envelope for the CURRENT registry,
+    * measured in SCALE.md §0 (min-of-3, noop sink, sf0.1, local[32]):
+    * identical code+protocol reads 76.9 s idle to 95.5 s at load≈2.
+    * Pinned WITH the registry size it was measured on — if the
+    * registry grows, the verdict degrades to "no-band-for-registry"
+    * instead of judging against a stale band. Re-measure and bump
+    * when the registry changes (BENCH_CLEAN_r{N}.json).
+    */
+  val CleanBandSec: (Double, Double) = (76.9, 95.5)
+  val CleanBandQueries = 157
+  /** …and only for the SF the band was measured at. */
+  val CleanBandSf = "sf0.1"
+
+  /** 1-minute load average, or -1 where the JVM can't read it. */
+  def loadAvg1m(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
+  /** Other live JVMs on the host (excluding this one) — a driver bench
+    * that starts while gate/test JVMs are still running is contended
+    * by construction, whatever the load average says yet.
+    */
+  def otherJvms(): Long = {
+    val self = ProcessHandle.current().pid()
+    ProcessHandle.allProcesses().filter { p =>
+      p.pid() != self &&
+        p.info().command().map[Boolean](_.contains("java")).orElse(false)
+    }.count()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Host-state sampled at start AND end: the r8 driver-protocol bench
+    // read 130.7 s — 1.7× the clean-host number — because it ran minutes
+    // after a 453 s test suite on the same box. The number itself can't
+    // reveal that; these fields make contamination self-identifying.
+    val loadStart = loadAvg1m(); val jvmsStart = otherJvms()
     // min-of-N per query: a single sample can't tell a plan regression
     // from machine contention (the r4 driver bench ran ~1.8× uniformly
     // inflated vs an identical re-run). The minimum over N in-JVM runs
@@ -93,13 +128,28 @@ object Bench {
     val errs = failed.map(Json.str).mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val warmField = warmTotal.map(t => s""","warm_pass_total":$t""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.str(sfDir)},"errors":$errs,"action":"noop-sink","repeats":$repeats$warmField,"note":"per-query time is the MIN over 'repeats' in-JVM runs (contention-robust); r3 switched the action from count() to a noop sink so projections actually evaluate"}""")
+    // Envelope verdict: judge this run's total against the clean-host
+    // band measured for this exact registry size; a total above the
+    // band is flagged as contended, not presented as a code trend.
+    val loadEnd = loadAvg1m(); val jvmsEnd = otherJvms()
+    val verdict =
+      if (!new java.io.File(sfDir).getName.equals(CleanBandSf))
+        "no-band-for-sf"
+      else if (results.size != CleanBandQueries) "no-band-for-registry"
+      else if (total <= CleanBandSec._2) "within-clean-band"
+      else "above-clean-band-host-contended"
+    val hostField =
+      s""","load_avg_1m_start":$loadStart,"load_avg_1m_end":$loadEnd""" +
+      s""","other_jvms_start":$jvmsStart,"other_jvms_end":$jvmsEnd""" +
+      s""","clean_band_sec":[${CleanBandSec._1},${CleanBandSec._2}]""" +
+      s""","clean_band_queries":$CleanBandQueries,"envelope_verdict":${Json.str(verdict)}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.str(sfDir)},"errors":$errs,"action":"noop-sink","repeats":$repeats$warmField$hostField,"note":"per-query time is the MIN over 'repeats' in-JVM runs (contention-robust); r3 switched the action from count() to a noop sink so projections actually evaluate"}""")
     // The driver stores only the TAIL of stdout (~2000 chars), and the
     // 139-entry per-query dict pushes the line's leading total out of
     // it (r5's verdict had to re-run 7 minutes of bench to read one
     // number). This compact LAST line always fits inside the tail
     // whole, so the headline survives truncation.
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"sf":${Json.str(sfDir)},"errors":$errs,"repeats":$repeats$warmField}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"sf":${Json.str(sfDir)},"errors":$errs,"repeats":$repeats$warmField$hostField}""")
     spark.stop()
   }
 }

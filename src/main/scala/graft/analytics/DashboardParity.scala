@@ -42,6 +42,49 @@ object DashboardParity {
     "VALID share of landed" -> "93.1% (2.31K)",
     "WARNING share of landed" -> "6.9% (0.17K)")
 
+  /** The dashboard's tile surface computed from a produced corpus —
+    * one value per published tile, plus the INVALID count the
+    * reference routes away before the warehouse. Extracted so
+    * DashboardParitySpec gates the exact values every round (the demo
+    * main prints the same numbers beside the published ones).
+    */
+  case class Tiles(
+      nProduced: Long, nLanded: Long, avgTemp: Double, avgHumidity: Double,
+      avgWind: Double, nValid: Long, nWarning: Long, nInvalid: Long) {
+    def validPct: Double = nValid * 100.0 / nLanded
+    def warningPct: Double = nWarning * 100.0 / nLanded
+  }
+
+  /** Producer → landed corpus → Lambda-path parse + validation →
+    * tile aggregates, through a parquet sink boundary at `dir` (the
+    * faithful topology; also keeps the producer's concat-tree out of
+    * the validator's plan). The dashboard reads the warehouse, and
+    * INVALID records never land there (the reference routes them to
+    * the error prefix) — so tiles and donut shares are computed over
+    * the non-INVALID subset, the same denominator Power BI sees.
+    */
+  def compute(spark: org.apache.spark.sql.SparkSession, dir: String,
+      n: Long, faultPct: Int, alertPct: Int): Tiles = {
+    FarmProducer.records(spark, n, faultPct = faultPct, alertPct = alertPct)
+      .write.mode("overwrite").parquet(s"$dir/raw")
+    val annotated = Validation.annotate(
+        FarmSchema.parse(spark.read.parquet(s"$dir/raw"), "raw"))
+      .filter(col("_corrupt").isNull)
+      .persist()
+    val landed = annotated.filter(col("validation_status") =!= "INVALID")
+    val t = landed.agg(
+      count(lit(1)).as("n"),
+      round(avg("sensor_temperature"), 1).as("t"),
+      round(avg("sensor_humidity"), 1).as("h"),
+      round(avg(col("weather_data.wind_speed_10m")), 1).as("w")).head()
+    val byStatus = annotated.groupBy("validation_status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    annotated.unpersist()
+    Tiles(n, t.getLong(0), t.getDouble(1), t.getDouble(2), t.getDouble(3),
+      byStatus.getOrElse("VALID", 0L), byStatus.getOrElse("WARNING", 0L),
+      byStatus.getOrElse("INVALID", 0L))
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.lift(0).map(_.toLong).getOrElse(2480L)
     val faultPct = args.lift(1).map(_.toInt).getOrElse(10)
@@ -49,38 +92,15 @@ object DashboardParity {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     val dir = Files.createTempDirectory("dash_parity").toString
 
-    // 1. Producer → landed corpus → Lambda-path parse + validation.
-    // The sink boundary between producer and parse is the faithful
-    // topology (and keeps the concat-tree out of the validator's plan).
-    FarmProducer.records(spark, n, faultPct = faultPct, alertPct = alertPct)
-      .write.mode("overwrite").parquet(s"$dir/raw")
-    val annotated = Validation.annotate(
-        FarmSchema.parse(spark.read.parquet(s"$dir/raw"), "raw"))
-      .filter(col("_corrupt").isNull)
-      .persist()
-
-    // The dashboard reads the warehouse, and INVALID records never land
-    // there (the reference routes them to the error prefix) — so tiles
-    // and donut shares are computed over the non-INVALID subset, the
-    // same denominator Power BI sees.
-    val landed = annotated.filter(col("validation_status") =!= "INVALID")
-    val tiles = landed.agg(
-      count(lit(1)).as("n"),
-      round(avg("sensor_temperature"), 1).as("t"),
-      round(avg("sensor_humidity"), 1).as("h"),
-      round(avg(col("weather_data.wind_speed_10m")), 1).as("w")).head()
-    val byStatus = annotated.groupBy("validation_status").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val nLanded = tiles.getLong(0)
-    def pct(k: String) =
-      f"${byStatus.getOrElse(k, 0L) * 100.0 / nLanded}%.1f%% (${byStatus.getOrElse(k, 0L)})"
+    val tl = compute(spark, dir, n, faultPct, alertPct)
+    def pct(c: Long) = f"${c * 100.0 / tl.nLanded}%.1f%% ($c)"
     val ours = Seq(
-      "readings (n)" -> s"$nLanded landed of $n produced",
-      "avg temperature (degC)" -> tiles.get(1).toString,
-      "avg humidity (%)" -> tiles.get(2).toString,
-      "avg wind speed (km/h)" -> tiles.get(3).toString,
-      "VALID share of landed" -> pct("VALID"),
-      "WARNING share of landed" -> pct("WARNING"))
+      "readings (n)" -> s"${tl.nLanded} landed of $n produced",
+      "avg temperature (degC)" -> tl.avgTemp.toString,
+      "avg humidity (%)" -> tl.avgHumidity.toString,
+      "avg wind speed (km/h)" -> tl.avgWind.toString,
+      "VALID share of landed" -> pct(tl.nValid),
+      "WARNING share of landed" -> pct(tl.nWarning))
 
     println("== Dashboard tile parity (reference corpus is private; " +
       "parity is the surface, not the values) ==")
@@ -88,8 +108,7 @@ object DashboardParity {
     reference.zip(ours).foreach { case ((name, ref), (_, got)) =>
       println(f"$name%-26s | $ref%-26s | $got")
     }
-    val invalid = byStatus.getOrElse("INVALID", 0L)
-    println(s"(plus $invalid INVALID readings routed to the error " +
+    println(s"(plus ${tl.nInvalid} INVALID readings routed to the error " +
       "prefix before the warehouse, per the reference's Lambda)")
 
     // 2. The registry's dashboard query surface over the same corpus:
@@ -97,6 +116,10 @@ object DashboardParity {
     // usable sensor reading; ts re-strided to 15-minute steps so the
     // date slicer q48 has a real window to cut) and run q20–q28/q48
     // exactly as the driver does.
+    val landed = Validation.annotate(
+        FarmSchema.parse(spark.read.parquet(s"$dir/raw"), "raw"))
+      .filter(col("_corrupt").isNull)
+      .filter(col("validation_status") =!= "INVALID")
     val sensors = Seq("temperature", "humidity", "water_level",
       "nitrogen", "phosphorus", "potassium", "ph")
     val idx = expr("cast(substring(event_id, 5) as bigint)")
@@ -117,7 +140,6 @@ object DashboardParity {
         col("col.v").as("value"),
         concat(lit("{\"k\": "), col("idx") % 9, lit("}")).as("props"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    annotated.unpersist()
 
     val dash = Seq("q20_avg_tiles", "q21_count_by_type", "q22_hourly_series",
       "q23_daily_window", "q24_value_bins", "q25_totals_by_type",

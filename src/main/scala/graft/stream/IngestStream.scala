@@ -59,6 +59,50 @@ object IngestStream {
       .withColumn("raw", unbase64(col(dataCol)).cast("string"))
       .withColumnRenamed(dataCol, "ingest_payload")
 
+  /** The exact source schema `spark.readStream.format("kafka")` emits
+    * (spark-sql-kafka's fixed output contract) — pinned here so the
+    * production swap is compile-checked against the same contract the
+    * tests exercise. The connector jar itself is not bundled in this
+    * container, so KafkaIngestSpec drives [[fromKafkaWire]] through a
+    * memory stream DECLARED with this schema; in production the swap
+    * is exactly:
+    * {{{
+    * IngestStream.fromKafkaWire(
+    *   spark.readStream.format("kafka")
+    *     .option("kafka.bootstrap.servers", brokers)
+    *     .option("subscribe", "farm/data").load())
+    * }}}
+    */
+  val KafkaWireSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "key BINARY, value BINARY, topic STRING, partition INT, " +
+        "offset BIGINT, timestamp TIMESTAMP, timestampType INT")
+
+  /** Binds the Kafka wire form to the ingest chain (SURVEY §2.1 S1
+    * prod form): `value` holds the UTF-8 JSON payload the MQTT
+    * producer publishes (`Producer /producer.py:439` — the reference's
+    * broker carries the JSON verbatim; set `base64 = true` for a
+    * bridge that re-wraps payloads Kinesis-style, reusing
+    * [[decodeBase64]]). Kafka's (topic, partition, offset) ride along
+    * as `ingest_topic`/`ingest_partition`/`ingest_offset` — the
+    * sequence-number provenance the reference reads off each Kinesis
+    * record — and survive [[process]] untouched (it only adds
+    * columns). Pure projection: fuses into the parse's codegen stage.
+    */
+  def fromKafkaWire(kafka: DataFrame, base64: Boolean = false): DataFrame = {
+    val missing = KafkaWireSchema.map(f => f.name -> f.dataType).filterNot {
+      case (n, t) => kafka.schema.exists(g => g.name == n && g.dataType == t)
+    }
+    require(missing.isEmpty,
+      s"not a kafka-wire frame; missing/mistyped: ${missing.map(_._1).mkString(",")}")
+    val tagged = kafka.select(
+      col("value").cast("string").as(if (base64) "data" else "raw"),
+      col("topic").as("ingest_topic"),
+      col("partition").as("ingest_partition"),
+      col("offset").as("ingest_offset"))
+    if (base64) decodeBase64(tagged) else tagged
+  }
+
   /** Stateless record path: parse + validate + alerts + route. Input
     * needs one string column `raw` — the decoded payload; for
     * base64-encoded ingress (Kinesis wire format) apply

@@ -223,6 +223,52 @@ object Dedup {
           expr("floor((c * 1.0D / (sa.n + sb.n - c)) * 1000000.0D) / 1000000.0D").as("jaccard"))
     },
 
+    // ── Exact Jaccard on a content-hash sample (the 100 TB audit form) ─
+    // q35 is the ground truth but ships doc-sized shingle arrays through
+    // its verify exchange — at corpus scale it runs ONLY on a sample
+    // (SCALE.md; the q73 pattern: the audit is dup-rate-sized, the knob
+    // is the sample). This registers that sampled form so the scale
+    // posture is machine-checked: a DETERMINISTIC content-hash doc
+    // sample (portable md5-derived h60(text) mod 2 here; the modulus is
+    // the 100 TB dial — doc sampling rate 1/M retains ~1/M² of pairs, so
+    // production picks M for a target audit size) feeds the identical
+    // exact-Jaccard machinery. Sampling on CONTENT (not doc_id) keeps
+    // exact twins together deliberately: a replicated doc either brings
+    // its whole duplicate class into the audit or none of it.
+    Q(
+      "q164_ngram_jaccard_sample",
+      s"""WITH docs0 AS (SELECT * FROM documents
+         |              WHERE ${Portable.h60Duck("text")} % 2 = 0),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM docs0),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts) - 3),
+         |         i -> ${Portable.h60Duck("array_to_string(ts[i:i+4], ' ')")}))) AS sh FROM tok),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |  floor((c * 1.0 / (sa.n + sb.n - c)) * 1000000.0) / 1000000.0 AS jaccard
+         |FROM pairs
+         |JOIN sz sa ON sa.doc_id = a_id
+         |JOIN sz sb ON sb.doc_id = b_id
+         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5""".stripMargin) { (s, d) =>
+      val sampled = Tables.documents(s, d)
+        .filter(expr(s"${Portable.h60Spark("text")} % 2 = 0"))
+      val sh = shinglesOf(sampled)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("c"))
+      pairs
+        .join(broadcast(sz.as("sa")), col("sa.doc_id") === col("a_id"))
+        .join(broadcast(sz.as("sb")), col("sb.doc_id") === col("b_id"))
+        .filter(expr("c * 1.0D / (sa.n + sb.n - c) >= 0.5D"))
+        .select(col("a_id"), col("b_id"),
+          expr("floor((c * 1.0D / (sa.n + sb.n - c)) * 1000000.0D) / 1000000.0D").as("jaccard"))
+    },
+
     // ── MinHash + LSH near-dup (the scale path) ────────────────────────
     // k=16 min-hashes, bands of 1 row (candidate = any signature
     // collision), exact-Jaccard verification on candidates only. On this

@@ -101,6 +101,6 @@ object CurationStreamBench {
         s""""corpus_sig_rows":$sigN,"wall_sec":${f"$ndSec%.1f"},""" +
         s""""docs_per_sec":${(nDocs / ndSec).toInt},"n_batches":${progress.length},""" +
         s""""candidates":$candRows}""")
-    spark.stop()
+    graft.stream.OrderlyShutdown.stop(spark)
   }
 }

@@ -48,8 +48,10 @@ object StateBench {
       // (e.g. TwsThrottleState's r8 lastSeenMs widening) restarts
       // instead of failing on a row-format mismatch. Evolution is
       // spec-proven in StateEvolutionSpec; cost at 10M keys is
-      // measured in SCALE.md §2.
-      spark.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
+      // measured in SCALE.md §2 (override for same-window A/B runs:
+      // SPARK_GRAFT_STATE_ENCODING=unsaferow).
+      spark.conf.set("spark.sql.streaming.stateStore.encodingFormat",
+        sys.env.getOrElse("SPARK_GRAFT_STATE_ENCODING", "avro"))
     }
     if (mode == "twslog") spark.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
@@ -124,6 +126,6 @@ object StateBench {
         s""""wall_sec":${f"$wallSec%.1f"},"events_per_sec":${(n / wallSec).toInt},""" +
         s""""n_batches":${progress.length},"batch_ms_p50":${pct(0.5)},"batch_ms_max":${pct(1.0)},""" +
         s""""state_rows":$stateRows,"state_mem_mb":${f"$stateMemMb%.1f"}}""")
-    spark.stop()
+    graft.stream.OrderlyShutdown.stop(spark)
   }
 }

@@ -90,6 +90,6 @@ object StreamBench {
         s""""n_batches":${batches.length},"batch_ms_p50":${pct(0.5)},""" +
         s""""batch_ms_p95":${pct(0.95)},"batch_ms_max":${pct(1.0)},""" +
         s""""landed_rows":$landed,"alert_rows":$alertRows}""")
-    spark.stop()
+    graft.stream.OrderlyShutdown.stop(spark)
   }
 }

@@ -40,6 +40,25 @@ object CacheScope {
     ds
   }
 
+  /** [[scoped]] + an eager fill pass. With a lazy fill under AQE,
+    * leaf stages materialize CONCURRENTLY, so several consumer stages
+    * can hit the not-yet-built cache at once and contend on the
+    * per-block compute locks mid-spill; one blocking `count()` before
+    * fan-out makes every consumer stage a pure cache READER of fully
+    * materialized blocks. Measured on q127 at ×300 (SCALE.md round 9):
+    * min-of-N wall 85.0 → 76.0 s, and the fill becomes one attributable
+    * stage (576 MB columnar for the 75M-shingle relation) instead of
+    * overlapping with the verify/containment stages. Use for caches
+    * with ≥2 consumers that land in different AQE stages; plain
+    * [[scoped]] stays right when the first consumer strictly precedes
+    * the rest.
+    */
+  def eager[T](ds: Dataset[T]): Dataset[T] = {
+    val r = scoped(ds)
+    r.count()
+    r
+  }
+
   /** Eagerly localCheckpoint `df` and register the materialized blocks
     * for release at [[drain]]. `Dataset.unpersist` can't reach a
     * checkpoint's storage (it lives outside the CacheManager), so the

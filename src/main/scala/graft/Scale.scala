@@ -41,6 +41,14 @@ object Scale {
 
     val shufRead = new AtomicLong; val shufWrite = new AtomicLong
     val memSpill = new AtomicLong; val diskSpill = new AtomicLong
+    // SPARK_GRAFT_STAGES=1: per-stage task-time breakdown (top 8 per
+    // query) — names the dominant stage instead of guessing from the
+    // query total. stage task-seconds ≈ wall × concurrency, so shares,
+    // not absolutes, are the signal.
+    case class StageAgg(name: String, taskMs: AtomicLong, nTasks: AtomicLong,
+        inputMb: AtomicLong)
+    val stageSec =
+      new java.util.concurrent.ConcurrentHashMap[Int, StageAgg]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
@@ -49,8 +57,38 @@ object Scale {
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           memSpill.addAndGet(m.memoryBytesSpilled)
           diskSpill.addAndGet(m.diskBytesSpilled)
+          if (sys.env.contains("SPARK_GRAFT_STAGES")) {
+            val info = te.taskInfo
+            if (info != null) {
+              val agg = stageSec.computeIfAbsent(te.stageId,
+                _ => StageAgg("", new AtomicLong, new AtomicLong, new AtomicLong))
+              agg.taskMs.addAndGet(info.duration)
+              agg.nTasks.incrementAndGet()
+              agg.inputMb.addAndGet(m.inputMetrics.bytesRead / 1048576)
+            }
+          }
         }
       }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (sys.env.contains("SPARK_GRAFT_STAGES")) {
+          val si = sc.stageInfo
+          // the stage NAME under AQE is just the materialization call
+          // site; the RDD scope names inside the stage are the
+          // operators (Exchange, WholeStageCodegen, ObjectHashAggregate
+          // …) — that's the attribution a human needs. CAVEAT: the
+          // stage graph is static lineage, so a cached relation's
+          // parent RDDs (FileScanRDD, Generate, …) appear in the name
+          // even when every read is served from cache blocks — use
+          // input_mb to tell them apart (block-manager reads count as
+          // input; this setup's parquet scans report 0)
+          val ops = si.rddInfos.map(_.name.takeWhile(_ != '\n')).distinct
+            .filterNot(n => n.isEmpty || n.startsWith("Shuffled") || n == "MapPartitionsRDD")
+            .mkString("|")
+          val cur = stageSec.computeIfAbsent(si.stageId,
+            _ => StageAgg("", new AtomicLong, new AtomicLong, new AtomicLong))
+          stageSec.put(si.stageId, cur.copy(name = ops))
+        }
     })
 
     // JIT/codegen warmup on the tiny SF so measured runs are execution
@@ -86,6 +124,14 @@ object Scale {
       org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       def mb(v: AtomicLong) = v.get / 1048576.0
       println(f"""{"query":${Json.str(n)},"sec":$dt%.3f,"shuffle_read_mb":${mb(shufRead)}%.1f,"shuffle_write_mb":${mb(shufWrite)}%.1f,"spill_mem_mb":${mb(memSpill)}%.1f,"spill_disk_mb":${mb(diskSpill)}%.1f,"err":${Json.str(err)}}""")
+      if (sys.env.contains("SPARK_GRAFT_STAGES")) {
+        import scala.jdk.CollectionConverters._
+        stageSec.asScala.toSeq.sortBy(-_._2.taskMs.get).take(8).foreach {
+          case (id, a) =>
+            println(f"""{"stage":$id,"task_sec":${a.taskMs.get / 1e3}%.1f,"n_tasks":${a.nTasks.get},"input_mb":${a.inputMb.get},"name":${Json.str(a.name)}}""")
+        }
+        stageSec.clear()
+      }
     }
     println(f"""{"metric":"scale_total","sec":$totalSec%.1f,"sf":${Json.str(sfDir)},"n_queries":${names.size}}""")
     spark.stop()

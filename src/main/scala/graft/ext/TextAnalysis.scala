@@ -1032,6 +1032,25 @@ object TextAnalysis {
     * immediately, q156 returns a plan that consumes it — plus one
     * (step, lhs, rhs, merged, pair_count, tokens_after) row per
     * realized merge. Intermediate rounds are unpersisted here.
+    *
+    * Job shape (round 9): each round used to run TWO driver-blocking
+    * jobs — the 1-row argmax collect plus a tokens_after aggregate
+    * that existed only for the merge-table row. Both now come out of
+    * ONE aggregate per round: the grouped pair counts reduce to
+    * `min(struct(-c, a, b))` (identical ordering to the old
+    * `ORDER BY c DESC, a, b LIMIT 1` — negating the count flips the
+    * struct comparison's first field, strings compare binary either
+    * way) plus `sum(c)`, and round k's tokens_after falls out of round
+    * k+1's pair-count total by the identity Σ freq·|toks| = Σ c
+    * + Σ freq (every word has ≥ 1 token, words with one token
+    * contribute no pair — so total tokens = total adjacent pairs
+    * + total word frequency). Σ freq is corpus-constant, measured once
+    * by the pass that also serves as the initial vocabulary's eager
+    * cache fill; only the final round still needs its own explicit
+    * tokens pass, which doubles as the final cache fill q156's encode
+    * join reads back. 12 → 8 jobs per training run; every emitted
+    * value is the same exact integer, so the oracle chain is
+    * untouched.
     */
   private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame,
@@ -1044,26 +1063,43 @@ object TextAnalysis {
     var w = wf.select(col("word"), col("freq"),
       expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
         .as("toks")).transform(CacheScope.scoped)
+    // Σ freq (corpus word count): the constant in the tokens identity.
+    // This is also the vocabulary cache's eager fill (CacheScope.eager
+    // rationale) — the argmax rounds that follow are pure cache readers.
+    val fRow = w.agg(sum("freq")).collect()(0)
+    val fTotal = if (fRow.isNullAt(0)) 0L else fRow.getLong(0)
     val merges = ArrayBuffer[(Long, String, String, String, Long, Long)]()
+    // merge row awaiting its tokens_after value from the NEXT round's
+    // pair-count total: (step, lhs, rhs, pair_count)
+    var pendingRow: Option[(Long, String, String, Long)] = None
     var stepN = 1L
     var exhausted = false
     while (stepN <= 6L && !exhausted) {
-      val top = w.filter(size(col("toks")) >= 2)
+      val r = w.filter(size(col("toks")) >= 2)
         .select(col("freq"), explode(expr(
           "transform(sequence(1, size(toks) - 1)," +
             " j -> struct(element_at(toks, j) as a, element_at(toks, j + 1) as b))"))
           .as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("freq").as("c"))
-        .orderBy(col("c").desc, col("a"), col("b"))
-        .limit(1).collect()
+        .agg(min(struct((-col("c")).as("nc"), col("a"), col("b"))).as("top"),
+          sum(col("c")).as("totc"))
+        .collect()(0)
+      // this round's pair total prices the PREVIOUS round's result:
+      // tokens(w) = Σ c over w's pairs + Σ freq
+      val totc = if (r.isNullAt(1)) 0L else r.getLong(1)
+      pendingRow.foreach { case (st, a, b, c) =>
+        merges += ((st, a, b, a + b, c, totc + fTotal))
+      }
+      pendingRow = None
       // vocabularies can exhaust mergeable pairs before round 6 (every
       // word a single token) — stop, emitting only the realized rows,
       // exactly like the oracle's empty m_i CTEs
-      if (top.isEmpty) exhausted = true
+      if (r.isNullAt(0)) exhausted = true
       else {
+        val top = r.getStruct(0)
         val (a, b, c) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          (top.getString(1), top.getString(2), -top.getLong(0))
         // greedy left-to-right fold; CASE order guards element_at on
         // the empty accumulator (first element) under either ANSI
         // setting
@@ -1075,13 +1111,19 @@ object TextAnalysis {
                   concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
                 .otherwise(concat(acc, array(x))))).as("toks"))
           .transform(CacheScope.scoped)
-        val tokensAfter = next.agg(sum(size(col("toks")) * col("freq")))
-          .collect()(0).getLong(0)
         w.unpersist()
         w = next
-        merges += ((stepN, a, b, a + b, c, tokensAfter))
+        pendingRow = Some((stepN, a, b, c))
         stepN += 1
       }
+    }
+    // the last realized round has no later pair count to ride: one
+    // explicit tokens pass, which is also the final vocabulary's cache
+    // fill (q156's encode join reads it back)
+    pendingRow.foreach { case (st, a, b, c) =>
+      val ta = w.agg(sum(size(col("toks")) * col("freq")))
+        .collect()(0).getLong(0)
+      merges += ((st, a, b, a + b, c, ta))
     }
     (w, merges.toSeq)
   }

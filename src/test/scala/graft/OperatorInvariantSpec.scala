@@ -382,4 +382,28 @@ class OperatorInvariantSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("pair_count") === 2L)
     assert(r2.getAs[Long]("tokens_after") === 3L)
   }
+
+  test("q154 BPE argmax tie-break picks the lexicographically smallest pair") {
+    // "cd cd ab ab": pairs (a,b)->2 and (c,d)->2 tie on count; the
+    // contract (ORDER BY c DESC, a, b — and the r9 min(struct(-c,a,b))
+    // reformulation) must pick (a,b). Word order in the corpus puts
+    // "cd" first so a wrong "first seen wins" implementation fails too.
+    import spark.implicits._
+    val docs = Seq((1L, "cd cd ab ab")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("bpe_tie").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q154_bpe_train")(spark, dir)
+      .orderBy("step").collect()
+    assert(rows.nonEmpty)
+    assert(rows(0).getAs[String]("lhs") === "a")
+    assert(rows(0).getAs[String]("rhs") === "b")
+    assert(rows(0).getAs[Long]("pair_count") === 2L)
+    // after merging (a,b): "ab" words are 1 token, "cd" still 2 chars
+    // → round 2 merges (c,d); both rounds' tokens_after are exact
+    assert(rows(1).getAs[String]("merged") === "cd")
+    assert(rows(0).getAs[Long]("tokens_after") === 6L)
+    assert(rows(1).getAs[Long]("tokens_after") === 4L)
+  }
 }

@@ -25,6 +25,38 @@ class RegistrySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("CacheScope.eager materializes at call time and drains like scoped") {
+    // eager's contract (the q127 shingle-cache fix): consumers must
+    // find FULLY BUILT blocks — the fill happens inside the call, not
+    // lazily at first downstream action — and the blocks must still be
+    // released by the same drain() every runner already calls.
+    import org.apache.spark.sql.functions._
+    spark.catalog.clearCache()
+    CacheScope.drain()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val ds = spark.range(1000).select(col("id"), (col("id") * 2).as("v"))
+      .transform(CacheScope.eager)
+    // materialized NOW: every partition cached before any consumer runs
+    val info = spark.sparkContext.getRDDStorageInfo
+      .find(_.numCachedPartitions > 0)
+    assert(info.isDefined, "eager did not materialize any cached blocks")
+    assert(info.get.numCachedPartitions === info.get.numPartitions,
+      "eager fill left partitions unmaterialized")
+    assert(ds.agg(sum("v")).collect()(0).getLong(0) === 999000L)
+    CacheScope.drain()
+    // drain is async; block removal completes quickly on local
+    eventuallyEmpty()
+  }
+
+  private def eventuallyEmpty(): Unit = {
+    val sc = spark.sparkContext
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (sc.getPersistentRDDs.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(sc.getPersistentRDDs.isEmpty, "eager cache not released by drain")
+  }
+
   test("no registry query leaks persistent RDDs past CacheScope.drain()") {
     // The r6 persist-leak gate: every persist()/localCheckpoint() on a
     // registry query path must be registered with CacheScope, so that

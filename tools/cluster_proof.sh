@@ -33,7 +33,7 @@ export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
 echo "=== cluster proof: master=$SPARK_GRAFT_MASTER exec_mem=$SPARK_GRAFT_EXEC_MEM ==="
 
 if [[ "$half" == "all" || "$half" == "verify" ]]; then
-  echo "--- full 157-query Verify at sf0.01, DuckDB oracle compare ---"
+  echo "--- full-registry Verify at sf0.01, DuckDB oracle compare ---"
   if sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $out/sf0.01" \
       2>&1 | grep -E '\[verify\].*failed'; then
     echo "CLUSTER PROOF FAIL: Verify errors"; exit 1

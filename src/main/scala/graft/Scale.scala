@@ -107,23 +107,40 @@ object Scale {
     // old Thread.sleep(500) was a bounded race (r7 ask #7).
     org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
 
+    // SPARK_GRAFT_REPEATS=N: run each query N times IN-JVM and report
+    // the min wall (Bench's noise-robust estimator — round-9 found
+    // ×300 wall on the heavy spillers is bimodal and the host window
+    // drifts within a session, so single-sample soak A/Bs mislead).
+    // Shuffle/spill counters are from the min-wall repeat alone:
+    // volumes are plan properties and identical across repeats.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "1").toInt max 1
     var totalSec = 0.0
     names.foreach { n =>
-      shufRead.set(0); shufWrite.set(0); memSpill.set(0); diskSpill.set(0)
-      val t0 = System.nanoTime()
-      val err =
-        try { SparkEntry.queries(n)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save(); "" }
-        catch { case e: Throwable => e.getClass.getSimpleName }
-      val dt = (System.nanoTime() - t0) / 1e9
-      totalSec += dt
-      CacheScope.drain(); spark.catalog.clearCache()
-      // listener events post asynchronously; wait until the bus is
-      // actually empty before reading the counters (shim around the
-      // private[spark] waitUntilEmpty — see ListenerDrain)
-      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
-      def mb(v: AtomicLong) = v.get / 1048576.0
-      println(f"""{"query":${Json.str(n)},"sec":$dt%.3f,"shuffle_read_mb":${mb(shufRead)}%.1f,"shuffle_write_mb":${mb(shufWrite)}%.1f,"spill_mem_mb":${mb(memSpill)}%.1f,"spill_disk_mb":${mb(diskSpill)}%.1f,"err":${Json.str(err)}}""")
+      var best = Double.MaxValue
+      var bestM = (0.0, 0.0, 0.0, 0.0)
+      var err = ""
+      (1 to repeats).foreach { _ =>
+        shufRead.set(0); shufWrite.set(0); memSpill.set(0); diskSpill.set(0)
+        val t0 = System.nanoTime()
+        val e =
+          try { SparkEntry.queries(n)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save(); "" }
+          catch { case ex: Throwable => ex.getClass.getSimpleName }
+        val dt = (System.nanoTime() - t0) / 1e9
+        CacheScope.drain(); spark.catalog.clearCache()
+        // listener events post asynchronously; wait until the bus is
+        // actually empty before reading the counters (shim around the
+        // private[spark] waitUntilEmpty — see ListenerDrain)
+        org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+        def mb(v: AtomicLong) = v.get / 1048576.0
+        if (e.nonEmpty) err = e
+        if (dt < best) {
+          best = dt
+          bestM = (mb(shufRead), mb(shufWrite), mb(memSpill), mb(diskSpill))
+        }
+      }
+      totalSec += best
+      println(f"""{"query":${Json.str(n)},"sec":$best%.3f,"shuffle_read_mb":${bestM._1}%.1f,"shuffle_write_mb":${bestM._2}%.1f,"spill_mem_mb":${bestM._3}%.1f,"spill_disk_mb":${bestM._4}%.1f,"repeats":$repeats,"err":${Json.str(err)}}""")
       if (sys.env.contains("SPARK_GRAFT_STAGES")) {
         import scala.jdk.CollectionConverters._
         stageSec.asScala.toSeq.sortBy(-_._2.taskMs.get).take(8).foreach {

@@ -59,6 +59,21 @@ object CacheScope {
     r
   }
 
+  /** [[eager]] when the relation's Catalyst size estimate clears
+    * `minBytes`, else plain [[scoped]] — the size-adaptive form, same
+    * decision style as Spark's own stats-gated broadcast. Round 9
+    * measured both regimes (SCALE.md): at soak scale the eager fill
+    * wins (q127 ×300: 85.0 → 76.0 s — contended duplicate fills hit
+    * the spill path), at bench scale the blocking fill pass costs more
+    * than the concurrent duplicate fills it prevents (idle threads
+    * absorb them; q127 sf0.1 paid ~0.35 s for an unconditional eager).
+    * The stat is the optimized plan's sizeInBytes — file-size-derived,
+    * available without running anything.
+    */
+  def eagerAbove[T](minBytes: Long)(ds: Dataset[T]): Dataset[T] =
+    if (ds.queryExecution.optimizedPlan.stats.sizeInBytes > minBytes) eager(ds)
+    else scoped(ds)
+
   /** Eagerly localCheckpoint `df` and register the materialized blocks
     * for release at [[drain]]. `Dataset.unpersist` can't reach a
     * checkpoint's storage (it lives outside the CacheManager), so the

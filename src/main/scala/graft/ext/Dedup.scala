@@ -740,10 +740,12 @@ object Dedup {
         .filter(col("rr") > 1).select("doc_id")
       // ONE shingle pass serves the near-dup verify AND the
       // containment stage (each would otherwise re-run the text scan
-      // + shingle kernel). EAGER: five consumers land in concurrent
-      // AQE stages; pre-filling keeps them pure cache readers
-      // (min-of-N 85.0 → 76.0 s at ×300 — SCALE.md round 9)
-      val sh = shingles5(s, d).transform(CacheScope.eager)
+      // + shingle kernel). Size-gated EAGER: five consumers land in
+      // concurrent AQE stages, and at soak scale pre-filling keeps
+      // them pure cache readers (min-of-N 85.0 → 76.0 s at ×300);
+      // at bench scale the barrier costs more than the races it
+      // prevents — both regimes measured, SCALE.md round 9
+      val sh = shingles5(s, d).transform(CacheScope.eagerAbove(64L << 20))
       val cand = minhashCandidates(s, d).transform(CacheScope.scoped)
       val dn = jaccardVerify(cand, sh, "a_id", "b_id")
         .select(col("b_id").as("doc_id")).distinct()

@@ -19,6 +19,20 @@ object Bench {
   /** …and only for the SF the band was measured at. */
   val CleanBandSf = "sf0.1"
 
+  /** Host-speed anchor for mechanical per-query normalization (r9
+    * verdict ask #7: the ±13% clean band swallows real per-query
+    * regressions unless deltas are divided by a per-run host-speed
+    * denominator). The anchor is the MEDIAN per-query time of the
+    * registry in the round-9 clean window (BENCH_CLEAN_r9.json:
+    * median 0.293 s over 158 queries) — the median query is
+    * fixed-overhead-dominated and tracks the host window far better
+    * than any single query (q01 moved 1.31× across the r8→r9 windows
+    * where the median moved 1.05× and the total 1.08×). Each bench
+    * run emits `host_speed_vs_clean_r9` = median(this run) / anchor;
+    * divide any per-query delta by it before calling it a regression.
+    */
+  val CleanMedianAnchorSec = 0.293
+
   /** 1-minute load average, or -1 where the JVM can't read it. */
   def loadAvg1m(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -143,11 +157,33 @@ object Bench {
       else if (results.size != CleanBandQueries) "no-band-for-registry"
       else if (total <= CleanBandSec._2) "within-clean-band"
       else "above-clean-band-host-contended"
+    // Self-normalization (r9 ask #7): per-run host-speed denominator so
+    // per-query deltas across rounds are adjudicable mechanically —
+    // normalized_delta = (q_r10/host_r10) / (q_r9/host_r9). The median
+    // is robust to a handful of genuinely-regressed queries; a single
+    // reference query is emitted too for cross-checking.
+    val sorted = results.values.toSeq.sorted
+    val medianSec =
+      if (sorted.isEmpty) 0.0
+      else if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+      else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
+    val refQ = "q01_pricing_summary"
+    val refSec = results.getOrElse(refQ, 0.0)
+    // the anchor was measured at sf0.1; at any other SF the median
+    // reflects data size, not host speed → emit -1 (not-applicable)
+    val hostSpeed =
+      if (medianSec > 0 && new java.io.File(sfDir).getName == CleanBandSf)
+        medianSec / CleanMedianAnchorSec
+      else -1.0
+    val normField =
+      f""","ref_query":${Json.str(refQ)},"ref_sec":$refSec%.3f""" +
+      f""","median_query_sec":$medianSec%.3f,"host_speed_vs_clean_r9":$hostSpeed%.3f"""
     val hostField =
       s""","load_avg_1m_start":$loadStart,"load_avg_1m_end":$loadEnd""" +
       s""","other_jvms_start":$jvmsStart,"other_jvms_end":$jvmsEnd""" +
       s""","clean_band_sec":[${CleanBandSec._1},${CleanBandSec._2}]""" +
-      s""","clean_band_queries":$CleanBandQueries,"envelope_verdict":${Json.str(verdict)}"""
+      s""","clean_band_queries":$CleanBandQueries,"envelope_verdict":${Json.str(verdict)}""" +
+      normField
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.str(sfDir)},"errors":$errs,"action":"noop-sink","repeats":$repeats$warmField$hostField,"note":"per-query time is the MIN over 'repeats' in-JVM runs (contention-robust); r3 switched the action from count() to a noop sink so projections actually evaluate"}""")
     // The driver stores only the TAIL of stdout (~2000 chars), and the
     // 139-entry per-query dict pushes the line's leading total out of

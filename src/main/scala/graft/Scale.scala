@@ -45,8 +45,12 @@ object Scale {
     // query) — names the dominant stage instead of guessing from the
     // query total. stage task-seconds ≈ wall × concurrency, so shares,
     // not absolutes, are the signal.
+    // inputBytes accumulates RAW bytes (divide once at print): per-task
+    // integer division truncated every sub-1MB task to 0, and
+    // input_mb=0 vs >0 is the documented cache-vs-scan discriminator
+    // (r9 ADVICE).
     case class StageAgg(name: String, taskMs: AtomicLong, nTasks: AtomicLong,
-        inputMb: AtomicLong)
+        inputBytes: AtomicLong)
     val stageSec =
       new java.util.concurrent.ConcurrentHashMap[Int, StageAgg]()
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -64,7 +68,7 @@ object Scale {
                 _ => StageAgg("", new AtomicLong, new AtomicLong, new AtomicLong))
               agg.taskMs.addAndGet(info.duration)
               agg.nTasks.incrementAndGet()
-              agg.inputMb.addAndGet(m.inputMetrics.bytesRead / 1048576)
+              agg.inputBytes.addAndGet(m.inputMetrics.bytesRead)
             }
           }
         }
@@ -106,21 +110,34 @@ object Scale {
     // first query's numbers). waitUntilEmpty is the REAL drain — the
     // old Thread.sleep(500) was a bounded race (r7 ask #7).
     org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+    // the warmup loop itself populated stageSec — clear it so the
+    // first measured query's stage table is its own (r9 ADVICE: stage
+    // attribution is exactly the tool used to chase hot stages, so
+    // 12 warmup queries' rows in the first table mislead).
+    stageSec.clear()
 
     // SPARK_GRAFT_REPEATS=N: run each query N times IN-JVM and report
     // the min wall (Bench's noise-robust estimator — round-9 found
     // ×300 wall on the heavy spillers is bimodal and the host window
     // drifts within a session, so single-sample soak A/Bs mislead).
-    // Shuffle/spill counters are from the min-wall repeat alone:
-    // volumes are plan properties and identical across repeats.
+    // Shuffle/spill counters AND the stage table are from the min-wall
+    // SUCCESSFUL repeat alone: a failing repeat can abort early with a
+    // tiny wall, so letting it win the min would report a failed run's
+    // counters as the query's cost (r9 ADVICE). err is reported only
+    // when every repeat failed.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "1").toInt max 1
     var totalSec = 0.0
     names.foreach { n =>
       var best = Double.MaxValue
       var bestM = (0.0, 0.0, 0.0, 0.0)
-      var err = ""
+      var bestStages = Seq.empty[(Int, String, Long, Long, Long)]
+      var lastErr = ""
+      var nFailed = 0
       (1 to repeats).foreach { _ =>
         shufRead.set(0); shufWrite.set(0); memSpill.set(0); diskSpill.set(0)
+        // fresh stage IDs per repeat — clear so the table we snapshot
+        // below is exactly this repeat's stages, not a cross-repeat mix
+        stageSec.clear()
         val t0 = System.nanoTime()
         val e =
           try { SparkEntry.queries(n)(spark, sfDir)
@@ -133,19 +150,27 @@ object Scale {
         // private[spark] waitUntilEmpty — see ListenerDrain)
         org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
         def mb(v: AtomicLong) = v.get / 1048576.0
-        if (e.nonEmpty) err = e
-        if (dt < best) {
+        if (e.nonEmpty) { lastErr = e; nFailed += 1 }
+        else if (dt < best) {
           best = dt
           bestM = (mb(shufRead), mb(shufWrite), mb(memSpill), mb(diskSpill))
+          if (sys.env.contains("SPARK_GRAFT_STAGES")) {
+            import scala.jdk.CollectionConverters._
+            bestStages = stageSec.asScala.toSeq.map { case (id, a) =>
+              (id, a.name, a.taskMs.get, a.nTasks.get, a.inputBytes.get)
+            }
+          }
         }
       }
-      totalSec += best
-      println(f"""{"query":${Json.str(n)},"sec":$best%.3f,"shuffle_read_mb":${bestM._1}%.1f,"shuffle_write_mb":${bestM._2}%.1f,"spill_mem_mb":${bestM._3}%.1f,"spill_disk_mb":${bestM._4}%.1f,"repeats":$repeats,"err":${Json.str(err)}}""")
+      val allFailed = nFailed == repeats
+      val err = if (allFailed) lastErr else ""
+      val sec = if (allFailed) 0.0 else best
+      totalSec += sec
+      println(f"""{"query":${Json.str(n)},"sec":$sec%.3f,"shuffle_read_mb":${bestM._1}%.1f,"shuffle_write_mb":${bestM._2}%.1f,"spill_mem_mb":${bestM._3}%.1f,"spill_disk_mb":${bestM._4}%.1f,"repeats":$repeats,"failed_repeats":$nFailed,"err":${Json.str(err)}}""")
       if (sys.env.contains("SPARK_GRAFT_STAGES")) {
-        import scala.jdk.CollectionConverters._
-        stageSec.asScala.toSeq.sortBy(-_._2.taskMs.get).take(8).foreach {
-          case (id, a) =>
-            println(f"""{"stage":$id,"task_sec":${a.taskMs.get / 1e3}%.1f,"n_tasks":${a.nTasks.get},"input_mb":${a.inputMb.get},"name":${Json.str(a.name)}}""")
+        bestStages.sortBy(-_._3).take(8).foreach {
+          case (id, name, taskMs, nTasks, inBytes) =>
+            println(f"""{"stage":$id,"task_sec":${taskMs / 1e3}%.1f,"n_tasks":$nTasks,"input_mb":${inBytes / 1048576},"name":${Json.str(name)}}""")
         }
         stageSec.clear()
       }

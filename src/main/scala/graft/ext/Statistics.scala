@@ -1067,5 +1067,88 @@ object Statistics {
           expr(Portable.qscale("sv - pv", 2)).as("delta_value"),
           expr("CAST(floor(CAST(sv - pv AS DOUBLE) * 1000000.0D" +
             " / CAST(pv AS DOUBLE)) AS BIGINT)").as("delta_ppm"))
+    },
+
+    // ── Misra-Gries heavy hitters, batch merge under the oracle gate ───
+    // The batch form of [[graft.stream.HeavyHitters]] (r9 verdict #6):
+    // the streaming op's per-batch merge applied to the whole relation
+    // at once IS plain one-shot Misra-Gries — exact counts per
+    // (key, item), subtract the (k+1)-th largest count from every
+    // counter, keep the strictly-positive ones — which is a pure,
+    // deterministic data function (the uniform subtraction makes tie
+    // and merge order irrelevant; boundary ties die together, exactly
+    // as the streaming Processor's decrement does). So unlike q63/q70,
+    // whose sketches aren't cross-engine bit-equal and certify via
+    // booleans, here the ENTIRE summary hash-matches DuckDB: estimates,
+    // totals, and the N/(k+1) undercount certificate. `mg_bound_ok`
+    // asserts the guarantee itself — the uniform decrement (= the
+    // (k+1)-th largest count) never exceeds N/(k+1), so every emitted
+    // estimate undercounts its true frequency by at most the bound and
+    // every item with true frequency above the bound is guaranteed
+    // present (anything excluded had count ≤ thresh ≤ bound).
+    //
+    // Scale shapes: the (event_type, user_id) counts relation is the
+    // only corpus-sized intermediate and aggregates with map-side
+    // combine. The (k+1)-th-largest threshold is found by a salted
+    // two-level tournament — top-(k+1) per (key, salt-of-64) first,
+    // then top-(k+1) over the ≤ 64·(k+1) finalists — so no per-key
+    // distinct-item set ever sits in one window partition (the naive
+    // row_number-over-key puts a 1B-user key on one reducer at 100 TB;
+    // the tournament's biggest partition is distinct-items/64). The
+    // threshold+total dimension is ~|event_type| rows and broadcasts
+    // back onto the counts relation. The exact counts side exists to
+    // certify, as in q70 — the always-on 100 TB path is the streaming
+    // op's bounded ≤k-counter state.
+    Q(
+      "q165_heavy_hitters",
+      """WITH c AS (SELECT event_type, user_id, count(*) AS c
+        |           FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_seen
+        |        FROM c GROUP BY 1),
+        |r AS (SELECT event_type, c,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY c DESC, user_id ASC) AS rn
+        |      FROM c),
+        |th AS (SELECT event_type,
+        |         coalesce(max(CASE WHEN rn = 9 THEN c END), 0) AS thresh
+        |       FROM r GROUP BY 1)
+        |SELECT c.event_type, c.user_id, c.c - th.thresh AS est,
+        |  tot.n_seen, tot.n_seen // 9 AS err_bound,
+        |  (th.thresh <= tot.n_seen // 9) AS mg_bound_ok
+        |FROM c
+        |JOIN th ON c.event_type = th.event_type
+        |JOIN tot ON c.event_type = tot.event_type
+        |WHERE c.c - th.thresh > 0""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = 8
+      val counts = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("c"))
+      val counts1 = CacheScope.scoped(counts)
+      // salted tournament: per-(key, salt) top-(k+1) → global top-(k+1)
+      val salted = counts1.withColumn("salt", pmod(col("user_id"), lit(64)))
+      val heat1 = Window.partitionBy("event_type", "salt")
+        .orderBy(col("c").desc, col("user_id").asc)
+      val finalists = salted
+        .withColumn("rn1", row_number().over(heat1))
+        .filter(col("rn1") <= k + 1)
+      val heat2 = Window.partitionBy("event_type")
+        .orderBy(col("c").desc, col("user_id").asc)
+      val thresh = finalists
+        .withColumn("rn", row_number().over(heat2))
+        .groupBy("event_type")
+        .agg(coalesce(max(when(col("rn") === k + 1, col("c"))), lit(0L))
+          .as("thresh"))
+      val totals = counts1.groupBy("event_type")
+        .agg(sum("c").cast("long").as("n_seen"))
+      val dim = broadcast(thresh.join(totals, "event_type"))
+      counts1.join(dim, "event_type")
+        .filter(col("c") - col("thresh") > 0)
+        .select(col("event_type"), col("user_id"),
+          (col("c") - col("thresh")).as("est"),
+          col("n_seen"),
+          expr(s"n_seen div ${k + 1}").as("err_bound"),
+          (col("thresh") <= expr(s"n_seen div ${k + 1}")).as("mg_bound_ok"))
     })
 }

@@ -49,14 +49,15 @@ object Dedup {
     */
   private[graft] def shinglesOf(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val head = col("doc_id") +: keep.map(col)
-    // underscore-prefixed token alias: `keep` carries caller columns
-    // (event time etc.) that must not collide with it
-    docs.select(head :+ expr("split(text, ' ')").as("_toks"): _*)
-      .filter(size(col("_toks")) >= 5)
-      .select(head :+ explode(expr(
-        "array_distinct(transform(sequence(1, size(_toks) - 4), " +
-          s"i -> ${Portable.h60Spark("array_join(slice(_toks, i, 5), ' ')")}))"))
-        .as("sh"): _*)
+    // The codegen shingles60 kernel replaces the portable expression
+    // chain (split → transform(h60 ∘ array_join ∘ slice) →
+    // array_distinct): bit-identical output (KernelSpec pins it), but
+    // the HOF chain evaluates interpreted per shingle and was ~3/4 of
+    // q127's ×1000 task-seconds (round-10 stage profile; A/B in
+    // SCALE.md). Docs under 5 tokens hash to null and explode to no
+    // rows — the old size(_toks) >= 5 filter, for free.
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    docs.select(head :+ explode(expr("shingles60(text)")).as("sh"): _*)
   }
 
   /** DuckDB mirror of [[shingles5]] as a CTE body. */
@@ -535,14 +536,13 @@ object Dedup {
            |FROM nt LEFT JOIN agg ON agg.doc_id = nt.doc_id""".stripMargin
       }) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val h = Portable.h60Spark("array_join(slice(ts, i, 5), ' ')")
+      graft.functions.VectorExpressions.register(s)
+      // shingles60_all: the positional compiled kernel (all windows, in
+      // order — posexplode recovers i); <5-token docs hash to null and
+      // explode to no rows, replacing the size guard
       val psh = Tables.documents(s, d)
-        .select(col("doc_id"), expr("split(text, ' ')").as("ts"))
-        // <5-token docs have no positional shingle; without the guard
-        // Spark's sequence(1, n<1) descends and slice(ts, 0, 5) throws
-        .filter(size(col("ts")) >= 5)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(1, size(ts) - 4), i -> $h)")).as(Seq("pos", "sh")))
+        .select(col("doc_id"),
+          posexplode(expr("shingles60_all(text)")).as(Seq("pos", "sh")))
         .select(col("doc_id"), (col("pos") + 1).as("i"), col("sh"))
         .transform(CacheScope.scoped) // two consumers: the dup-set count and the hits join
       val dup = psh.groupBy("sh")

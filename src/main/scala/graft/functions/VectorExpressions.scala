@@ -491,6 +491,189 @@ object MinHash16 {
   }
 }
 
+/** Distinct word 5-gram shingle hashes of a document in one pass:
+  * `array<bigint>` of the 60-bit md5-prefix values, first-occurrence
+  * order — the compiled form of the portable shingle generator
+  * (`array_distinct(transform(sequence(1, n-4), i ->
+  * h60(array_join(slice(toks, i, 5), ' '))))`).
+  *
+  * Bit-identical to that expression chain (and so to the DuckDB
+  * mirror's `list_distinct(list_transform(range(1, len-3), …))`): the
+  * hex prefix `conv(substr(md5(x),1,15),16,10)` IS the digest's first
+  * 60 bits, computed here as `(first 8 bytes big-endian) >>> 4` —
+  * exactly [[MinHash16]]'s hashing, minus the permutation fold. The
+  * win is mechanical, not semantic: `transform` is a higher-order
+  * function Spark evaluates INTERPRETED per element (lambda dispatch,
+  * UTF8String slice+join per shingle, md5 → hex string → substr → conv
+  * reparse), and the round-10 ×1000 stage profile put that Generate
+  * stage at ~3/4 of q127's task-seconds. One compiled loop — tokenize
+  * once, reuse one digest, open-address dedupe on the long — removes
+  * every per-shingle allocation except the digest input.
+  *
+  * Null contract: null → null; fewer than 5 tokens → null (callers
+  * explode, and exploding null emits no rows — same visible semantics
+  * as the old `size(toks) >= 5` pre-filter).
+  */
+case class Shingles60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingles60 expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingles60"
+
+  protected override def nullSafeEval(str: Any): Any = {
+    val sh = Shingles60.compute(str.toString)
+    if (sh == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(sh)
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val sh = ctx.freshName("sh")
+      s"""
+         |long[] $sh = graft.functions.Shingles60.compute($str.toString());
+         |if ($sh == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sh);
+         |}
+       """.stripMargin
+    })
+
+  protected override def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** [[Shingles60]] without the dedupe: EVERY word-5-gram window's hash,
+  * window order — the positional form `transform(sequence(1, n-4),
+  * i -> h60(array_join(slice(toks, i, 5), ' ')))` (no array_distinct).
+  * Callers `posexplode` to recover (position, hash). Same null
+  * contract and same per-window hash as [[Shingles60]].
+  */
+case class Shingles60All(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingles60_all expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingles60_all"
+
+  protected override def nullSafeEval(str: Any): Any = {
+    val sh = Shingles60.computeAll(str.toString)
+    if (sh == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(sh)
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val sh = ctx.freshName("sha")
+      s"""
+         |long[] $sh = graft.functions.Shingles60.computeAll($str.toString());
+         |if ($sh == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sh);
+         |}
+       """.stripMargin
+    })
+
+  protected override def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Shingles60 {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** All window hashes, window order, no dedupe (null if <5 tokens). */
+  def computeAll(s: String): Array[Long] = {
+    val toks = s.split(" ", -1)
+    val n = toks.length
+    if (n < 5) return null
+    val digest = md.get()
+    val out = new Array[Long](n - 4)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + 4 < n) {
+      sb.setLength(0)
+      var w = 0
+      while (w < 5) {
+        if (w > 0) sb.append(' ')
+        sb.append(toks(i + w))
+        w += 1
+      }
+      val dg = digest.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (dg(b) & 0xffL); b += 1 }
+      out(i) = h >>> 4
+      i += 1
+    }
+    out
+  }
+
+  /** Distinct 5-gram hashes, first-occurrence order. Dedupe is an
+    * open-addressed long table (no boxing, no HashSet nodes) sized to
+    * the window count; 0 is used as the empty slot, so the (legal,
+    * 2⁻⁶⁰-rare) hash value 0 tracks its presence in a side flag.
+    */
+  def compute(s: String): Array[Long] = {
+    val toks = s.split(" ", -1)
+    val n = toks.length
+    if (n < 5) return null
+    val digest = md.get()
+    val nWin = n - 4
+    var cap = java.lang.Integer.highestOneBit(nWin * 2 - 1) << 1
+    if (cap < 8) cap = 8
+    val table = new Array[Long](cap)
+    var zeroSeen = false
+    val out = new Array[Long](nWin)
+    var nOut = 0
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + 4 < n) {
+      sb.setLength(0)
+      var w = 0
+      while (w < 5) {
+        if (w > 0) sb.append(' ')
+        sb.append(toks(i + w))
+        w += 1
+      }
+      val dg = digest.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (dg(b) & 0xffL); b += 1 }
+      h = h >>> 4
+      if (h == 0L) {
+        if (!zeroSeen) { zeroSeen = true; out(nOut) = 0L; nOut += 1 }
+      } else {
+        var slot = (java.lang.Long.hashCode(h) & 0x7fffffff) & (cap - 1)
+        var dup = false
+        while (table(slot) != 0L && !dup) {
+          if (table(slot) == h) dup = true
+          else slot = (slot + 1) & (cap - 1)
+        }
+        if (!dup) {
+          table(slot) = h
+          out(nOut) = h
+          nOut += 1
+        }
+      }
+      i += 1
+    }
+    if (nOut == nWin) out else java.util.Arrays.copyOf(out, nOut)
+  }
+}
+
 object VectorExpressions {
   /** Fixed-point quantization scale for `vec_qdot`: 2²⁰. */
   val QScale: Double = 1048576.0
@@ -508,7 +691,9 @@ object VectorExpressions {
     "vec_ldot" -> (args => LongDot(args(0), args(1))),
     "shingle_min_hash" -> (args => ShingleMinHash(args(0), args(1))),
     "simhash60" -> (args => Simhash60(args(0))),
-    "minhash16" -> (args => MinHash16(args(0))))
+    "minhash16" -> (args => MinHash16(args(0))),
+    "shingles60" -> (args => Shingles60(args(0))),
+    "shingles60_all" -> (args => Shingles60All(args(0))))
 
   /** Register every kernel on the session (idempotent). Called from
     * [[graft.GraftSession]]; query builders also call it defensively so

@@ -96,6 +96,49 @@ class KernelSpec extends AnyFunSuite {
     assert(joined.filter(col("sig_k") =!= col("sig_rel")).count() === 0)
   }
 
+  test("shingles60 ≡ array_distinct ∘ transform h60 chain (value AND order)") {
+    val chain = "array_distinct(transform(sequence(1, size(split(text, ' ')) - 4), " +
+      s"i -> ${Portable.h60Spark("array_join(slice(split(text, ' '), i, 5), ' ')")}))"
+    val mism = docs
+      .filter(size(split(col("text"), " ")) >= 5)
+      .select(expr("shingles60(text)").as("k"), expr(chain).as("r"))
+      .filter(col("k") =!= col("r") || col("k").isNull)
+    assert(mism.count() === 0)
+  }
+
+  test("shingles60_all ≡ transform h60 chain (positional, duplicates kept)") {
+    val chain = "transform(sequence(1, size(split(text, ' ')) - 4), " +
+      s"i -> ${Portable.h60Spark("array_join(slice(split(text, ' '), i, 5), ' ')")})"
+    val mism = docs
+      .filter(size(split(col("text"), " ")) >= 5)
+      .select(expr("shingles60_all(text)").as("k"), expr(chain).as("r"))
+      .filter(col("k") =!= col("r") || col("k").isNull)
+    assert(mism.count() === 0)
+  }
+
+  test("shingles60 adversarial inputs: short, null, empty tokens, dup windows") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val texts = Seq(
+      "a b c d",                   // 4 tokens → null
+      "a b c d e",                 // exactly one window
+      "a  b c d e f",              // double space → empty token (split -1 keeps it)
+      "x x x x x x x x x x",      // all windows identical → one distinct hash
+      " lead b c d e",             // leading empty token
+      "t u v w x ",                // trailing empty token
+      null.asInstanceOf[String])
+      .toDF("text")
+    val chain = "array_distinct(transform(sequence(1, size(split(text, ' ')) - 4), " +
+      s"i -> ${Portable.h60Spark("array_join(slice(split(text, ' '), i, 5), ' ')")}))"
+    val rows = texts.select(expr("shingles60(text)").as("k"),
+      when(size(split(col("text"), " ")) >= 5, expr(chain)).as("r")).collect()
+    rows.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(0), s"expected null kernel: $r")
+      else assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"mismatch: $r")
+    }
+    assert(rows(3).getSeq[Long](0).length === 1) // dup windows collapse
+  }
+
   test("vec_qdot ≡ integer-quantized HOF fold; self-dot non-negative") {
     val e = Tables.embeddings(spark, sf)
     graft.functions.VectorExpressions.register(spark)

@@ -63,10 +63,40 @@ object StreamBench {
       f.setLastModified(nowMs - (parts.length - i) * 1000L)
     }
 
+    // Round-10 sink-I/O instrumentation: SPARK_GRAFT_LAKE_CODEC=zstd
+    // compresses the JSON lake (default: raw, the reference's S3
+    // byte-shape) — the A/B lever for the 10M outlier-batch root-cause;
+    // SPARK_GRAFT_HOST_IO=1 samples /proc/meminfo Dirty/Writeback and
+    // /proc/diskstats sectors-written every 5 s so a sink-write stall
+    // is attributable to kernel writeback, not guessed.
+    val lakeCodec = sys.env.get("SPARK_GRAFT_LAKE_CODEC")
+    if (sys.env.contains("SPARK_GRAFT_HOST_IO")) {
+      val th = new Thread(() => {
+        val t0io = System.nanoTime()
+        while (true) {
+          try {
+            val mi = scala.io.Source.fromFile("/proc/meminfo").getLines()
+              .filter(l => l.startsWith("Dirty:") || l.startsWith("Writeback:"))
+              .map(_.split("\\s+")).map(a => a(0).dropRight(1) -> a(1).toLong).toMap
+            val ds = scala.io.Source.fromFile("/proc/diskstats").getLines()
+              .map(_.trim.split("\\s+")).find(a => a(2) == "vda")
+            val wrMb = ds.map(a => a(9).toLong * 512L / 1048576L).getOrElse(-1L)
+            System.err.println(
+              s"""{"metric":"host_io","t_sec":${(System.nanoTime() - t0io) / 1000000000L},""" +
+                s""""dirty_mb":${mi.getOrElse("Dirty", 0L) / 1024},""" +
+                s""""writeback_mb":${mi.getOrElse("Writeback", 0L) / 1024},""" +
+                s""""disk_written_mb":$wrMb}""")
+          } catch { case _: Throwable => () }
+          Thread.sleep(5000)
+        }
+      })
+      th.setDaemon(true); th.start()
+    }
+
     val t0 = System.nanoTime()
     val (lakeQ, alertQ) = IngestStream.start(
       IngestStream.fileSource(spark, src, Some(perTrigger)),
-      lake, alerts, ckpt, useTransformWithState = tws)
+      lake, alerts, ckpt, useTransformWithState = tws, lakeCodec = lakeCodec)
     lakeQ.awaitTermination()
     val lakeSec = (System.nanoTime() - t0) / 1e9
     alertQ.awaitTermination()
@@ -78,9 +108,21 @@ object StreamBench {
     def pct(p: Double): Long =
       if (durs.isEmpty) 0L else durs(((durs.length - 1) * p).toInt)
     if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
-      (lakeQ.recentProgress ++ alertQ.recentProgress).foreach(p =>
-        System.err.println(s"[streambench] ${p.name} batch=${p.batchId} " +
-          s"rows=${p.numInputRows} dur=${p.durationMs}"))
+      (lakeQ.recentProgress ++ alertQ.recentProgress).foreach { p =>
+        // per-batch duration breakdown as a machine-readable line
+        // (STREAM_r10.jsonl raw evidence): addBatch = the sink write +
+        // batch compute; walCommit/commitOffsets = offset-log fsyncs;
+        // stateCommit lives inside addBatch for the stateful query
+        val d = p.durationMs
+        def ms(k: String): Long =
+          Option(d.get(k)).map(_.toLong).getOrElse(-1L)
+        System.err.println(
+          s"""{"metric":"stream_batch","query":"${p.name}","batch":${p.batchId},""" +
+            s""""ts":"${p.timestamp}","rows":${p.numInputRows},""" +
+            s""""trigger_ms":${ms("triggerExecution")},"addbatch_ms":${ms("addBatch")},""" +
+            s""""walcommit_ms":${ms("walCommit")},"commitoffsets_ms":${ms("commitOffsets")},""" +
+            s""""getbatch_ms":${ms("getBatch")},"latestoffset_ms":${ms("latestOffset")}}""")
+      }
 
     val landed = spark.read.json(lake).count()
     val alertRows = spark.read.parquet(alerts).count()

@@ -230,7 +230,8 @@ object IngestStream {
       alertPath: String,
       checkpointRoot: String,
       watermarkDelay: String = "10 minutes",
-      useTransformWithState: Boolean = false): (StreamingQuery, StreamingQuery) = {
+      useTransformWithState: Boolean = false,
+      lakeCodec: Option[String] = None): (StreamingQuery, StreamingQuery) = {
     // Per-micro-batch summary counts — the Lambda's batch summary
     // (lamda.py:533-541, SURVEY §2.4 A4) as observable metrics: free
     // (piggybacks the sink pass), surfaced in every
@@ -279,8 +280,14 @@ object IngestStream {
             coalesce(col("event_id"), lit("unknown")) === col("eventId"), "left")
           .drop("eventId")
         try {
-          out.write.mode("append")
-            .partitionBy("route", "loc_id")
+          // Optional lake compression (round 10): default None keeps
+          // the reference's raw-JSON lake byte-shape; StreamBench's
+          // sink-I/O A/B passes zstd to bound the single-disk
+          // writeback stall the 10M soak exposed (SCALE.md §2) — on a
+          // real deployment this is the standard S3 JSON codec knob.
+          val w = lakeCodec.foldLeft(out.write.mode("append"))(
+            (wr, c) => wr.option("compression", c))
+          w.partitionBy("route", "loc_id")
             .json(lakePath)
         } catch {
           case e: Throwable =>

@@ -734,14 +734,10 @@ object Dedup {
          |FROM lab GROUP BY source, fate""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      // Consumed twice (fate probe + the candidate b-side prune below)
-      // — persisted so the md5 window runs once. doc_id-only: at soak
-      // scale this caches 8 B/dropped-doc, not text.
       val dx = docs
         .withColumn("rr", row_number().over(
           Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
         .filter(col("rr") > 1).select("doc_id")
-        .transform(CacheScope.scoped)
       // ONE shingle pass serves the near-dup verify AND the
       // containment stage (each would otherwise re-run the text scan
       // + shingle kernel). Size-gated EAGER: five consumers land in
@@ -750,14 +746,15 @@ object Dedup {
       // at bench scale the barrier costs more than the races it
       // prevents — both regimes measured, SCALE.md round 9
       val sh = shingles5(s, d).transform(CacheScope.eagerAbove(64L << 20))
-      // Precedence-aware candidate prune (round 10): a doc in dx takes
-      // fate 'exact' no matter what the near-dup pass says, so pairs
-      // with b_id ∈ dx cannot change the ledger — anti-joining them out
-      // before the candidate distinct removes the copy-copy quadratic
-      // bulk (every within-md5-group pair has its larger id in dx) from
-      // the distinct, the size-ratio prune, AND the array-verify tail.
-      // Result-identical: dn loses only doc_ids the CASE never reaches.
-      val cand = minhashCandidates(s, d, Some(dx)).transform(CacheScope.scoped)
+      // NOT pruned by dx (round 10, measured negative): CASE precedence
+      // makes pairs with b_id ∈ dx dead weight, and anti-joining them
+      // out before the candidate distinct is result-identical — but on
+      // a copies-scaled corpus the dup fraction is scale-invariant, so
+      // the anti-join over the banding output cost +41 s at ×1000 for
+      // 0 shuffle saved (SCALE.md round-10 A/B). A copy-heavy REAL
+      // corpus (the case the prune exists for) is the one shape our
+      // generator cannot produce; the prune stays documented, not paid.
+      val cand = minhashCandidates(s, d).transform(CacheScope.scoped)
       val dn = jaccardVerify(cand, sh, "a_id", "b_id")
         .select(col("b_id").as("doc_id")).distinct()
       val dc = containmentPairsOf(sh)
@@ -919,31 +916,29 @@ object Dedup {
   private def jaccardVerify(
       cand: DataFrame, sh: DataFrame,
       leftCol: String, rightCol: String): DataFrame = {
-    // Size-ratio upper bound (round 10): J(A,B) = |A∩B|/|A∪B| ≤
-    // min(na,nb)/max(na,nb) because c ≤ min and the union ≥ max — so a
-    // pair with 2·min(na,nb) < max(na,nb) can NEVER clear the 0.5
-    // threshold. The counts are a narrow (doc_id, n) relation (16 B/row
-    // vs the shingle arrays' KBs), so pruning here means losing pairs
-    // never enter the array-fetch joins, and a doc whose every pair
-    // loses never has an array built at all. Result-identical by the
-    // bound; the post-intersect threshold filter is unchanged.
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val candN = cand
-      .join(cnt.select(col("doc_id").as(leftCol), col("n").as("na")), leftCol)
-      .join(cnt.select(col("doc_id").as(rightCol), col("n").as("nb")), rightCol)
-      .filter(expr("least(na, nb) * 2 >= greatest(na, nb)"))
-    val candIds = candN.select(col(leftCol).as("doc_id"))
-      .union(candN.select(col(rightCol)))
+    val candIds = cand.select(col(leftCol).as("doc_id"))
+      .union(cand.select(col(rightCol)))
     val sarr = sh.join(candIds, Seq("doc_id"), "left_semi")
       .groupBy("doc_id")
-      .agg(collect_list("sh").as("arr"))
-    candN
+      .agg(collect_list("sh").as("arr"), count(lit(1)).as("n"))
+    cand
       .join(sarr.as("sa"), col("sa.doc_id") === col(leftCol))
       .join(sarr.as("sb"), col("sb.doc_id") === col(rightCol))
+      // Size-ratio upper bound in its ZERO-COST position: J(A,B) ≤
+      // min(n)/max(n) (c ≤ min, union ≥ max), so a pair with
+      // 2·min(n) < max(n) can never clear 0.5 — skip its
+      // array_intersect. Kept as a row filter AFTER the array joins:
+      // the round-10 A/B (SCALE.md) measured the structural form — a
+      // corpus-wide count relation pruning pairs BEFORE the array
+      // fetch — as +18 s at ×1000 with 0 shuffle saved, because this
+      // generator's near-dup candidates are size-matched (prune rate
+      // ≈ 0). Here the bound costs one codegen'd comparison and pays
+      // only on size-skewed corpora. Result-identical either way.
+      .filter(expr("least(sa.n, sb.n) * 2 >= greatest(sa.n, sb.n)"))
       .withColumn("c", expr("cast(size(array_intersect(sa.arr, sb.arr)) as bigint)"))
-      .filter(expr("c * 1.0D / (na + nb - c) >= 0.5D"))
+      .filter(expr("c * 1.0D / (sa.n + sb.n - c) >= 0.5D"))
       .select(col(leftCol), col(rightCol),
-        expr("floor((c * 1.0D / (na + nb - c)) * 1000000.0D) / 1000000.0D").as("jaccard"))
+        expr("floor((c * 1.0D / (sa.n + sb.n - c)) * 1000000.0D) / 1000000.0D").as("jaccard"))
   }
 
   /** DuckDB mirror of [[jaccardVerify]] — the trailing CTE + SELECT
@@ -972,31 +967,14 @@ object Dedup {
     * unpersisted signature relation re-runs the text scan + kernel per
     * consumer. Shared by [[minhashPairs]] and q73's recall audit.
     */
-  private def minhashCandidates(s: SparkSession, d: String): DataFrame =
-    minhashCandidates(s, d, None)
-
-  /** [[minhashCandidates]] with an optional b-side exclusion: pairs
-    * whose `b_id` is in `dropB(doc_id)` are anti-joined out BEFORE the
-    * distinct, so the exclusion also shrinks the dedup exchange. Used
-    * by q127, where a doc already dropped by the exact pass takes fate
-    * 'exact' regardless of near-dup membership (CASE precedence), so
-    * its pairs-as-b are dead weight — and on a copy-heavy corpus the
-    * copy-copy pairs (ALL of which have b_id in the exact-drop set,
-    * since dx keeps only each md5 group's min id and pairs are
-    * a_id < b_id) are the O(copies²) bulk of the candidate set.
-    */
-  private def minhashCandidates(
-      s: SparkSession, d: String, dropB: Option[DataFrame]): DataFrame = {
+  private def minhashCandidates(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val sig = Tables.documents(s, d)
       .select(col("doc_id"), expr("minhash16(text)").as("sig"))
       .filter(col("sig").isNotNull)
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "mh")))
       .transform(CacheScope.scoped)
-    val raw = Skew.selfPairs(sig, "doc_id", Seq("i", "mh"))
-    dropB.fold(raw)(dx =>
-      raw.join(dx.select(col("doc_id").as("b_id")), Seq("b_id"), "left_anti"))
-      .distinct()
+    Skew.selfPairs(sig, "doc_id", Seq("i", "mh")).distinct()
   }
 
   /** The full MinHash-LSH near-dup pipeline — [[minhashCandidates]]

@@ -1,9 +1,5 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicLong
-
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.ext.Layout
@@ -16,39 +12,38 @@ import graft.ext.Layout
   * (one user band × one time band) against both and reports, per
   * layout:
   *
-  *   - `cand_files`: files whose footer min-max box intersects the
-  *     predicate — the skipping PROXY (what a manifest-backed scan
-  *     planner would list);
-  *   - `input_mb`: bytes the vectorized parquet reader actually
-  *     touched (task-metrics ground truth — row-group min-max skipping
-  *     via the pushed filters);
-  *   - `scan_sec`: min-of-3 wall for the filtered aggregate.
+  *   - `cand_files` / `cand_rowgroups`: files and row groups whose
+  *     footer min-max box intersects the predicate — read straight
+  *     from the parquet footers, i.e. exactly what a manifest-backed
+  *     planner (file level) and the vectorized reader (row-group
+  *     level) skip with. Deterministic, unlike task input-bytes on a
+  *     page-cached local filesystem.
+  *   - `scan_sec`: min-of-3 wall for the filtered aggregate (at local
+  *     scale the table sits in page cache, so this under-reports the
+  *     skip benefit a cold object store would show).
   *
-  * The natural layout is ts-sorted, so a TIME-only predicate prunes it
-  * perfectly already; the measured slicer constrains BOTH dimensions,
-  * which is exactly the case one-dimensional layouts lose and the
-  * z-curve exists for. Writes land under /tmp and are removed on exit.
+  * Three predicates: a TIME band (the ts-sorted natural layout's best
+  * case), a USER band (its worst — every file spans all users), and
+  * USER×TIME (the dashboard slicer). Z-order's claim is pruning on
+  * EVERY dimension from one layout, at a measured small cost on the
+  * single-dimension-sorted case. Writes land under /tmp and are
+  * removed on exit.
   */
 object LayoutBench {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val numFiles = args.lift(1).map(_.toInt).getOrElse(64)
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    import spark.implicits._
-
-    val inputBytes = new AtomicLong
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null) inputBytes.addAndGet(m.inputMetrics.bytesRead)
-      }
-    })
-
+    // ts is stored as epoch-seconds LONG in the laid-out files: Spark
+    // writes TimestampType as INT96 by default, whose parquet statistics
+    // are Binary and NOT usable for min-max pruning — itself a layout
+    // lesson (a lakehouse that wants timestamp skipping stores
+    // INT64/micros or a numeric derivative)
     val ev = Tables.events(spark, dir)
-      .select("event_id", "ts", "user_id", "event_type", "value")
+      .select(col("event_id"), unix_timestamp(col("ts")).as("ts_sec"),
+        col("user_id"), col("event_type"), col("value"))
     val dom = ev.agg(
-      min(unix_timestamp(col("ts"))).as("tlo"),
-      max(unix_timestamp(col("ts"))).as("thi"),
+      min("ts_sec").as("tlo"), max("ts_sec").as("thi"),
       min("user_id").as("ulo"), max("user_id").as("uhi")).head()
     val (tlo, thi) = (dom.getLong(0), dom.getLong(1))
     val (ulo, uhi) = (dom.getLong(2), dom.getLong(3))
@@ -56,60 +51,100 @@ object LayoutBench {
     val base = java.nio.file.Files.createTempDirectory("graft_layout").toString
     // natural: the arrival order a streaming ingest lands — ts-sorted
     // range partitions (tight ts stats, arbitrary user_id stats)
-    ev.repartitionByRange(numFiles, col("ts"))
-      .sortWithinPartitions(col("ts"))
+    ev.repartitionByRange(numFiles, col("ts_sec"))
+      .sortWithinPartitions(col("ts_sec"))
       .write.mode("overwrite").parquet(s"$base/natural")
     // z-order: 16-bit quantized user × time interleave
     Layout.clusterByZ(ev,
       Layout.quantize16(col("user_id"), ulo.toDouble, uhi.toDouble),
-      Layout.quantize16(unix_timestamp(col("ts")), tlo.toDouble, thi.toDouble),
+      Layout.quantize16(col("ts_sec"), tlo.toDouble, thi.toDouble),
       numFiles)
       .write.mode("overwrite").parquet(s"$base/zorder")
 
-    // the slicer: ~1/16 of each dimension (~0.4% of the grid) — one
-    // user band over one ~2-day band of the 34-day range
+    // slicer bands: ~1/16 of each dimension — one user band, one
+    // ~2-day band of the 34-day range. Three predicates tell the whole
+    // story: TIME-only is the natural (ts-sorted) layout's best case;
+    // USER-only is its worst (every file spans all users); USER×TIME
+    // is the dashboard slicer both dimensions constrain. Z-order's
+    // claim is not "beats a ts-sort on time" — it's "prunes on EVERY
+    // dimension from one layout".
     val uSpan = (uhi - ulo + 1) / 16
     val tSpan = (thi - tlo + 1) / 16
     val (uA, uB) = (ulo + 5 * uSpan, ulo + 6 * uSpan)
     val (tA, tB) = (tlo + 8 * tSpan, tlo + 9 * tSpan)
+    val userP = col("user_id") >= uA && col("user_id") < uB
+    val timeP = col("ts_sec") >= tA && col("ts_sec") < tB
+    val preds: Seq[(String, org.apache.spark.sql.Column,
+        (Long, Long, Long, Long) => Boolean)] = Seq(
+      ("full_scan", lit(true), (_, _, _, _) => true),
+      ("time_band", timeP,
+        (_, _, flo, fhi) => fhi >= tA && flo < tB),
+      ("user_band", userP,
+        (flo, fhi, _, _) => fhi >= uA && flo < uB),
+      ("user_x_time", userP && timeP,
+        (fulo, fuhi, ftlo, fthi) =>
+          fuhi >= uA && fulo < uB && fthi >= tA && ftlo < tB))
 
-    def slicer(df: DataFrame): DataFrame = df
-      .filter(col("user_id") >= uA && col("user_id") < uB &&
-        unix_timestamp(col("ts")) >= tA && unix_timestamp(col("ts")) < tB)
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
-
-    def measure(path: String): (Long, Long, Double, Long) = {
-      val df = spark.read.parquet(path)
-      // footer min-max candidate set: the file-skipping proxy
-      val cand = df.groupBy(input_file_name().as("f"))
-        .agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
-          min(unix_timestamp(col("ts"))).as("tlo"),
-          max(unix_timestamp(col("ts"))).as("thi"))
-        .filter(col("uhi") >= uA && col("ulo") < uB &&
-          col("thi") >= tA && col("tlo") < tB)
-        .count()
-      val nFiles = df.select(input_file_name()).distinct().count()
-      // min-of-3 filtered-aggregate scans; bytes from the best run
-      var bestSec = Double.MaxValue; var bestBytes = 0L
-      var rows = 0L
-      (1 to 3).foreach { _ =>
-        inputBytes.set(0L)
-        val t0 = System.nanoTime()
-        rows = slicer(spark.read.parquet(path)).head().getLong(0)
-        org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (dt < bestSec) { bestSec = dt; bestBytes = inputBytes.get() }
-      }
-      (cand, nFiles, bestSec, bestBytes / 1048576L)
+    // Per-ROW-GROUP min-max boxes, read straight from the parquet
+    // footers — the actual skip unit the vectorized reader prunes with
+    // (and the per-FILE union of them is what a manifest planner
+    // lists). Deterministic, unlike task input-bytes on a page-cached
+    // local fs.
+    def rowGroupBoxes(path: String): Seq[(String, Long, Long, Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sessionState.newHadoopConf()
+      new java.io.File(path).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .toSeq.flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f.getPath), conf)
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try rdr.getFooter.getBlocks.asScala.toSeq.map { b =>
+            val byName = b.getColumns.asScala
+              .map(c => c.getPath.toDotString -> c.getStatistics).toMap
+            def lng(c: String, mn: Boolean): Long = {
+              val st = byName(c)
+                .asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+              if (mn) st.getMin else st.getMax
+            }
+            (f.getName, lng("user_id", mn = true), lng("user_id", mn = false),
+              lng("ts_sec", mn = true), lng("ts_sec", mn = false))
+          } finally rdr.close()
+        }
     }
 
-    val (candN, filesN, secN, mbN) = measure(s"$base/natural")
-    val (candZ, filesZ, secZ, mbZ) = measure(s"$base/zorder")
+    def measure(path: String): Seq[(String, Long, Long, Long, Long, Double)] = {
+      val boxes = rowGroupBoxes(path)
+      val nFiles = boxes.map(_._1).distinct.size.toLong
+      preds.map { case (pname, pcol, boxHit) =>
+        val candRg = boxes.count(b => boxHit(b._2, b._3, b._4, b._5))
+        val candFiles = boxes.filter(b => boxHit(b._2, b._3, b._4, b._5))
+          .map(_._1).distinct.size.toLong
+        var bestSec = Double.MaxValue
+        (1 to 3).foreach { _ =>
+          val t0 = System.nanoTime()
+          spark.read.parquet(path).filter(pcol)
+            .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+            .head()
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (dt < bestSec) bestSec = dt
+        }
+        (pname, candFiles, nFiles, candRg.toLong, boxes.size.toLong, bestSec)
+      }
+    }
+
+    val natural = measure(s"$base/natural")
+    val zorder = measure(s"$base/zorder")
     val nRows = ev.count()
+    def side(rs: Seq[(String, Long, Long, Long, Long, Double)]): String =
+      rs.map { case (p, candF, nf, candRg, nRg, sec) =>
+        s""""$p":{"cand_files":$candF,"n_files":$nf,""" +
+          s""""cand_rowgroups":$candRg,"n_rowgroups":$nRg,""" +
+          s""""scan_sec":${f"$sec%.2f"}}"""
+      }.mkString(",")
     println(
       s"""{"metric":"layout_bench","dir":"$dir","rows":$nRows,"num_files":$numFiles,""" +
-        s""""natural":{"cand_files":$candN,"n_files":$filesN,"scan_sec":${f"$secN%.2f"},"input_mb":$mbN},""" +
-        s""""zorder":{"cand_files":$candZ,"n_files":$filesZ,"scan_sec":${f"$secZ%.2f"},"input_mb":$mbZ}}""")
+        s""""natural":{${side(natural)}},"zorder":{${side(zorder)}}}""")
 
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     spark.stop()

@@ -63,7 +63,7 @@ object StreamBench {
       f.setLastModified(nowMs - (parts.length - i) * 1000L)
     }
 
-    // Round-10 sink-I/O instrumentation: SPARK_GRAFT_LAKE_CODEC=zstd
+    // Round-10 sink-I/O instrumentation: SPARK_GRAFT_LAKE_CODEC=gzip
     // compresses the JSON lake (default: raw, the reference's S3
     // byte-shape) — the A/B lever for the 10M outlier-batch root-cause;
     // SPARK_GRAFT_HOST_IO=1 samples /proc/meminfo Dirty/Writeback and

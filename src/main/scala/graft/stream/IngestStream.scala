@@ -282,9 +282,10 @@ object IngestStream {
         try {
           // Optional lake compression (round 10): default None keeps
           // the reference's raw-JSON lake byte-shape; StreamBench's
-          // sink-I/O A/B passes zstd to bound the single-disk
-          // writeback stall the 10M soak exposed (SCALE.md §2) — on a
-          // real deployment this is the standard S3 JSON codec knob.
+          // sink-I/O A/B passes gzip (the standard S3 JSON codec; the
+          // text sink does not ship zstd) to bound the single-disk
+          // writeback stall the 10M soak exposed — measured 13 GB →
+          // 0.86 GB lake at −8% throughput (SCALE.md §2 round 10).
           val w = lakeCodec.foldLeft(out.write.mode("append"))(
             (wr, c) => wr.option("compression", c))
           w.partitionBy("route", "loc_id")

@@ -13,9 +13,16 @@ object Bench {
     * "no-band-for-registry" instead of judging against a stale band.
     * Re-measure and bump when the registry changes
     * (BENCH_CLEAN_r{N}.json).
+    *
+    * Round-10 re-pin for the 159-query registry (q165 added): the
+    * r10 clean run read 68.2 s in a window whose host-speed ratio vs
+    * the r9 anchor was 0.897 — i.e. ~76.0 s at r9-window speed —
+    * while the r9 window itself read ~1.25× the r8 one. The band
+    * spans a slightly-faster-than-r10 window (65 s) through the
+    * slow-r9-window upper edge scaled to 159 queries (~102 s).
     */
-  val CleanBandSec: (Double, Double) = (78.0, 101.0)
-  val CleanBandQueries = 158
+  val CleanBandSec: (Double, Double) = (65.0, 102.0)
+  val CleanBandQueries = 159
   /** …and only for the SF the band was measured at. */
   val CleanBandSf = "sf0.1"
 

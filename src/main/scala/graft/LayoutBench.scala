@@ -49,6 +49,10 @@ object LayoutBench {
     val (ulo, uhi) = (dom.getLong(2), dom.getLong(3))
 
     val base = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    // everything below runs under try/finally: the temp layout (two
+    // full copies of the scaled events table) must not outlive a
+    // mid-run exception — "removed on exit" has to hold on ALL exits
+    try {
     // natural: the arrival order a streaming ingest lands — ts-sorted
     // range partitions (tight ts stats, arbitrary user_id stats)
     ev.repartitionByRange(numFiles, col("ts_sec"))
@@ -102,10 +106,16 @@ object LayoutBench {
           try rdr.getFooter.getBlocks.asScala.toSeq.map { b =>
             val byName = b.getColumns.asScala
               .map(c => c.getPath.toDotString -> c.getStatistics).toMap
-            def lng(c: String, mn: Boolean): Long = {
-              val st = byName(c)
-                .asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
-              if (mn) st.getMin else st.getMax
+            // a row group with missing/empty stats can't be pruned — a
+            // real planner must treat it as a candidate for EVERY
+            // predicate, so report the full-range box instead of
+            // CCE/NPE-ing on the cast (the writer here always emits
+            // long stats, but the measurement tool shouldn't assume)
+            def lng(c: String, mn: Boolean): Long = byName.get(c) match {
+              case Some(st: org.apache.parquet.column.statistics.LongStatistics)
+                  if !st.isEmpty && st.hasNonNullValue =>
+                if (mn) st.getMin else st.getMax
+              case _ => if (mn) Long.MinValue else Long.MaxValue
             }
             (f.getName, lng("user_id", mn = true), lng("user_id", mn = false),
               lng("ts_sec", mn = true), lng("ts_sec", mn = false))
@@ -145,8 +155,9 @@ object LayoutBench {
     println(
       s"""{"metric":"layout_bench","dir":"$dir","rows":$nRows,"num_files":$numFiles,""" +
         s""""natural":{${side(natural)}},"zorder":{${side(zorder)}}}""")
-
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-    spark.stop()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      spark.stop()
+    }
   }
 }

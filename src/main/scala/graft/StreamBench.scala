@@ -71,15 +71,26 @@ object StreamBench {
     // is attributable to kernel writeback, not guessed.
     val lakeCodec = sys.env.get("SPARK_GRAFT_LAKE_CODEC")
     if (sys.env.contains("SPARK_GRAFT_HOST_IO")) {
+      // the disk to track writeback on is host-specific; default to this
+      // sandbox's root device but take an override so disk_written_mb
+      // doesn't silently read -1 elsewhere
+      val diskDev = sys.env.getOrElse("SPARK_GRAFT_HOST_IO_DEV", "vda")
+      // Files.readAllLines opens-reads-closes in one call — the
+      // scala.io.Source form leaked two fds per 5 s tick for the life
+      // of the soak (sources were never closed)
+      def procLines(p: String): Seq[String] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p)).asScala.toSeq
+      }
       val th = new Thread(() => {
         val t0io = System.nanoTime()
         while (true) {
           try {
-            val mi = scala.io.Source.fromFile("/proc/meminfo").getLines()
+            val mi = procLines("/proc/meminfo")
               .filter(l => l.startsWith("Dirty:") || l.startsWith("Writeback:"))
               .map(_.split("\\s+")).map(a => a(0).dropRight(1) -> a(1).toLong).toMap
-            val ds = scala.io.Source.fromFile("/proc/diskstats").getLines()
-              .map(_.trim.split("\\s+")).find(a => a(2) == "vda")
+            val ds = procLines("/proc/diskstats")
+              .map(_.trim.split("\\s+")).find(a => a(2) == diskDev)
             val wrMb = ds.map(a => a(9).toLong * 512L / 1048576L).getOrElse(-1L)
             System.err.println(
               s"""{"metric":"host_io","t_sec":${(System.nanoTime() - t0io) / 1000000000L},""" +

@@ -674,6 +674,116 @@ object Shingles60 {
   }
 }
 
+/** Lexical text statistics in ONE fused pass — `array<bigint>` of
+  * `[n_tokens, punct, stop_hits]`:
+  *
+  *   - `n_tokens`  ≡ `size(split(text, ' '))` — split on a single
+  *     space with Java's limit −1 semantics keeps leading/consecutive/
+  *     trailing empty segments, so the count is exactly (spaces + 1).
+  *   - `punct`     ≡ `length(text) − length(regexp_replace(text,
+  *     '[^a-z0-9 ]', ''))` — the number of CODEPOINTS outside
+  *     `[a-z0-9 ]` (Java regex negated classes and Spark's `length`
+  *     both count codepoints, so one codepoint-cursor scan matches).
+  *   - `stop_hits` ≡ `size(filter(split(text, ' '), t -> t IN (set)))`
+  *     — tokens compared by exact string equality against the stop set
+  *     (second arg: a comma-separated FOLDABLE literal, e.g.
+  *     "the,a,of,to,and,is"), matched allocation-free via
+  *     `regionMatches` on the token's span.
+  *
+  * Replaces the quality/Gopher feature chain (2 regex `split`s, a full
+  * `regexp_replace` rewrite pass, and an INTERPRETED higher-order
+  * `filter` with per-token lambda dispatch per doc) that the round-10
+  * ×300 stage profile flagged as q67's CPU wall (2,334 task-sec, ~1.5
+  * ms/doc, a third of the hot-12 — `STREAM_r10.jsonl`
+  * `probe:"q67_stage_profile"`). Same recipe as [[Shingles60]]: the
+  * SQL mirrors keep the relational form; KernelSpec pins ≡.
+  *
+  * Null contract: null text → null (stop CSV is a non-null literal by
+  * construction; a null CSV also yields null).
+  */
+case class TextStats(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != org.apache.spark.sql.types.StringType ||
+      right.dataType != org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"text_stats expects (string, string), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "text_stats expects a foldable stop-word CSV as its second argument")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "text_stats"
+
+  // parsed once per expression instance (the arg is foldable); both
+  // the interpreted and the generated path read this array
+  private lazy val stopWords: Array[String] = {
+    val v = right.eval(null)
+    if (v == null) Array.empty else v.toString.split(",", -1).filter(_.nonEmpty)
+  }
+
+  protected override def nullSafeEval(str: Any, csv: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextStats.compute(str.toString, stopWords))
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val stopsRef = ctx.addReferenceObj("stopWords", stopWords, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, (str, _) => {
+      val out = ctx.freshName("tstats")
+      s"""
+         |long[] $out = graft.functions.TextStats.compute($str.toString(), $stopsRef);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  protected override def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object TextStats {
+  /** One codepoint-cursor pass: count spaces (tokens = spaces + 1),
+    * codepoints outside `[a-z0-9 ]`, and stop-set token hits
+    * (allocation-free span compare).
+    */
+  def compute(s: String, stops: Array[String]): Array[Long] = {
+    val n = s.length
+    var spaces = 0L
+    var punct = 0L
+    var hits = 0L
+    var tokStart = 0
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (cp == ' ') {
+        spaces += 1
+        if (isStop(s, tokStart, i, stops)) hits += 1
+        tokStart = i + 1
+      } else if (!((cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9'))) {
+        punct += 1
+      }
+      i += Character.charCount(cp)
+    }
+    if (isStop(s, tokStart, n, stops)) hits += 1
+    Array(spaces + 1, punct, hits)
+  }
+
+  private def isStop(s: String, from: Int, to: Int, stops: Array[String]): Boolean = {
+    val len = to - from
+    var k = 0
+    while (k < stops.length) {
+      val w = stops(k)
+      if (w.length == len && s.regionMatches(from, w, 0, len)) return true
+      k += 1
+    }
+    false
+  }
+}
+
 object VectorExpressions {
   /** Fixed-point quantization scale for `vec_qdot`: 2²⁰. */
   val QScale: Double = 1048576.0
@@ -693,7 +803,8 @@ object VectorExpressions {
     "simhash60" -> (args => Simhash60(args(0))),
     "minhash16" -> (args => MinHash16(args(0))),
     "shingles60" -> (args => Shingles60(args(0))),
-    "shingles60_all" -> (args => Shingles60All(args(0))))
+    "shingles60_all" -> (args => Shingles60All(args(0))),
+    "text_stats" -> (args => TextStats(args(0), args(1))))
 
   /** Register every kernel on the session (idempotent). Called from
     * [[graft.GraftSession]]; query builders also call it defensively so

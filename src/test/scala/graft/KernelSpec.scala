@@ -139,6 +139,54 @@ class KernelSpec extends AnyFunSuite {
     assert(rows(3).getSeq[Long](0).length === 1) // dup windows collapse
   }
 
+  test("text_stats ≡ split/regexp_replace/HOF-filter chain on corpus data") {
+    val stopEn = "'the','a','of','to','and','is'"
+    val mism = docs.select(
+      expr("text_stats(text, 'the,a,of,to,and,is')").as("k"),
+      expr("array(cast(size(split(text, ' ')) as bigint), " +
+        "cast(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '')) as bigint), " +
+        s"cast(size(filter(split(text, ' '), t -> t IN ($stopEn))) as bigint))").as("r"))
+      .filter(col("k") =!= col("r") || col("k").isNull)
+    assert(mism.count() === 0)
+  }
+
+  test("text_stats adversarial inputs: empties, unicode, stop spans, null") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val texts = Seq(
+      "",                          // one empty token, nothing else
+      " ",                         // two empty tokens
+      "the",                       // single stop token, no spaces
+      "the the  the",              // consecutive spaces → empty token between stops
+      " the",                      // leading empty token then a stop
+      "to ",                       // trailing empty token after a stop
+      "THE a. б€😀 is2 and",       // case-sensitivity, punct, non-ASCII codepoints
+      "atlas theory ofof isis",    // stop words as PREFIXES of non-stops (span compare)
+      "的 是 x",                    // multi-byte stop words via the stopAll set shape
+      null.asInstanceOf[String]).toDF("text")
+    val set = "the,a,of,to,and,is,的,是"
+    val quoted = set.split(",").map(w => s"'$w'").mkString(",")
+    // null text: the HOF chain gives array(null,null,null), the kernel
+    // gives a null ARRAY — equivalent at every consumer (items are
+    // extracted, and null[i] ≡ array(null,…)[i]); normalize here
+    val rows = texts.select(
+      expr(s"text_stats(text, '$set')").as("k"),
+      when(col("text").isNotNull,
+        expr("array(cast(size(split(text, ' ')) as bigint), " +
+          "cast(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '')) as bigint), " +
+          s"cast(size(filter(split(text, ' '), t -> t IN ($quoted))) as bigint))")).as("r"))
+      .collect()
+    rows.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(0), s"expected null kernel: $r")
+      else assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"mismatch: $r")
+    }
+    // the unicode row ("THE a. б€😀 is2 and"): 5 tokens; punct = THE(3)
+    // + .(1) + б€😀(3) = 7 — 😀 is ONE codepoint (punct counts
+    // codepoints, not UTF-16 units); stops = only "and" ("THE" is
+    // case-mismatched) — pin the absolute values, not just agreement
+    assert(rows(6).getSeq[Long](0) === Seq(5L, 7L, 1L))
+  }
+
   test("vec_qdot ≡ integer-quantized HOF fold; self-dot non-negative") {
     val e = Tables.embeddings(spark, sf)
     graft.functions.VectorExpressions.register(spark)

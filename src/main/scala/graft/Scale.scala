@@ -28,16 +28,38 @@ object Scale {
     "q154_bpe_train", "q160_cluster_split", "q78_duplicated_spans",
     "q148_threshold_sweep", "q157_dup_source_matrix", "q102_bloom_contamination")
 
+  /** Host-speed calibration subset: 15 cheap, fixed-overhead-dominated
+    * events/dimension queries (no documents-table pair machinery), run
+    * at sf0.1 before the soak so every soak line carries the same
+    * normalization denominator the registry bench emits. Anchor =
+    * the MEDIAN of these queries in the r9 clean window
+    * (BENCH_CLEAN_r9.json) — the same anchor window as
+    * [[Bench.CleanMedianAnchorSec]], restricted to this subset.
+    */
+  val calQueries: Seq[String] = Seq(
+    "q01_pricing_summary", "q02_star_join_revenue", "q04_semi_join_active",
+    "q06_max_watermark", "q08_dim_time", "q09_surrogate_keys",
+    "q10_share_of_total", "q11_topk_orders", "q12_multicol_anti_join",
+    "q20_avg_tiles", "q21_count_by_type", "q110_set_ops",
+    "q111_rank_functions", "q128_weekly_heatmap", "q130_column_profile")
+  /** median of [[calQueries]] in BENCH_CLEAN_r9.json (q08_dim_time). */
+  val CalAnchorR9Sec = 0.187150264
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val names = args.lift(1).map(_.split(',').toSeq).getOrElse(hot)
-    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    // Shuffle-partition override for partition-sizing experiments: a
-    // cluster sizes partitions to the data (AQE coalesces a high
-    // initial count down where small); the q64 ×100 spill reproduces
-    // and disappears purely with this knob — see SCALE.md.
-    sys.env.get("SPARK_GRAFT_SHUFFLE")
-      .foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.local(cpus)
+    // The 64p rule as code (r10 SCALE.md §1 sweep, shipped r11): the
+    // banding/inverted-index family zero-spills at tasks ≈ 2× cores
+    // when memory is data-sized — 64p beat both 32p (8.9 GB spill on
+    // q127 ×1000) and 128p (4–6× locality cost) — so the SOAK defaults
+    // to 2× cores instead of GraftSession's cores-sized bench default.
+    // SPARK_GRAFT_SHUFFLE still overrides for sizing experiments.
+    val nCores =
+      if (cpus == "*") Runtime.getRuntime.availableProcessors() else cpus.toInt
+    val nShuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", (2 * nCores).toString)
+    spark.conf.set("spark.sql.shuffle.partitions", nShuffle)
 
     val shufRead = new AtomicLong; val shufWrite = new AtomicLong
     val memSpill = new AtomicLong; val diskSpill = new AtomicLong
@@ -99,12 +121,38 @@ object Scale {
     // (same policy as Bench); ignore warmup failures, measured run will
     // surface them loudly.
     val warm = "/root/testdata/sf0.001"
-    names.foreach { n =>
+    val calDir = "/root/testdata/sf0.1"
+    val calibrate = sys.env.getOrElse("SPARK_GRAFT_HOSTCAL", "1") == "1" &&
+      new java.io.File(calDir).isDirectory
+    val warmNames = if (calibrate) names ++ calQueries else names
+    warmNames.foreach { n =>
       try SparkEntry.queries(n)(spark, warm)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       CacheScope.drain(); spark.catalog.clearCache()
     }
+    // Host-speed calibration (r10 verdict ask #6: soak lines need the
+    // same per-run normalization denominator the bench emits, so
+    // cross-round hot-12 comparisons aren't host-window hostage):
+    // min-of-2 over the fixed sf0.1 subset, median / r9-clean anchor.
+    // Stamped on every soak line below; -1 when disabled.
+    val hostSpeed =
+      if (!calibrate) -1.0
+      else {
+        val times = calQueries.map { n =>
+          val best = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            try SparkEntry.queries(n)(spark, calDir)
+              .write.format("noop").mode("overwrite").save()
+            catch { case _: Throwable => () }
+            val dt = (System.nanoTime() - t0) / 1e9
+            CacheScope.drain(); spark.catalog.clearCache()
+            dt
+          }.min
+          best
+        }.sorted
+        times(times.size / 2) / CalAnchorR9Sec
+      }
     // drain straggler warmup task-end events before the first measured
     // reset (r6 ADVICE: without this, warmup stragglers pollute the
     // first query's numbers). waitUntilEmpty is the REAL drain — the
@@ -127,6 +175,7 @@ object Scale {
     // when every repeat failed.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "1").toInt max 1
     var totalSec = 0.0
+    var totalSpillDiskMb = 0.0
     names.foreach { n =>
       var best = Double.MaxValue
       var bestM = (0.0, 0.0, 0.0, 0.0)
@@ -166,7 +215,8 @@ object Scale {
       val err = if (allFailed) lastErr else ""
       val sec = if (allFailed) 0.0 else best
       totalSec += sec
-      println(f"""{"query":${Json.str(n)},"sec":$sec%.3f,"shuffle_read_mb":${bestM._1}%.1f,"shuffle_write_mb":${bestM._2}%.1f,"spill_mem_mb":${bestM._3}%.1f,"spill_disk_mb":${bestM._4}%.1f,"repeats":$repeats,"failed_repeats":$nFailed,"err":${Json.str(err)}}""")
+      totalSpillDiskMb += bestM._4
+      println(f"""{"query":${Json.str(n)},"sec":$sec%.3f,"shuffle_read_mb":${bestM._1}%.1f,"shuffle_write_mb":${bestM._2}%.1f,"spill_mem_mb":${bestM._3}%.1f,"spill_disk_mb":${bestM._4}%.1f,"repeats":$repeats,"failed_repeats":$nFailed,"shuffle_partitions":$nShuffle,"host_speed_vs_clean_r9":$hostSpeed%.3f,"err":${Json.str(err)}}""")
       if (sys.env.contains("SPARK_GRAFT_STAGES")) {
         bestStages.sortBy(-_._3).take(8).foreach {
           case (id, name, taskMs, nTasks, inBytes) =>
@@ -175,7 +225,18 @@ object Scale {
         stageSec.clear()
       }
     }
-    println(f"""{"metric":"scale_total","sec":$totalSec%.1f,"sf":${Json.str(sfDir)},"n_queries":${names.size}}""")
+    println(f"""{"metric":"scale_total","sec":$totalSec%.1f,"sf":${Json.str(sfDir)},"n_queries":${names.size},"shuffle_partitions":$nShuffle,"host_speed_vs_clean_r9":$hostSpeed%.3f}""")
     spark.stop()
+    // SPARK_GRAFT_ASSERT_NOSPILL=1: the zero-spill claim as an exit
+    // code — the soak harness (tools/soak.sh) uses this to certify the
+    // default partition sizing reproduces the ×1000 zero-spill config
+    // without hand flags. Asserts on the min-wall repeat's disk spill
+    // across the whole run.
+    if (sys.env.get("SPARK_GRAFT_ASSERT_NOSPILL").contains("1") &&
+      totalSpillDiskMb > 0.0) {
+      System.err.println(
+        f"[scale] NOSPILL ASSERT FAILED: $totalSpillDiskMb%.1f MB disk spill")
+      sys.exit(1)
+    }
   }
 }

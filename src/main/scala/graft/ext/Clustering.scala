@@ -299,14 +299,27 @@ object Clustering {
     // triangle count per doc measures how CLIQUE-LIKE its neighborhood
     // is — template families triangulate densely, chain-shaped false
     // merges don't. That makes this the diagnostic for q53's
-    // cluster-formation quality. Classic distributed triangle shape:
-    // edges are canonically oriented a<b, triangles enumerate as
-    // wedge-join (p1.b = p2.a) + closing-edge probe — every triangle
-    // a<b<c counted exactly once, no orientation dedup needed. All
-    // joins run on the DUP-RATE-sized pair relation (persisted once),
-    // never the corpus; production would orient by degree instead of
-    // id to bound the hottest wedge fan-out. Output: per-doc
-    // participation counts.
+    // cluster-formation quality.
+    //
+    // Spark side: DEGREE-ORIENTED wedge enumeration (the
+    // compact-forward scheme of Suri & Vassilvitskii, "Counting
+    // Triangles and the Curse of the Last Reducer", WWW'11): orient
+    // every undirected edge from its lower-(degree, id) endpoint to the
+    // higher, enumerate wedges at the MINIMUM-rank vertex of each
+    // triangle (join oriented edges on their source), and probe the
+    // closing oriented edge. Every triangle is counted exactly once
+    // (its min-rank vertex is the unique wedge center), and the
+    // per-node wedge fan-out is bounded by the oriented OUT-degree —
+    // O(√m) on any graph — instead of a hub's full degree: under id
+    // orientation a low-id template hub with degree 10⁵ would enumerate
+    // 10¹⁰ wedges on one reducer (the "last reducer" this fixes);
+    // under degree orientation no node fans out past √m. The triangle
+    // SET is orientation-invariant, so the ORACLE keeps the simpler
+    // id-oriented (a<b<c) enumeration — same triangles, same per-doc
+    // counts — and OperatorInvariantSpec pins the two Spark forms equal
+    // on a hub-shaped adversarial graph. All joins run on the
+    // DUP-RATE-sized pair relation (persisted once), never the corpus.
+    // Output: per-doc participation counts.
     Q(
       "q108_triangles",
       s"""WITH ${Dedup.simhashPairsDuck},
@@ -320,18 +333,60 @@ object Clustering {
          |      UNION ALL SELECT c FROM tri)
          |SELECT doc_id, count(*) AS n_triangles
          |FROM m GROUP BY doc_id""".stripMargin) { (s, d) =>
-      val e = Dedup.simhashPairs(s, d)
+      val pairs = Dedup.simhashPairs(s, d)
         .select(col("a_id").as("a"), col("b_id").as("b"))
-        .distinct().transform(CacheScope.scoped)
-      val tri = e.as("p1")
-        .join(e.as("p2"), col("p2.a") === col("p1.b"))
-        .join(e.as("p3"),
-          col("p3.a") === col("p1.a") && col("p3.b") === col("p2.b"))
-        .select(col("p1.a").as("a"), col("p1.b").as("b"), col("p2.b").as("c"))
-      tri.select(col("a").as("doc_id"))
-        .unionAll(tri.select(col("b")))
-        .unionAll(tri.select(col("c")))
+        .distinct()
+        // consumed twice by the undirected union (and the banding join
+        // behind it is the expensive part) — persist like the degree/
+        // oriented relations inside
+        .transform(CacheScope.scoped)
+      trianglesByDegree(pairs)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_triangles"))
     })
+
+  /** One row per (triangle, member) — every triangle's three corners —
+    * from a canonical (a < b, distinct) undirected pair list, by
+    * degree-oriented compact-forward enumeration (see q108's note).
+    * Exposed for the invariant spec; the degree relation is tiny
+    * (one row per pair-participant) and broadcasts onto the edge list.
+    */
+  private[graft] def trianglesByDegree(pairs: DataFrame): DataFrame = {
+    // degrees from ONE pass over the canonical pair list (each edge
+    // contributes both endpoints); dup-rate-sized, so it broadcasts.
+    // Derived from the cached pairs twice (two broadcast sides) rather
+    // than cached itself — two tiny aggregations beat a cache
+    // round-trip at every scale the pair relation can reach.
+    val deg = pairs.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient each edge from its lower-(degree, id) endpoint to the
+    // higher in ONE pass over the canonical list (no undirected
+    // union); carry the destination's rank so the wedge join can order
+    // its two legs without another degree lookup
+    val aFirst = col("da.deg") < col("db.deg") ||
+      (col("da.deg") === col("db.deg") && col("a") < col("b"))
+    val oriented = pairs
+      .join(broadcast(deg.as("da")), col("a") === col("da.node"))
+      .join(broadcast(deg.as("db")), col("b") === col("db.node"))
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db.deg")).otherwise(col("da.deg")).as("ddeg"))
+      .transform(CacheScope.scoped)
+    // wedges at the min-rank vertex: two out-edges of u, legs ordered
+    // by the destinations' rank; the closing edge must then be
+    // v→w in the oriented set (rank v < rank w by construction)
+    val tri = oriented.as("p1")
+      .join(oriented.as("p2"),
+        col("p1.src") === col("p2.src") &&
+          (col("p1.ddeg") < col("p2.ddeg") ||
+            (col("p1.ddeg") === col("p2.ddeg") && col("p1.dst") < col("p2.dst"))))
+      .join(oriented.as("p3"),
+        col("p3.src") === col("p1.dst") && col("p3.dst") === col("p2.dst"),
+        "left_semi")
+      .select(col("p1.src").as("x"), col("p1.dst").as("y"), col("p2.dst").as("z"))
+    tri.select(col("x").as("doc_id"))
+      .unionAll(tri.select(col("y")))
+      .unionAll(tri.select(col("z")))
+  }
 }

@@ -406,4 +406,43 @@ class OperatorInvariantSpec extends AnyFunSuite {
     assert(rows(0).getAs[Long]("tokens_after") === 6L)
     assert(rows(1).getAs[Long]("tokens_after") === 4L)
   }
+
+  test("q108 degree-oriented triangles ≡ id-oriented enumeration on a hub graph") {
+    // Adversarial shape for the id-oriented form: node 0 is a low-id
+    // HUB (under id orientation all its edges point out, so wedges
+    // explode at the hub — the exact "last reducer" case degree
+    // orientation bounds), plus two overlapping cliques and a chain
+    // (no triangles). The triangle SET is orientation-invariant, so
+    // both enumerations must emit identical per-corner rows.
+    import spark.implicits._
+    val hub = (1L to 40L).map(v => (0L, v))
+    val ring = (1L to 39L).map(v => (v, v + 1)) // hub + ring → 39 triangles
+    val clique = for (a <- 100L to 105L; b <- (a + 1) to 105L) yield (a, b)
+    val chain = (200L to 210L).map(v => (v, v + 1))
+    val pairs = (hub ++ ring ++ clique ++ chain).toDF("a", "b")
+      .transform(CacheScope.scoped)
+    val byDegree = graft.ext.Clustering.trianglesByDegree(pairs)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val byId = {
+      val tri = pairs.as("p1")
+        .join(pairs.as("p2"), col("p2.a") === col("p1.b"))
+        .join(pairs.as("p3"),
+          col("p3.a") === col("p1.a") && col("p3.b") === col("p2.b"))
+        .select(col("p1.a").as("x"), col("p1.b").as("y"), col("p2.b").as("z"))
+      tri.select(col("x").as("doc_id"))
+        .unionAll(tri.select(col("y")))
+        .unionAll(tri.select(col("z")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    }
+    assert(byDegree.join(byId, Seq("doc_id"), "full")
+      .filter(byDegree("n") =!= byId("n") ||
+        byDegree("n").isNull || byId("n").isNull)
+      .count() === 0)
+    // sanity: the hub participates in all 39 hub-ring triangles and the
+    // clique members in C(5,2) = 10 each
+    val m = byDegree.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(0L) === 39L)
+    assert(m(100L) === 10L)
+    CacheScope.drain()
+  }
 }

@@ -131,6 +131,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("text_stats ≡ split/regexp/HOF chain over random unicode strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, when}
+    // alphabet biased toward the kernel's branch points: spaces
+    // (token boundaries, incl. leading/trailing/consecutive), stop
+    // words and their prefixes/extensions, alnum vs punct codepoints,
+    // multi-byte BMP chars, and supplementary-plane emoji (1 codepoint,
+    // 2 UTF-16 units — the codepoint-vs-unit trap)
+    val tokenGen: Gen[String] = Gen.oneOf(
+      Gen.oneOf("the", "a", "of", "to", "and", "is", "的", "是"),
+      Gen.oneOf("th", "thee", "ofof", "And", "IS", ""),
+      Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString.toLowerCase),
+      Gen.oneOf("a.b", "x,y", "€42", "naïve", "日本語", "a😀b", "!!!", "[t]"))
+    val textGen: Gen[String] = for {
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, tokenGen)
+      lead <- Gen.oneOf("", " ")
+      trail <- Gen.oneOf("", " ", "  ")
+    } yield lead + toks.mkString(" ") + trail
+    val texts = (0 until 300).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, Seed(7000L + i)))
+    val quoted = "'the','a','of','to','and','is','的','是'"
+    graft.functions.VectorExpressions.register(spark)
+    val mism = texts.toDF("text").select(
+      expr("text_stats(text, 'the,a,of,to,and,is,的,是')").as("k"),
+      when(col("text").isNotNull,
+        expr("array(cast(size(split(text, ' ')) as bigint), " +
+          "cast(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '')) as bigint), " +
+          s"cast(size(filter(split(text, ' '), t -> t IN ($quoted))) as bigint))")).as("r"))
+      .filter(col("k") =!= col("r") || col("k").isNull =!= col("r").isNull)
+    assert(mism.count() === 0)
+  }
+
   test("CRITICAL always fires regardless of state") {
     val gen = for {
       lastSent <- Gen.choose(-1L, Long.MaxValue / 2)

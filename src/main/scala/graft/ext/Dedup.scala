@@ -243,6 +243,80 @@ object Dedup {
           expr("floor((c * 1.0D / (sa.n + sb.n - c)) * 1000000.0D) / 1000000.0D").as("jaccard"))
     },
 
+    // ── 128-bit SimHash near-dup pairs: the subquadratic banding form ──
+    // The round-11 ×1000 profile measured q37/q53's banding stage
+    // QUADRATIC in corpus size (10.7× task-sec on 3.33× data): exact
+    // hamming ≤ 6 recall on 60 bits forces ≥ 7 bands (pigeonhole), so
+    // band values are 8–9 bits — ~3,300 bucket keys total, buckets grow
+    // linearly with the corpus, pair enumeration quadratically. This is
+    // the WIDE-fingerprint production form: 128-bit SimHash (the full
+    // md5 digest, 4×32-bit chunks) banded 8 × 16 bits — pigeonhole-
+    // exact recall at hamming ≤ 7 with ~200× fewer expected collisions
+    // per band value (2¹⁶ vs 2⁸·⁵), pushing the quadratic term past
+    // 10⁹ docs. Emitted pairs are thresholded at hamming ≤ 12 (the
+    // similarity level of q37's 6/60); recall is GUARANTEED ≤ 7 and
+    // banding-best-effort in (7, 12] — the oracle mirrors the banded
+    // candidate set exactly, so both engines under-recall identically
+    // and the comparison stays exact (the q164 pattern: the registered
+    // form IS the production form, its contract documented).
+    Q(
+      "q166_simhash128_pairs", {
+        def w(c: Int) = s"('0x' || substr(md5(sh), ${8 * c + 1}, 8))::BIGINT"
+        s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+           |sh3 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+           |          i -> array_to_string(ts[i:i+2], ' '))) AS sh FROM tok),
+           |ch AS (SELECT doc_id, c, CASE c WHEN 0 THEN ${w(0)} WHEN 1 THEN ${w(1)}
+           |         WHEN 2 THEN ${w(2)} ELSE ${w(3)} END AS w
+           |       FROM sh3, generate_series(0, 3) g(c)),
+           |bits AS (SELECT doc_id, c, j,
+           |           SUM(CASE WHEN (w >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+           |         FROM ch, generate_series(0, 31) gj(j) GROUP BY doc_id, c, j),
+           |fp AS (SELECT doc_id, c,
+           |         CAST(SUM(CASE WHEN sgn >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS w
+           |       FROM bits GROUP BY doc_id, c),
+           |wide AS (SELECT doc_id,
+           |           max(CASE WHEN c = 0 THEN w END) AS c0,
+           |           max(CASE WHEN c = 1 THEN w END) AS c1,
+           |           max(CASE WHEN c = 2 THEN w END) AS c2,
+           |           max(CASE WHEN c = 3 THEN w END) AS c3
+           |         FROM fp GROUP BY doc_id),
+           |bands AS (SELECT doc_id, b, (w >> (16 * (b % 2))) & 65535 AS bv
+           |          FROM fp, generate_series(0, 7) gb(b) WHERE fp.c = b // 2),
+           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |         FROM bands a JOIN bands b
+           |           ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+           |SELECT a_id, b_id, hamming
+           |FROM (SELECT a_id, b_id,
+           |        CAST(bit_count(xor(wa.c0, wb.c0)) + bit_count(xor(wa.c1, wb.c1))
+           |           + bit_count(xor(wa.c2, wb.c2)) + bit_count(xor(wa.c3, wb.c3))
+           |          AS BIGINT) AS hamming
+           |      FROM cand JOIN wide wa ON wa.doc_id = a_id
+           |                JOIN wide wb ON wb.doc_id = b_id)
+           |WHERE hamming <= 12""".stripMargin
+      }) { (s, d) =>
+      graft.functions.VectorExpressions.register(s)
+      val chunks = (0 until 4).map(c => s"c$c")
+      val fp = Tables.documents(s, d)
+        .select(col("doc_id"), expr("simhash128(text)").as("fp"))
+        .filter(col("fp").isNotNull)
+        .select(col("doc_id") +: (0 until 4).map(c =>
+          col("fp").getItem(c).as(s"c$c")): _*)
+        .transform(CacheScope.scoped)
+      val bands = fp
+        .select(col("doc_id") +: chunks.map(col) :+
+          explode(expr("sequence(0, 7)")).as("b"): _*)
+        .withColumn("bv", expr(
+          "shiftright(CASE WHEN b < 2 THEN c0 WHEN b < 4 THEN c1 " +
+            "WHEN b < 6 THEN c2 ELSE c3 END, 16 * (b % 2)) & 65535"))
+      Skew.selfPairs(bands, "doc_id", Seq("b", "bv"), payloadCols = chunks)
+        .select(col("a_id"), col("b_id"),
+          expr("cast(bit_count(a_c0 ^ b_c0) + bit_count(a_c1 ^ b_c1) " +
+            "+ bit_count(a_c2 ^ b_c2) + bit_count(a_c3 ^ b_c3) as bigint)")
+            .as("hamming"))
+        .filter(col("hamming") <= 12)
+        .distinct()
+    },
+
     // ── Exact Jaccard on a content-hash sample (the 100 TB audit form) ─
     // q35 is the ground truth but ships doc-sized shingle arrays through
     // its verify exchange — at corpus scale it runs ONLY on a sample

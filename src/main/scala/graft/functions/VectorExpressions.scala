@@ -674,6 +674,112 @@ object Shingles60 {
   }
 }
 
+/** 128-bit SimHash of a document in one pass — `array<bigint>` of
+  * FOUR 32-bit chunks (each in [0, 2³²), big-endian digest order):
+  * word 3-gram shingles, each hashed to the FULL 128-bit md5 digest,
+  * voting +1/−1 per bit position across all 128 bits; bit j of the
+  * result is set when its vote sum is ≥ 0. Bit j lives in chunk j/32
+  * at position j%32 counted from that chunk's LSB, where chunk c is
+  * digest bytes [4c, 4c+4) big-endian — exactly what a SQL mirror
+  * reconstructs from hex substrings, with every value inside signed
+  * BIGINT range (the reason for 4×32 rather than 2×64: a 64-bit
+  * unsigned chunk would overflow DuckDB's signed BIGINT).
+  *
+  * WHY width matters (SCALE.md round 11): exact banding recall at
+  * hamming ≤ k needs ≥ k+1 bands (pigeonhole), so a 60-bit
+  * fingerprint caps band values at 8–9 bits — ~3,300 distinct bucket
+  * keys, linearly-growing buckets, and a candidate term QUADRATIC in
+  * corpus size (measured: 10.7× banding task-sec on 3.33× data at
+  * ×1000). 128 bits give 8 bands × 16 bits: same pigeonhole
+  * exactness (hamming ≤ 7) with ~200× fewer expected collisions per
+  * band value, pushing the quadratic past 10⁹ docs.
+  *
+  * Null contract: null → null; fewer than 3 tokens → null (same as
+  * [[Simhash60]]).
+  */
+case class Simhash128(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash128 expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash128"
+
+  protected override def nullSafeEval(str: Any): Any = {
+    val fp = Simhash128.compute(str.toString)
+    if (fp == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(fp)
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val fp = ctx.freshName("fp128")
+      s"""
+         |long[] $fp = graft.functions.Simhash128.compute($str.toString());
+         |if ($fp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($fp);
+         |}
+       """.stripMargin
+    })
+
+  protected override def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Simhash128 {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** One fused pass (same shingle walk as [[Simhash60.compute]], full
+    * 128-bit vote). Chunk c bit j (from LSB) corresponds to digest bit
+    * 32c + j where the digest is read big-endian per 4-byte group.
+    */
+  def compute(s: String): Array[Long] = {
+    val toks = s.split(" ", -1)
+    val n = toks.length
+    if (n < 3) return null
+    val digest = md.get()
+    val votes = new Array[Int](128)
+    var i = 0
+    while (i + 2 < n) {
+      val sh = new java.lang.StringBuilder(
+        toks(i).length + toks(i + 1).length + toks(i + 2).length + 2)
+        .append(toks(i)).append(' ')
+        .append(toks(i + 1)).append(' ')
+        .append(toks(i + 2)).toString
+      val dg = digest.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var c = 0
+      while (c < 4) {
+        var w = 0L
+        var b = 0
+        while (b < 4) { w = (w << 8) | (dg(4 * c + b) & 0xffL); b += 1 }
+        var j = 0
+        while (j < 32) {
+          if (((w >> j) & 1L) == 1L) votes(32 * c + j) += 1
+          else votes(32 * c + j) -= 1
+          j += 1
+        }
+        c += 1
+      }
+      i += 1
+    }
+    val fp = new Array[Long](4)
+    var k = 0
+    while (k < 128) {
+      if (votes(k) >= 0) fp(k / 32) |= (1L << (k % 32))
+      k += 1
+    }
+    fp
+  }
+}
+
 /** Lexical text statistics in ONE fused pass — `array<bigint>` of
   * `[n_tokens, punct, stop_hits]`:
   *
@@ -804,7 +910,8 @@ object VectorExpressions {
     "minhash16" -> (args => MinHash16(args(0))),
     "shingles60" -> (args => Shingles60(args(0))),
     "shingles60_all" -> (args => Shingles60All(args(0))),
-    "text_stats" -> (args => TextStats(args(0), args(1))))
+    "text_stats" -> (args => TextStats(args(0), args(1))),
+    "simhash128" -> (args => Simhash128(args(0))))
 
   /** Register every kernel on the session (idempotent). Called from
     * [[graft.GraftSession]]; query builders also call it defensively so

@@ -139,6 +139,33 @@ class KernelSpec extends AnyFunSuite {
     assert(rows(3).getSeq[Long](0).length === 1) // dup windows collapse
   }
 
+  test("simhash128 ≡ explode → 4×32-bit md5 chunks → 128 signed vote sums") {
+    val sh3 = docs
+      .select(col("doc_id"), expr("split(text, ' ')").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 2), i -> array_join(slice(ts, i, 3), ' '))"))
+        .as("sh"))
+      .select(col("doc_id") +: (0 until 4).map(c =>
+        expr(s"cast(conv(substr(md5(sh), ${8 * c + 1}, 8), 16, 10) as bigint)").as(s"c$c")): _*)
+    val bitAggs = (0 until 128).map(j =>
+      sum(expr(s"CASE WHEN (shiftright(c${j / 32}, ${j % 32}) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$j"))
+    val relational = sh3.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), expr("array(" + (0 until 4).map(c =>
+        (0 until 32).map(j =>
+          s"CASE WHEN s${32 * c + j} >= 0 THEN shiftleft(cast(1 as bigint), $j) ELSE cast(0 as bigint) END")
+          .mkString(" + ")).mkString(", ") + ")").as("fp_rel"))
+    val kernel = docs.select(col("doc_id"), expr("simhash128(text)").as("fp_k"))
+    val joined = kernel.join(relational, "doc_id")
+    assert(joined.count() > 0)
+    assert(joined.filter(col("fp_k") =!= col("fp_rel")).count() === 0)
+    // low 60 bits relate to simhash60's hash family only via md5's
+    // prefix — sanity-pin the chunk RANGE instead: every chunk in [0, 2^32)
+    val oob = kernel.filter(expr(
+      "exists(fp_k, c -> c < 0 OR c > 4294967295)")).count()
+    assert(oob === 0)
+  }
+
   test("text_stats ≡ split/regexp_replace/HOF-filter chain on corpus data") {
     val stopEn = "'the','a','of','to','and','is'"
     val mism = docs.select(

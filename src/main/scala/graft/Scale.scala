@@ -134,24 +134,49 @@ object Scale {
     // Host-speed calibration (r10 verdict ask #6: soak lines need the
     // same per-run normalization denominator the bench emits, so
     // cross-round hot-12 comparisons aren't host-window hostage):
-    // min-of-2 over the fixed sf0.1 subset, median / r9-clean anchor.
-    // Stamped on every soak line below; -1 when disabled.
+    // min-of-3 over the fixed sf0.1 subset, median / r9-clean anchor
+    // (min-of-2 → 3 per r11 ask #4: the per-query min is the scatter
+    // lever the normalization depends on). Stamped on every soak line
+    // below; -1 when disabled, -2 when ANY cal query failed every
+    // repeat (r11 ADVICE: a throwing cal query must not record its
+    // near-zero failure wall as a measurement and silently skew the
+    // median — failed repeats are excluded from the min, and a fully
+    // failed query poisons the stamp loudly instead of quietly).
+    //
+    // The anchor (BENCH_CLEAN_r9) was measured under GraftSession's
+    // cores-sized bench default, so the calibration block PINS
+    // shuffle.partitions to nCores and restores the soak's 2×cores
+    // after (r11 ADVICE: these sub-second queries are fixed-overhead-
+    // dominated, so a different partition count is a systematic config
+    // bias in the ratio, not host speed).
     val hostSpeed =
       if (!calibrate) -1.0
       else {
+        spark.conf.set("spark.sql.shuffle.partitions", nCores.toString)
         val times = calQueries.map { n =>
-          val best = (1 to 2).map { _ =>
+          val good = (1 to 3).flatMap { _ =>
             val t0 = System.nanoTime()
-            try SparkEntry.queries(n)(spark, calDir)
-              .write.format("noop").mode("overwrite").save()
-            catch { case _: Throwable => () }
+            val ok =
+              try { SparkEntry.queries(n)(spark, calDir)
+                .write.format("noop").mode("overwrite").save(); true }
+              catch { case ex: Throwable =>
+                System.err.println(s"[scale] cal $n failed: ${ex.getClass.getSimpleName}")
+                false }
             val dt = (System.nanoTime() - t0) / 1e9
             CacheScope.drain(); spark.catalog.clearCache()
-            dt
-          }.min
-          best
-        }.sorted
-        times(times.size / 2) / CalAnchorR9Sec
+            if (ok) Some(dt) else None
+          }
+          n -> good
+        }
+        spark.conf.set("spark.sql.shuffle.partitions", nShuffle)
+        val dead = times.collect { case (n, g) if g.isEmpty => n }
+        if (dead.nonEmpty) {
+          System.err.println(s"[scale] host calibration POISONED — cal queries with zero successful repeats: ${dead.mkString(",")}")
+          -2.0
+        } else {
+          val mins = times.map(_._2.min).sorted
+          mins(mins.size / 2) / CalAnchorR9Sec
+        }
       }
     // drain straggler warmup task-end events before the first measured
     // reset (r6 ADVICE: without this, warmup stragglers pollute the

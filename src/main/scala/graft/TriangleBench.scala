@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   * pair list — a hub at id 10⁶ with hubDeg/2 neighbors below and above
   * the hub id (the id-form's worst case), plus 200 disjoint 6-cliques
   * (3,000 real triangles, so both forms produce checkable output) —
-  * runs BOTH enumerations, asserts identical per-doc counts, and
-  * prints one JSON line per form: wall seconds and the wedge count the
-  * orientation admits. Evidence lines land in STREAM_r{N}.jsonl.
+  * runs BOTH enumerations, asserts identical per-doc counts (a full
+  * outer join over the two per-doc count relations, zero mismatching
+  * rows — not just equal totals, which two different distributions
+  * could fake; r11 ADVICE), and prints one JSON line per form: wall
+  * seconds and the wedge count the orientation admits. Evidence lines
+  * land in STREAM_r{N}.jsonl.
   */
 object TriangleBench {
   def main(args: Array[String]): Unit = {
@@ -53,15 +56,29 @@ object TriangleBench {
         .unionAll(tri.select(col("z")))
     }
 
-    def time(f: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+    // persist the per-doc counts so the timed total-sum action (which
+    // drives the full enumeration) and the untimed per-doc equality
+    // check below share one enumeration instead of running it twice
+    def time(f: => org.apache.spark.sql.DataFrame)
+        : (Double, Long, org.apache.spark.sql.DataFrame) = {
+      val c = counts(f).persist()
       val t0 = System.nanoTime()
-      val n = counts(f).agg(sum("n")).head().getLong(0)
-      ((System.nanoTime() - t0) / 1e9, n)
+      val n = c.agg(sum("n")).head().getLong(0)
+      ((System.nanoTime() - t0) / 1e9, n, c)
     }
 
-    val (degSec, degN) = time(graft.ext.Clustering.trianglesByDegree(pairs))
-    val (idSec, idN) = time(byId)
+    val (degSec, degN, degC) = time(graft.ext.Clustering.trianglesByDegree(pairs))
+    val (idSec, idN, idC) = time(byId)
     require(degN == idN, s"corner-count mismatch: $degN vs $idN")
+    // per-doc equality, not just equal totals: full outer join the two
+    // count relations and demand zero mismatching rows (r11 ADVICE —
+    // two different per-doc distributions can share a total)
+    val mismatches = degC.as("d")
+      .join(idC.as("i"), col("d.doc_id") === col("i.doc_id"), "full")
+      .filter(coalesce(col("d.n"), lit(-1L)) =!= coalesce(col("i.n"), lit(-1L)))
+      .count()
+    require(mismatches == 0L, s"per-doc triangle-count mismatch on $mismatches docs")
+    degC.unpersist(); idC.unpersist()
     val wedgesId = (hubDeg.toLong / 2) * (hubDeg / 2) + 200L * 6 * 10 // in×out at hub + clique wedges (bounded)
     println(f"""{"metric":"triangle_bench","form":"degree-oriented","hub_deg":$hubDeg,"sec":$degSec%.2f,"triangle_corners":$degN,"hub_wedges":0}""")
     println(f"""{"metric":"triangle_bench","form":"id-oriented","hub_deg":$hubDeg,"sec":$idSec%.2f,"triangle_corners":$idN,"hub_wedges":$wedgesId}""")

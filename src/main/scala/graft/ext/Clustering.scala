@@ -178,8 +178,13 @@ object Clustering {
       |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
       |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id)""".stripMargin
 
-  /** Corpus-wide (doc_id, cluster_id) from the SimHash near-dup pairs —
-    * the Spark side of [[ccDuck]], shared by q53 and q67.
+  /** Corpus-wide (doc_id, cluster_id) from a near-dup pair relation
+    * (a_id, b_id, …) — the Spark side of [[ccDuck]], parameterized on
+    * the pair source so the 60-bit ([[simhashClusters]]) and the
+    * production-width 128-bit ([[simhash128Clusters]]) families share
+    * one CC machinery (r11 verdict ask #1: the CC trio must not be
+    * welded to the fingerprint width whose banding join is the
+    * measured corpus-quadratic).
     *
     * Iterates ONLY the pair-participant subgraph: a doc in no pair is
     * its own cluster by construction, so the propagation loop shuffles
@@ -188,8 +193,9 @@ object Clustering {
     * iterating the corpus. Singletons union in after the fixpoint with
     * cluster_id = doc_id.
     */
-  private def simhashClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = Dedup.simhashPairs(s, d).transform(CacheScope.scoped)
+  private def clustersFromPairs(
+      s: SparkSession, d: String, pairsRel: DataFrame): DataFrame = {
+    val pairs = pairsRel.transform(CacheScope.scoped)
     val participants = pairs.select(col("a_id").as("doc_id"))
       .union(pairs.select(col("b_id").as("doc_id")))
       .distinct()
@@ -198,6 +204,18 @@ object Clustering {
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
     components(participants, pairs).unionByName(singletons)
   }
+
+  /** 60-bit SimHash cluster map — q53/q67/q160's registered form. */
+  private def simhashClusters(s: SparkSession, d: String): DataFrame =
+    clustersFromPairs(s, d, Dedup.simhashPairs(s, d))
+
+  /** 128-bit SimHash cluster map — the PRODUCTION-width form
+    * (q167/q168/q169): same CC machinery over [[Dedup.simhash128Pairs]],
+    * whose 8×16-bit banding kills the 60-bit form's measured
+    * corpus-quadratic candidate term (SCALE.md r11/r12).
+    */
+  private def simhash128Clusters(s: SparkSession, d: String): DataFrame =
+    clustersFromPairs(s, d, Dedup.simhash128Pairs(s, d))
 
   val all: Seq[Q] = Seq(
     // ── Near-dup clusters from SimHash pairs + canonical survivors ─────
@@ -288,6 +306,87 @@ object Clustering {
       val coin =
         s"${Portable.h60Spark("concat('split|', cast(cluster_id as string))")} % 100"
       simhashClusters(s, d)
+        .select(col("doc_id"), col("cluster_id"),
+          expr(s"CASE WHEN $coin < 90 THEN 'train'" +
+            s" WHEN $coin < 95 THEN 'val' ELSE 'test' END").as("split"))
+    },
+
+    // ── PRODUCTION-width cluster family: q53/q67/q160 over the 128-bit
+    // pair relation (r11 verdict ask #1). The 60-bit trio stays
+    // registered — hamming ≤ 6/60 is a different similarity level, and
+    // its recursive-CTE oracles pin that semantics — but the form a
+    // 100 TB run ships is THIS one: q166's 8×16-bit banding replaces
+    // the banding join that was measured corpus-QUADRATIC at ×1000
+    // (7,226 task-sec, 83% of q67; SCALE.md r11) with one whose
+    // candidate term is demoted below the linear fingerprint scan
+    // (17× banding task-sec cut, simhash128_ab). Same q164/q166
+    // "production dial" pattern: registered beside the ground-truth
+    // form, oracle-exact at both SFs, so the scale posture is
+    // machine-checked rather than claimed.
+    Q(
+      "q167_dedup_clusters128",
+      s"""WITH RECURSIVE ${Dedup.simhash128PairsDuck},
+         |$ccDuck,
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+         |SELECT cc.doc_id, cc.cluster_id, sizes.cluster_size,
+         |       cc.doc_id = cc.cluster_id AS is_canonical
+         |FROM cc JOIN sizes USING (cluster_id)""".stripMargin) { (s, d) =>
+      // same window-not-join shape as q53 (cluster relation is mostly
+      // singletons; the window shuffles the 16-byte rows once)
+      simhash128Clusters(s, d)
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("cluster_id")).as("is_canonical"))
+    },
+
+    // q67's retention decision over the 128-bit clusters: same quality
+    // score, same survivor window — only the pair relation changes.
+    Q(
+      "q168_canonical_docs128",
+      s"""WITH RECURSIVE ${Dedup.simhash128PairsDuck},
+         |$ccDuck,
+         |${TextAnalysis.qualityFeaturesDuck},
+         |qual AS (SELECT doc_id,
+         |           floor((${TextAnalysis.qualityScoreDuck}) * 10000.0) / 10000.0 AS quality
+         |         FROM qfeat)
+         |SELECT doc_id, cluster_id, quality, r = 1 AS keep
+         |FROM (SELECT cc.doc_id, cc.cluster_id, qual.quality,
+         |        row_number() OVER (PARTITION BY cc.cluster_id
+         |          ORDER BY qual.quality DESC, cc.doc_id) AS r
+         |      FROM cc JOIN qual ON qual.doc_id = cc.doc_id)""".stripMargin) { (s, d) =>
+      val qual = TextAnalysis.qualityFeatures(s, d)
+        .select(col("doc_id"),
+          expr(s"floor((${TextAnalysis.qualityScoreSpark}) * 10000.0D) / 10000.0D")
+            .as("quality"))
+      simhash128Clusters(s, d)
+        .join(qual, "doc_id")
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("cluster_id")
+            .orderBy(col("quality").desc, col("doc_id"))))
+        .select(col("doc_id"), col("cluster_id"), col("quality"),
+          (col("r") === 1).as("keep"))
+    },
+
+    // q160's leakage-free split over the 128-bit clusters: same
+    // cluster-keyed hash coin, so train/val/test assignment stays
+    // comparable across the two widths for any doc whose cluster is
+    // identical under both.
+    Q(
+      "q169_cluster_split128", {
+        val coin = Portable.h60Duck("concat('split|', cluster_id::VARCHAR)")
+        s"""WITH RECURSIVE ${Dedup.simhash128PairsDuck},
+           |$ccDuck
+           |SELECT doc_id, cluster_id,
+           |  CASE WHEN $coin % 100 < 90 THEN 'train'
+           |       WHEN $coin % 100 < 95 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM cc""".stripMargin
+      }) { (s, d) =>
+      val coin =
+        s"${Portable.h60Spark("concat('split|', cast(cluster_id as string))")} % 100"
+      simhash128Clusters(s, d)
         .select(col("doc_id"), col("cluster_id"),
           expr(s"CASE WHEN $coin < 90 THEN 'train'" +
             s" WHEN $coin < 95 THEN 'val' ELSE 'test' END").as("split"))

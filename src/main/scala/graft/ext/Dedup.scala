@@ -191,6 +191,51 @@ object Dedup {
        |spairs AS (SELECT a_id, b_id, bit_count(xor(afp, bfp)) AS hamming
        |           FROM cand WHERE bit_count(xor(afp, bfp)) <= 6)""".stripMargin
 
+  /** DuckDB mirror of the 128-bit SimHash banding pipeline
+    * ([[simhash128Pairs]]) as a CTE body ending in
+    * `spairs(a_id, b_id, hamming)` at hamming ≤ 12 — the q166 oracle,
+    * shared with the production-width cluster family's
+    * connected-components oracles (q167/q168/q169, the same
+    * composition role [[simhashPairsDuck]] plays for q53/q67/q160).
+    * Chunk c of the fingerprint is md5-digest bytes [4c, 4c+4)
+    * big-endian, reconstructed here from hex substrings so every value
+    * stays inside DuckDB's signed BIGINT.
+    */
+  private[ext] val simhash128PairsDuck: String = {
+    def w(c: Int) = s"('0x' || substr(md5(sh), ${8 * c + 1}, 8))::BIGINT"
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |sh3 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+       |          i -> array_to_string(ts[i:i+2], ' '))) AS sh FROM tok),
+       |ch AS (SELECT doc_id, c, CASE c WHEN 0 THEN ${w(0)} WHEN 1 THEN ${w(1)}
+       |         WHEN 2 THEN ${w(2)} ELSE ${w(3)} END AS w
+       |       FROM sh3, generate_series(0, 3) g(c)),
+       |bits AS (SELECT doc_id, c, j,
+       |           SUM(CASE WHEN (w >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+       |         FROM ch, generate_series(0, 31) gj(j) GROUP BY doc_id, c, j),
+       |fp AS (SELECT doc_id, c,
+       |         CAST(SUM(CASE WHEN sgn >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS w
+       |       FROM bits GROUP BY doc_id, c),
+       |wide AS (SELECT doc_id,
+       |           max(CASE WHEN c = 0 THEN w END) AS c0,
+       |           max(CASE WHEN c = 1 THEN w END) AS c1,
+       |           max(CASE WHEN c = 2 THEN w END) AS c2,
+       |           max(CASE WHEN c = 3 THEN w END) AS c3
+       |         FROM fp GROUP BY doc_id),
+       |bands AS (SELECT doc_id, b, (w >> (16 * (b % 2))) & 65535 AS bv
+       |          FROM fp, generate_series(0, 7) gb(b) WHERE fp.c = b // 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM bands a JOIN bands b
+       |           ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |spairs AS (SELECT a_id, b_id, hamming
+       |           FROM (SELECT a_id, b_id,
+       |                   CAST(bit_count(xor(wa.c0, wb.c0)) + bit_count(xor(wa.c1, wb.c1))
+       |                      + bit_count(xor(wa.c2, wb.c2)) + bit_count(xor(wa.c3, wb.c3))
+       |                     AS BIGINT) AS hamming
+       |                 FROM cand JOIN wide wa ON wa.doc_id = a_id
+       |                           JOIN wide wb ON wb.doc_id = b_id)
+       |           WHERE hamming <= 12)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     // ── Exact dedup: content-hash groupBy, keep-first survivor ─────────
     // The exchange carries (16-byte hash, id), never the document text
@@ -260,61 +305,10 @@ object Dedup {
     // and the comparison stays exact (the q164 pattern: the registered
     // form IS the production form, its contract documented).
     Q(
-      "q166_simhash128_pairs", {
-        def w(c: Int) = s"('0x' || substr(md5(sh), ${8 * c + 1}, 8))::BIGINT"
-        s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-           |sh3 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
-           |          i -> array_to_string(ts[i:i+2], ' '))) AS sh FROM tok),
-           |ch AS (SELECT doc_id, c, CASE c WHEN 0 THEN ${w(0)} WHEN 1 THEN ${w(1)}
-           |         WHEN 2 THEN ${w(2)} ELSE ${w(3)} END AS w
-           |       FROM sh3, generate_series(0, 3) g(c)),
-           |bits AS (SELECT doc_id, c, j,
-           |           SUM(CASE WHEN (w >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
-           |         FROM ch, generate_series(0, 31) gj(j) GROUP BY doc_id, c, j),
-           |fp AS (SELECT doc_id, c,
-           |         CAST(SUM(CASE WHEN sgn >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS w
-           |       FROM bits GROUP BY doc_id, c),
-           |wide AS (SELECT doc_id,
-           |           max(CASE WHEN c = 0 THEN w END) AS c0,
-           |           max(CASE WHEN c = 1 THEN w END) AS c1,
-           |           max(CASE WHEN c = 2 THEN w END) AS c2,
-           |           max(CASE WHEN c = 3 THEN w END) AS c3
-           |         FROM fp GROUP BY doc_id),
-           |bands AS (SELECT doc_id, b, (w >> (16 * (b % 2))) & 65535 AS bv
-           |          FROM fp, generate_series(0, 7) gb(b) WHERE fp.c = b // 2),
-           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |         FROM bands a JOIN bands b
-           |           ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
-           |SELECT a_id, b_id, hamming
-           |FROM (SELECT a_id, b_id,
-           |        CAST(bit_count(xor(wa.c0, wb.c0)) + bit_count(xor(wa.c1, wb.c1))
-           |           + bit_count(xor(wa.c2, wb.c2)) + bit_count(xor(wa.c3, wb.c3))
-           |          AS BIGINT) AS hamming
-           |      FROM cand JOIN wide wa ON wa.doc_id = a_id
-           |                JOIN wide wb ON wb.doc_id = b_id)
-           |WHERE hamming <= 12""".stripMargin
-      }) { (s, d) =>
-      graft.functions.VectorExpressions.register(s)
-      val chunks = (0 until 4).map(c => s"c$c")
-      val fp = Tables.documents(s, d)
-        .select(col("doc_id"), expr("simhash128(text)").as("fp"))
-        .filter(col("fp").isNotNull)
-        .select(col("doc_id") +: (0 until 4).map(c =>
-          col("fp").getItem(c).as(s"c$c")): _*)
-        .transform(CacheScope.scoped)
-      val bands = fp
-        .select(col("doc_id") +: chunks.map(col) :+
-          explode(expr("sequence(0, 7)")).as("b"): _*)
-        .withColumn("bv", expr(
-          "shiftright(CASE WHEN b < 2 THEN c0 WHEN b < 4 THEN c1 " +
-            "WHEN b < 6 THEN c2 ELSE c3 END, 16 * (b % 2)) & 65535"))
-      Skew.selfPairs(bands, "doc_id", Seq("b", "bv"), payloadCols = chunks)
-        .select(col("a_id"), col("b_id"),
-          expr("cast(bit_count(a_c0 ^ b_c0) + bit_count(a_c1 ^ b_c1) " +
-            "+ bit_count(a_c2 ^ b_c2) + bit_count(a_c3 ^ b_c3) as bigint)")
-            .as("hamming"))
-        .filter(col("hamming") <= 12)
-        .distinct()
+      "q166_simhash128_pairs",
+      s"""WITH $simhash128PairsDuck
+         |SELECT a_id, b_id, hamming FROM spairs""".stripMargin) { (s, d) =>
+      simhash128Pairs(s, d)
     },
 
     // ── Exact Jaccard on a content-hash sample (the 100 TB audit form) ─
@@ -1089,6 +1083,46 @@ object Dedup {
   private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val cand = minhashCandidates(s, d).transform(CacheScope.scoped)
     jaccardVerify(cand, shingles5(s, d), "a_id", "b_id")
+  }
+
+  /** The full Spark-side 128-bit SimHash pair pipeline over
+    * `documents` — the PRODUCTION-width near-dup pair relation (q166),
+    * shared with the production cluster family (q167/q168/q169) the
+    * way [[simhashPairs]] feeds q37/q53/q67/q160. Same shape as the
+    * 60-bit form — fused fingerprint kernel, band explosion,
+    * skew-aware banding self-join — but 8 × 16-bit bands over the
+    * 128-bit fingerprint: ~200× fewer expected collisions per band
+    * value than the 60-bit form's 8–9-bit bands, which demotes the
+    * banding join from the measured corpus-quadratic (SCALE.md r11:
+    * 10.7× task-sec on 3.33× data, 83% of q67 at ×1000) to below the
+    * linear fingerprint scan. Pairs are exact-hamming-verified ≤ 12;
+    * recall is pigeonhole-guaranteed ≤ 7 and banding-best-effort in
+    * (7, 12] — the oracle mirrors the banded candidate set exactly, so
+    * both engines under-recall identically. Persists the fingerprint
+    * stage (32 B/doc) for the banding join's two sides.
+    */
+  private[graft] def simhash128Pairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val chunks = (0 until 4).map(c => s"c$c")
+    val fp = Tables.documents(s, d)
+      .select(col("doc_id"), expr("simhash128(text)").as("fp"))
+      .filter(col("fp").isNotNull)
+      .select(col("doc_id") +: (0 until 4).map(c =>
+        col("fp").getItem(c).as(s"c$c")): _*)
+      .transform(CacheScope.scoped)
+    val bands = fp
+      .select(col("doc_id") +: chunks.map(col) :+
+        explode(expr("sequence(0, 7)")).as("b"): _*)
+      .withColumn("bv", expr(
+        "shiftright(CASE WHEN b < 2 THEN c0 WHEN b < 4 THEN c1 " +
+          "WHEN b < 6 THEN c2 ELSE c3 END, 16 * (b % 2)) & 65535"))
+    Skew.selfPairs(bands, "doc_id", Seq("b", "bv"), payloadCols = chunks)
+      .select(col("a_id"), col("b_id"),
+        expr("cast(bit_count(a_c0 ^ b_c0) + bit_count(a_c1 ^ b_c1) " +
+          "+ bit_count(a_c2 ^ b_c2) + bit_count(a_c3 ^ b_c3) as bigint)")
+          .as("hamming"))
+      .filter(col("hamming") <= 12)
+      .distinct()
   }
 
   /** The full Spark-side SimHash pair pipeline over `documents` —

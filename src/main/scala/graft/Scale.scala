@@ -28,22 +28,12 @@ object Scale {
     "q154_bpe_train", "q160_cluster_split", "q78_duplicated_spans",
     "q148_threshold_sweep", "q157_dup_source_matrix", "q102_bloom_contamination")
 
-  /** Host-speed calibration subset: 15 cheap, fixed-overhead-dominated
-    * events/dimension queries (no documents-table pair machinery), run
-    * at sf0.1 before the soak so every soak line carries the same
-    * normalization denominator the registry bench emits. Anchor =
-    * the MEDIAN of these queries in the r9 clean window
-    * (BENCH_CLEAN_r9.json) — the same anchor window as
-    * [[Bench.CleanMedianAnchorSec]], restricted to this subset.
+  /** Host-speed calibration subset + anchor live in [[HostCal]] (r12:
+    * extracted so StreamBench's ingest lines carry the same stamp —
+    * r11 ask #3).
     */
-  val calQueries: Seq[String] = Seq(
-    "q01_pricing_summary", "q02_star_join_revenue", "q04_semi_join_active",
-    "q06_max_watermark", "q08_dim_time", "q09_surrogate_keys",
-    "q10_share_of_total", "q11_topk_orders", "q12_multicol_anti_join",
-    "q20_avg_tiles", "q21_count_by_type", "q110_set_ops",
-    "q111_rank_functions", "q128_weekly_heatmap", "q130_column_profile")
-  /** median of [[calQueries]] in BENCH_CLEAN_r9.json (q08_dim_time). */
-  val CalAnchorR9Sec = 0.187150264
+  val calQueries: Seq[String] = HostCal.calQueries
+  val CalAnchorR9Sec: Double = HostCal.CalAnchorR9Sec
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -121,10 +111,7 @@ object Scale {
     // (same policy as Bench); ignore warmup failures, measured run will
     // surface them loudly.
     val warm = "/root/testdata/sf0.001"
-    val calDir = "/root/testdata/sf0.1"
-    val calibrate = sys.env.getOrElse("SPARK_GRAFT_HOSTCAL", "1") == "1" &&
-      new java.io.File(calDir).isDirectory
-    val warmNames = if (calibrate) names ++ calQueries else names
+    val warmNames = if (HostCal.enabled) names ++ calQueries else names
     warmNames.foreach { n =>
       try SparkEntry.queries(n)(spark, warm)
         .write.format("noop").mode("overwrite").save()
@@ -134,50 +121,12 @@ object Scale {
     // Host-speed calibration (r10 verdict ask #6: soak lines need the
     // same per-run normalization denominator the bench emits, so
     // cross-round hot-12 comparisons aren't host-window hostage):
-    // min-of-3 over the fixed sf0.1 subset, median / r9-clean anchor
-    // (min-of-2 → 3 per r11 ask #4: the per-query min is the scatter
-    // lever the normalization depends on). Stamped on every soak line
-    // below; -1 when disabled, -2 when ANY cal query failed every
-    // repeat (r11 ADVICE: a throwing cal query must not record its
-    // near-zero failure wall as a measurement and silently skew the
-    // median — failed repeats are excluded from the min, and a fully
-    // failed query poisons the stamp loudly instead of quietly).
-    //
-    // The anchor (BENCH_CLEAN_r9) was measured under GraftSession's
-    // cores-sized bench default, so the calibration block PINS
-    // shuffle.partitions to nCores and restores the soak's 2×cores
-    // after (r11 ADVICE: these sub-second queries are fixed-overhead-
-    // dominated, so a different partition count is a systematic config
-    // bias in the ratio, not host speed).
-    val hostSpeed =
-      if (!calibrate) -1.0
-      else {
-        spark.conf.set("spark.sql.shuffle.partitions", nCores.toString)
-        val times = calQueries.map { n =>
-          val good = (1 to 3).flatMap { _ =>
-            val t0 = System.nanoTime()
-            val ok =
-              try { SparkEntry.queries(n)(spark, calDir)
-                .write.format("noop").mode("overwrite").save(); true }
-              catch { case ex: Throwable =>
-                System.err.println(s"[scale] cal $n failed: ${ex.getClass.getSimpleName}")
-                false }
-            val dt = (System.nanoTime() - t0) / 1e9
-            CacheScope.drain(); spark.catalog.clearCache()
-            if (ok) Some(dt) else None
-          }
-          n -> good
-        }
-        spark.conf.set("spark.sql.shuffle.partitions", nShuffle)
-        val dead = times.collect { case (n, g) if g.isEmpty => n }
-        if (dead.nonEmpty) {
-          System.err.println(s"[scale] host calibration POISONED — cal queries with zero successful repeats: ${dead.mkString(",")}")
-          -2.0
-        } else {
-          val mins = times.map(_._2.min).sorted
-          mins(mins.size / 2) / CalAnchorR9Sec
-        }
-      }
+    // [[HostCal.measure]] — min-of-3 over the fixed sf0.1 subset,
+    // median / r9-clean anchor, failed repeats excluded, cal block
+    // pinned to the anchor's cores-sized partition config (r11 ADVICE
+    // ×2 and ask #4; see HostCal's scaladoc). Stamped on every soak
+    // line below; -1 disabled, -2 poisoned.
+    val hostSpeed = HostCal.measure(spark, nCores, nShuffle)
     // drain straggler warmup task-end events before the first measured
     // reset (r6 ADVICE: without this, warmup stragglers pollute the
     // first query's numbers). waitUntilEmpty is the REAL drain — the

@@ -137,12 +137,25 @@ object StreamBench {
 
     val landed = spark.read.json(lake).count()
     val alertRows = spark.read.parquet(alerts).count()
+    // host-speed stamp AFTER the streaming run (r11 ask #3: ingest
+    // lines need the same normalization denominator the soak/bench
+    // lines carry; running the calibration after keeps the streaming
+    // measurement itself uncontended). Shares Scale's machinery —
+    // HostCal pins/restores the partition config itself.
+    val curShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val nCores = {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      if (cpus == "*") Runtime.getRuntime.availableProcessors() else cpus.toInt
+    }
+    if (HostCal.enabled) HostCal.warm(spark)
+    val hostSpeed = HostCal.measure(spark, nCores, curShuffle)
     println(
       s"""{"metric":"stream_ingest","state_api":"${if (tws) "transformWithState+rocksdb" else "fMGWS+hdfs"}","events":$n,"wall_sec":${f"$wallSec%.1f"},""" +
         s""""lake_sec":${f"$lakeSec%.1f"},"events_per_sec":${(n / wallSec).toInt},""" +
         s""""n_batches":${batches.length},"batch_ms_p50":${pct(0.5)},""" +
         s""""batch_ms_p95":${pct(0.95)},"batch_ms_max":${pct(1.0)},""" +
-        s""""landed_rows":$landed,"alert_rows":$alertRows}""")
+        s""""landed_rows":$landed,"alert_rows":$alertRows,""" +
+        s""""host_speed_vs_clean_r9":${f"$hostSpeed%.3f"}}""")
     graft.stream.OrderlyShutdown.stop(spark)
   }
 }

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the production-width (128-bit) cluster family
+  * q167/q168/q169 — the r12 adoption of q166's wide-fingerprint pair
+  * relation by the CC machinery (SURVEY §8, SCALE.md r12). The DuckDB
+  * oracle already pins exact row equality at both SFs; these tests pin
+  * the STRUCTURAL contracts that make the family usable downstream,
+  * on the real sf0.001 corpus:
+  *
+  *  - every q166 pair cohabits a q167 cluster (the CC is a closure of
+  *    the pair relation, not a re-derivation that could drift);
+  *  - the cluster map is a partition of the corpus (one row per doc,
+  *    cluster id = component min, exactly one canonical per cluster);
+  *  - q168 keeps exactly one survivor per cluster and it is the
+  *    quality-max (doc_id tiebreak) member;
+  *  - q169 assigns one split per cluster, so ZERO near-dup pairs
+  *    straddle the train/val/test boundary (the leakage-freedom that
+  *    is the query's reason to exist);
+  *  - exact duplicates (identical text ⇒ identical fingerprint at any
+  *    width ⇒ guaranteed banding collision) cohabit under BOTH the
+  *    60-bit (q53) and 128-bit (q167) widths — the cross-width
+  *    consistency floor that holds even though the two similarity
+  *    levels (hamming ≤ 6/60 vs ≤ 12/128) legitimately differ on
+  *    near-duplicates.
+  */
+class Cluster128Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  private lazy val pairs =
+    q("q166_simhash128_pairs").select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+  private lazy val clusters =
+    q("q167_dedup_clusters128").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+
+  test("every 128-bit pair cohabits a q167 cluster") {
+    assert(pairs.nonEmpty, "fixture must produce near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 === clusters(b)._1,
+        s"pair ($a, $b) split across clusters")
+    }
+  }
+
+  test("q167 is a partition: one row per doc, min-id label, one canonical per cluster") {
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(clusters.size.toLong === nDocs)
+    // cluster id is a member of its own cluster and is the min member
+    val byCluster = clusters.groupBy(_._2._1)
+    byCluster.foreach { case (cid, ms) =>
+      assert(ms.keys.min === cid, s"cluster $cid not labeled by its min member")
+      assert(ms.count(_._2._3) === 1, s"cluster $cid canonical count != 1")
+      assert(ms(cid)._3, s"cluster $cid canonical is not the min member")
+      // cluster_size column agrees with the actual member count
+      ms.foreach { case (id, (_, size, _)) =>
+        assert(size === ms.size.toLong, s"doc $id cluster_size $size != ${ms.size}")
+      }
+    }
+  }
+
+  test("q168 keeps exactly the quality-max member per cluster") {
+    val rows = q("q168_canonical_docs128").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, ms) =>
+      val keeps = ms.filter(_._4)
+      assert(keeps.length === 1, s"cluster $cid keep count ${keeps.length}")
+      // survivor = max quality, doc_id ascending tiebreak
+      val expect = ms.minBy(m => (-m._3, m._1))
+      assert(keeps.head._1 === expect._1,
+        s"cluster $cid kept ${keeps.head._1}, expected ${expect._1}")
+    }
+  }
+
+  test("q169: one split per cluster, zero pairs straddle the boundary") {
+    val split = q("q169_cluster_split128").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // split is a pure function of the cluster id
+    split.values.groupBy(_._1).foreach { case (cid, vs) =>
+      assert(vs.map(_._2).toSet.size === 1, s"cluster $cid spans splits")
+    }
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._2 === split(b)._2, s"pair ($a, $b) straddles splits")
+    }
+    assert(split.values.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("exact duplicates cohabit under both fingerprint widths") {
+    // the sf corpora contain near-dups but no exact-text twins, so the
+    // cross-width floor is proven on a synthetic documents dir:
+    // identical text ⇒ identical fingerprint at any width ⇒ a
+    // guaranteed banding collision ⇒ one cluster, under both 6/60 and
+    // 12/128 — while the shuffled-text decoys may or may not pair
+    import spark.implicits._
+    val doc = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, doc, "en", "web", doc.length.toLong),
+      (2L, doc, "en", "web", doc.length.toLong),
+      (3L, doc, "en", "mirror", doc.length.toLong),
+      (4L, "completely different content with no shared shingles at all here", "en", "web", 64L),
+      (5L, "another unrelated document body for the singleton case in this test", "en", "web", 68L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("c128fix").toString
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(dir, "documents.parquet").toString)
+    val twins = Seq(1L, 2L, 3L)
+    val c128 = q2("q167_dedup_clusters128", dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c60 = q2("q53_dedup_clusters", dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(twins.map(c128).toSet === Set(1L), s"128-bit clusters split exact twins: $c128")
+    assert(twins.map(c60).toSet === Set(1L), s"60-bit clusters split exact twins: $c60")
+    assert(c128.keySet === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  private def q2(name: String, dir: String): DataFrame =
+    SparkEntry.queries(name)(spark, dir)
+}

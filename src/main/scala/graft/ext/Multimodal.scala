@@ -237,6 +237,15 @@ object MultimodalStub {
     * producing zeros would poison downstream training-data filters.
     */
   def decodeImage(docId: Long, bytes: Array[Byte]): AssetFeatures = {
+    // ImageIO.read(InputStream) wraps its input in a DISK-backed
+    // ImageInputStream when useCache is true (the JDK default): every
+    // decode creates+writes+deletes a temp file. The input here is
+    // already an in-memory byte array, so the disk cache is pure
+    // contention — the r12 parallelism sweep measured per-core decode
+    // throughput 5× LOWER at 32 threads than at 4 with the default on
+    // (probe:"multimodal_parts_r12"). Memory-cached streams restore
+    // linear scaling; set once per executor (static JVM flag, idempotent).
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, s"undecodable image payload for doc $docId (${bytes.length} bytes)")
     val w = img.getWidth

@@ -25,8 +25,15 @@ object Bench {
     * pairs added): q166 measures ~0.4 s at sf0.1, so the upper edge
     * widens by the additive query (102 → 103); the floor stays — the
     * r11 clean windows read 62.0–71.6 s, inside the band.
+    *
+    * Round-12 re-pin for the 163-query registry (q167–q169, the
+    * 128-bit cluster family, ~2 s each at bench scale): the r12 clean
+    * triplet read 77.7–87.2 s raw in 0.94–1.02 windows; the raw band
+    * scales that envelope to the historical window range (0.86–1.25):
+    * ~70–108. The raw band is now only the FALLBACK when calibration
+    * is off — the primary check is [[NormBandSec]] below.
     */
-  val CleanBandSec: (Double, Double) = (65.0, 103.0)
+  val CleanBandSec: (Double, Double) = (70.0, 108.0)
   val CleanBandQueries = 163
   /** …and only for the SF the band was measured at. */
   val CleanBandSf = "sf0.1"
@@ -39,22 +46,25 @@ object Bench {
     * 68.2 s @ 0.897 ≈ 76.0 normalized (159 q); r11 clean 74.1 s @
     * 0.948 ≈ 78.2 (160 q); the r12 clean triplet on the 163-query
     * registry (q167–q169 added: the 128-bit CC trio, ~2 s each at
-    * bench scale — BENCH_CLEAN_r12.json) measured 82.9–85.6 s
+    * bench scale — BENCH_CLEAN_r12.json) measured 81.0 / 82.6 / 86.3
     * normalized. Band = triplet envelope ± the measured inter-run
-    * residual, floor relaxed to r10's 76 (a faster future window must
-    * not read as "contended"). Raw band kept above as the fallback
-    * when calibration is off (hostSpeed ≤ 0).
+    * residual (86.3 × 1.064 ≈ 92), floor relaxed below r10's 76 (a
+    * faster future window must not read as "contended"). Raw band
+    * kept above as the fallback when calibration is off
+    * (hostSpeed ≤ 0).
     */
-  val NormBandSec: (Double, Double) = (74.0, 90.0)
+  val NormBandSec: (Double, Double) = (72.0, 92.0)
 
   /** Measured inter-run residual of the NORMALIZED total across
-    * same-code clean runs (r11 SCALE.md header: ±4%; re-quantified on
-    * the r12 clean triplet — see BENCH_CLEAN_r12.json's
-    * norm_inter_run_spread_pct). Emitted as the systematic component
-    * of the normalized total's error bar; the statistical component
-    * (in-JVM repeat scatter) is measured per run.
+    * same-code clean runs: the r12 clean triplet's normalized totals
+    * (81.0 / 82.6 / 86.3) spread (max−min)/mean = 6.4% — wider than
+    * the r11 header's ±4% estimate, so the error bar uses the
+    * measured figure. Emitted as the systematic component of the
+    * normalized total's error bar; the statistical component (in-JVM
+    * repeat scatter, `repeat_spread_sec`: 6.1–8.0 s on the triplet)
+    * is measured per run and combined in quadrature.
     */
-  val InterRunSigmaPct = 4.0
+  val InterRunSigmaPct = 6.4
 
   /** Host-speed anchor for mechanical per-query normalization (r9
     * verdict ask #7: the ±13% clean band swallows real per-query

@@ -369,6 +369,8 @@ object MultimodalStub {
     * image).
     */
   def resizeImage(docId: Long, bytes: Array[Byte], w: Int, h: Int): AssetFeatures = {
+    // same disk-cache guard as decodeImage (this path can run first)
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, s"undecodable image payload for doc $docId (${bytes.length} bytes)")
     val thumb = new java.awt.image.BufferedImage(

@@ -442,6 +442,37 @@ object Clustering {
       trianglesByDegree(pairs)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_triangles"))
+    },
+
+    // ── Triangle census over the PRODUCTION-width near-dup graph ───────
+    // q108 was the last registered consumer of the 60-bit pair
+    // relation whose banding join is the measured corpus-quadratic
+    // (the CC trio moved to 128-bit as q167–q169 this round); this is
+    // its production form — the same degree-oriented compact-forward
+    // enumeration over q166's pair graph, so the transitivity audit a
+    // 100 TB dedup run would actually ship rides the subquadratic
+    // banding too. Oracle keeps the orientation-invariant id-oriented
+    // enumeration (q108's note).
+    Q(
+      "q170_triangles128",
+      s"""WITH ${Dedup.simhash128PairsDuck},
+         |e AS (SELECT DISTINCT a_id AS a, b_id AS b FROM spairs),
+         |tri AS (SELECT p1.a AS a, p1.b AS b, p2.b AS c
+         |        FROM e p1
+         |        JOIN e p2 ON p2.a = p1.b
+         |        JOIN e p3 ON p3.a = p1.a AND p3.b = p2.b),
+         |m AS (SELECT a AS doc_id FROM tri
+         |      UNION ALL SELECT b FROM tri
+         |      UNION ALL SELECT c FROM tri)
+         |SELECT doc_id, count(*) AS n_triangles
+         |FROM m GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val pairs = Dedup.simhash128Pairs(s, d)
+        .select(col("a_id").as("a"), col("b_id").as("b"))
+        .distinct()
+        .transform(CacheScope.scoped)
+      trianglesByDegree(pairs)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_triangles"))
     })
 
   /** One row per (triangle, member) — every triangle's three corners —

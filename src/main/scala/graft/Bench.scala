@@ -233,15 +233,26 @@ object Bench {
       else -1.0
     // Envelope verdict: keyed on the NORMALIZED total when calibration
     // is available (r11 ask #4 — the raw band conflates host window
-    // with code trend); raw-band fallback otherwise. A total above the
-    // band is flagged, not presented as a code trend.
+    // with code trend); raw-band fallback otherwise. BOTH edges are
+    // enforced (r12 ADVICE): a total below the floor is as suspicious
+    // as one above it — queries silently doing less work read "fast".
+    // The above-band strings differ by path: a NORMALIZED exceedance
+    // points at a code regression (normalization removes host-window
+    // effects by construction), while a raw-fallback exceedance may
+    // just be host contention.
     val verdict =
       if (!new java.io.File(sfDir).getName.equals(CleanBandSf))
         "no-band-for-sf"
       else if (results.size != CleanBandQueries) "no-band-for-registry"
-      else if (normTotal > 0 && normTotal <= NormBandSec._2) "within-clean-band"
-      else if (normTotal <= 0 && total <= CleanBandSec._2) "within-clean-band-raw"
-      else "above-clean-band-host-contended"
+      else if (normTotal > 0) {
+        if (normTotal < NormBandSec._1) "below-norm-band-investigate"
+        else if (normTotal <= NormBandSec._2) "within-clean-band"
+        else "above-norm-band"
+      } else {
+        if (total < CleanBandSec._1) "below-clean-band-investigate"
+        else if (total <= CleanBandSec._2) "within-clean-band-raw"
+        else "above-clean-band-host-contended"
+      }
     val normField =
       f""","ref_query":${Json.str(refQ)},"ref_sec":$refSec%.3f""" +
       f""","median_query_sec":$medianSec%.3f,"host_speed_vs_clean_r9":$hostSpeed%.3f""" +

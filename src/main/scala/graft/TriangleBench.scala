@@ -80,8 +80,14 @@ object TriangleBench {
     require(mismatches == 0L, s"per-doc triangle-count mismatch on $mismatches docs")
     degC.unpersist(); idC.unpersist()
     val wedgesId = (hubDeg.toLong / 2) * (hubDeg / 2) + 200L * 6 * 10 // in×out at hub + clique wedges (bounded)
-    println(f"""{"metric":"triangle_bench","form":"degree-oriented","hub_deg":$hubDeg,"sec":$degSec%.2f,"triangle_corners":$degN,"hub_wedges":0}""")
-    println(f"""{"metric":"triangle_bench","form":"id-oriented","hub_deg":$hubDeg,"sec":$idSec%.2f,"triangle_corners":$idN,"hub_wedges":$wedgesId}""")
+    // "timing" field (r12 ADVICE): since r12 the timed action aggregates
+    // over a freshly persist()ed counts relation, so cache
+    // materialization cost is INCLUDED in "sec" — both forms pay it
+    // equally (the A/B stays fair), but the figure is not strictly
+    // comparable to pre-r12 triangle_bench lines, which timed the
+    // aggregation alone.
+    println(f"""{"metric":"triangle_bench","form":"degree-oriented","hub_deg":$hubDeg,"sec":$degSec%.2f,"triangle_corners":$degN,"hub_wedges":0,"timing":"includes-counts-persist-since-r12"}""")
+    println(f"""{"metric":"triangle_bench","form":"id-oriented","hub_deg":$hubDeg,"sec":$idSec%.2f,"triangle_corners":$idN,"hub_wedges":$wedgesId,"timing":"includes-counts-persist-since-r12"}""")
     spark.stop()
   }
 }

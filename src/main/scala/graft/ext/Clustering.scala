@@ -478,13 +478,21 @@ object Clustering {
   /** One row per (triangle, member) — every triangle's three corners —
     * from a canonical (a < b, distinct) undirected pair list, by
     * degree-oriented compact-forward enumeration (see q108's note).
-    * Exposed for the invariant spec; the degree relation is tiny
-    * (one row per pair-participant) and broadcasts onto the edge list.
+    * Exposed for the invariant spec; the degree relation is small
+    * (one row per pair-participant) and AQE broadcasts it onto the
+    * edge list when it fits — hint-free since r13, so a high-dup-rate
+    * corpus degrades to a shuffled join instead of a driver OOM.
     */
   private[graft] def trianglesByDegree(pairs: DataFrame): DataFrame = {
     // degrees from ONE pass over the canonical pair list (each edge
-    // contributes both endpoints); dup-rate-sized, so it broadcasts.
-    // Derived from the cached pairs twice (two broadcast sides) rather
+    // contributes both endpoints); dup-rate-sized, so AQE broadcasts
+    // it in practice — but NOT hint-forced (r12 verdict nit: one row
+    // per pair-participant is corpus-proportional under a high dup
+    // rate, and a forced hint bypasses AQE's size check, turning
+    // graceful degradation into a driver OOM; the q66/q156 lesson).
+    // Hint-free, AQE picks broadcast when deg fits (PlanShapeSpec pins
+    // that it does at test scale) and degrades to a shuffled join on a
+    // mirror-heavy corpus. Derived from the cached pairs twice rather
     // than cached itself — two tiny aggregations beat a cache
     // round-trip at every scale the pair relation can reach.
     val deg = pairs.select(explode(array(col("a"), col("b"))).as("node"))
@@ -496,8 +504,8 @@ object Clustering {
     val aFirst = col("da.deg") < col("db.deg") ||
       (col("da.deg") === col("db.deg") && col("a") < col("b"))
     val oriented = pairs
-      .join(broadcast(deg.as("da")), col("a") === col("da.node"))
-      .join(broadcast(deg.as("db")), col("b") === col("db.node"))
+      .join(deg.as("da"), col("a") === col("da.node"))
+      .join(deg.as("db"), col("b") === col("db.node"))
       .select(
         when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst"),

@@ -196,6 +196,26 @@ object Multimodal {
 }
 
 object MultimodalStub {
+  /** One-time per-JVM ImageIO setup (r12 ADVICE: the flag flip is a
+    * PROCESS-GLOBAL side effect, so it lives in static init, not in the
+    * per-row decode path). ImageIO.read(InputStream) wraps its input in
+    * a DISK-backed ImageInputStream when useCache is true (the JDK
+    * default): every decode creates+writes+deletes a temp file. All
+    * graft decode inputs are in-memory byte arrays, so the disk cache
+    * is pure contention — the r12 parallelism sweep measured per-core
+    * decode throughput 5× LOWER at 32 threads than at 4 with the
+    * default on (probe:"multimodal_parts_r12"). GLOBAL EFFECT: any
+    * other ImageIO caller in this JVM (e.g. file/network-stream
+    * decodes that benefit from the disk cache) also switches to
+    * memory-cached streams once a graft decode path has run. A lazy
+    * val is JVM-once and thread-safe, and executors reach it through
+    * the decode closures on first use.
+    */
+  private lazy val imageIOMemoryCached: Boolean = {
+    javax.imageio.ImageIO.setUseCache(false)
+    true
+  }
+
   /** One decoded asset: fake dimensions + 16-bin byte histogram. */
   final case class AssetFeatures(
       doc_id: Long,
@@ -237,15 +257,9 @@ object MultimodalStub {
     * producing zeros would poison downstream training-data filters.
     */
   def decodeImage(docId: Long, bytes: Array[Byte]): AssetFeatures = {
-    // ImageIO.read(InputStream) wraps its input in a DISK-backed
-    // ImageInputStream when useCache is true (the JDK default): every
-    // decode creates+writes+deletes a temp file. The input here is
-    // already an in-memory byte array, so the disk cache is pure
-    // contention — the r12 parallelism sweep measured per-core decode
-    // throughput 5× LOWER at 32 threads than at 4 with the default on
-    // (probe:"multimodal_parts_r12"). Memory-cached streams restore
-    // linear scaling; set once per executor (static JVM flag, idempotent).
-    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+    // memory-cached ImageIO streams (see [[imageIOMemoryCached]]):
+    // referencing the lazy val performs the one-time per-JVM setup
+    imageIOMemoryCached
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, s"undecodable image payload for doc $docId (${bytes.length} bytes)")
     val w = img.getWidth
@@ -369,8 +383,8 @@ object MultimodalStub {
     * image).
     */
   def resizeImage(docId: Long, bytes: Array[Byte], w: Int, h: Int): AssetFeatures = {
-    // same disk-cache guard as decodeImage (this path can run first)
-    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+    // same one-time ImageIO setup as decodeImage (this path can run first)
+    imageIOMemoryCached
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, s"undecodable image payload for doc $docId (${bytes.length} bytes)")
     val thumb = new java.awt.image.BufferedImage(

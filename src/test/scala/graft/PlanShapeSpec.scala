@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec}
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.HashAggregateExec
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
@@ -445,5 +445,47 @@ class PlanShapeSpec extends AnyFunSuite {
       case a: HashAggregateExec => a
     }
     assert(partial.nonEmpty, s"no map-side partial aggregate:\n$plan")
+  }
+
+  /** Every node in the FINAL (post-AQE) plan: like [[allNodes]] but
+    * descends each AdaptiveSparkPlanExec's `executedPlan` (valid after
+    * the query has run) and unwraps materialized query stages — the
+    * view that shows which join strategy AQE actually chose at runtime.
+    */
+  private def allFinalNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val extra = p match {
+      case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _ => Nil
+    }
+    p +: (p.children ++ extra).flatMap(allFinalNodes)
+  }
+
+  test("q170 degree joins stay broadcast under AQE with no forced hint") {
+    // r12 verdict nit: trianglesByDegree used to FORCE broadcast() on
+    // the degree relation — dup-rate-sized, but corpus-proportional
+    // under a high dup rate, and a forced hint bypasses AQE's size
+    // check (driver OOM instead of graceful shuffle degradation). The
+    // hint is gone; this pins that AQE still CHOOSES broadcast for the
+    // two edge-orientation joins when the degree relation fits — the
+    // plan a healthy-dup-rate corpus should get.
+    CacheScope.drain()
+    val df = SparkEntry.queries("q170_triangles128")(spark, sf)
+    try {
+      df.collect()
+      val nodes = allFinalNodes(df.queryExecution.executedPlan)
+      // the orientation joins are the only ones probing the degree
+      // aggregate: a broadcast join whose subtree aggregates the
+      // exploded endpoint column "node" into "deg"
+      val degJoins = nodes.collect { case j: BroadcastHashJoinExec => j }
+        .filter(j => allFinalNodes(j).exists {
+          case h: HashAggregateExec => h.output.exists(_.name == "deg")
+          case _ => false
+        })
+      assert(degJoins.size >= 2,
+        s"degree relation not AQE-broadcast onto both orientation joins:\n" +
+          df.queryExecution.executedPlan)
+    } finally CacheScope.drain()
   }
 }

@@ -13,9 +13,10 @@ lines immediately following a query line inherit that query's name as
 """
 import json
 import sys
+from typing import Optional
 
 
-def main(probe: str, path: str, note: str | None) -> int:
+def main(probe: str, path: str, note: Optional[str]) -> int:
     cur_query = None
     for raw in open(path, encoding="utf-8", errors="replace"):
         raw = raw.strip()
@@ -29,11 +30,18 @@ def main(probe: str, path: str, note: str | None) -> int:
             continue
         if "query" in d:
             cur_query = d["query"]
+        # Seed probe/of first for key order, then re-assign AFTER the
+        # update so an input line that already carries "probe"/"of"
+        # cannot override the CLI-supplied label (re-assignment keeps
+        # the seeded key's leading position).
         out = {"probe": probe}
-        if "stage" in d and "query" not in d and "metric" not in d:
-            if cur_query:
-                out["of"] = cur_query
+        is_stage = "stage" in d and "query" not in d and "metric" not in d
+        if is_stage and cur_query:
+            out["of"] = cur_query
         out.update(d)
+        out["probe"] = probe
+        if is_stage and cur_query:
+            out["of"] = cur_query
         if note and ("query" in d or "metric" in d):
             out["note"] = note
         print(json.dumps(out, separators=(",", ":")))

@@ -191,19 +191,18 @@ object Dedup {
        |spairs AS (SELECT a_id, b_id, bit_count(xor(afp, bfp)) AS hamming
        |           FROM cand WHERE bit_count(xor(afp, bfp)) <= 6)""".stripMargin
 
-  /** DuckDB mirror of the 128-bit SimHash banding pipeline
-    * ([[simhash128Pairs]]) as a CTE body ending in
-    * `spairs(a_id, b_id, hamming)` at hamming ≤ 12 — the q166 oracle,
-    * shared with the production-width cluster family's
-    * connected-components oracles (q167/q168/q169, the same
-    * composition role [[simhashPairsDuck]] plays for q53/q67/q160).
-    * Chunk c of the fingerprint is md5-digest bytes [4c, 4c+4)
-    * big-endian, reconstructed here from hex substrings so every value
-    * stays inside DuckDB's signed BIGINT.
+  /** DuckDB CTE chain computing the 128-bit SimHash fingerprint of
+    * every document in `src`: per-chunk relation `fp(doc_id, c, w)`
+    * plus its pivot `wide(doc_id, c0..c3)`. The shared front half of
+    * [[simhash128PairsDuck]] (src = the full `documents` table) and
+    * of q171's recall audit (src = the h60-sampled corpus). Chunk c of
+    * the fingerprint is md5-digest bytes [4c, 4c+4) big-endian,
+    * reconstructed here from hex substrings so every value stays
+    * inside DuckDB's signed BIGINT.
     */
-  private[ext] val simhash128PairsDuck: String = {
+  private[ext] def simhash128WideDuck(src: String): String = {
     def w(c: Int) = s"('0x' || substr(md5(sh), ${8 * c + 1}, 8))::BIGINT"
-    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM $src),
        |sh3 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
        |          i -> array_to_string(ts[i:i+2], ' '))) AS sh FROM tok),
        |ch AS (SELECT doc_id, c, CASE c WHEN 0 THEN ${w(0)} WHEN 1 THEN ${w(1)}
@@ -220,12 +219,31 @@ object Dedup {
        |           max(CASE WHEN c = 1 THEN w END) AS c1,
        |           max(CASE WHEN c = 2 THEN w END) AS c2,
        |           max(CASE WHEN c = 3 THEN w END) AS c3
-       |         FROM fp GROUP BY doc_id),
-       |bands AS (SELECT doc_id, b, (w >> (16 * (b % 2))) & 65535 AS bv
+       |         FROM fp GROUP BY doc_id)""".stripMargin
+  }
+
+  /** The production 8 × 16-bit banding over [[simhash128WideDuck]]'s
+    * `fp` relation, as CTEs `bands` and `cand(a_id, b_id)` — shared by
+    * [[simhash128PairsDuck]] and q171 (whose recall question is
+    * exactly "which exact pairs does `cand` miss").
+    */
+  private[ext] val simhash128CandDuck: String =
+    s"""bands AS (SELECT doc_id, b, (w >> (16 * (b % 2))) & 65535 AS bv
        |          FROM fp, generate_series(0, 7) gb(b) WHERE fp.c = b // 2),
        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |         FROM bands a JOIN bands b
-       |           ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |           ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** DuckDB mirror of the 128-bit SimHash banding pipeline
+    * ([[simhash128Pairs]]) as a CTE body ending in
+    * `spairs(a_id, b_id, hamming)` at hamming ≤ 12 — the q166 oracle,
+    * shared with the production-width cluster family's
+    * connected-components oracles (q167/q168/q169, the same
+    * composition role [[simhashPairsDuck]] plays for q53/q67/q160).
+    */
+  private[ext] val simhash128PairsDuck: String =
+    s"""${simhash128WideDuck("documents")},
+       |$simhash128CandDuck,
        |spairs AS (SELECT a_id, b_id, hamming
        |           FROM (SELECT a_id, b_id,
        |                   CAST(bit_count(xor(wa.c0, wb.c0)) + bit_count(xor(wa.c1, wb.c1))
@@ -234,7 +252,6 @@ object Dedup {
        |                 FROM cand JOIN wide wa ON wa.doc_id = a_id
        |                           JOIN wide wb ON wb.doc_id = b_id)
        |           WHERE hamming <= 12)""".stripMargin
-  }
 
   val all: Seq[Q] = Seq(
     // ── Exact dedup: content-hash groupBy, keep-first survivor ─────────
@@ -309,6 +326,49 @@ object Dedup {
       s"""WITH $simhash128PairsDuck
          |SELECT a_id, b_id, hamming FROM spairs""".stripMargin) { (s, d) =>
       simhash128Pairs(s, d)
+    },
+
+    // ── 128-bit banding recall audit (the q73 pattern, r12 ask #2) ─────
+    // q166's recall is pigeonhole-exact only ≤ 7 of its hamming ≤ 12
+    // emission window; recall in (7, 12] is banding-best-effort. This
+    // is the guardrail that MEASURES it — the number the 8 × 16 band
+    // choice is tuned against, machine-checked every round the way q73
+    // audits MinHash blocking. Ground truth = ALL pairs at hamming
+    // ≤ 12, enumerated not by an all-pairs join but by a FINER
+    // pigeonhole blocking (16 bands × 8 bits: any pair within hamming
+    // 15 shares a full band, so ≤ 12 recall is exact by construction)
+    // over the q164 sample dial — a deterministic content-hash doc
+    // sample (h60(text) % 2 here; production picks the modulus for a
+    // target audit size, retaining ~1/M² of pairs at rate 1/M). Both
+    // pair sets are dup-rate-sized, the audit join is tiny; the output
+    // splits the window so the pigeonhole guarantee itself is a
+    // machine-checked row (guaranteed_le7 must read recall = 1.0 —
+    // Cluster128Spec asserts it).
+    Q(
+      "q171_simhash128_recall",
+      s"""WITH docs0 AS (SELECT doc_id, text FROM documents
+         |               WHERE ${Portable.h60Duck("text")} % 2 = 0),
+         |${simhash128WideDuck("docs0")},
+         |exact AS (SELECT a_id, b_id, hamming FROM (
+         |            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |              CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+         |                 + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+         |                AS BIGINT) AS hamming
+         |            FROM wide a JOIN wide b ON a.doc_id < b.doc_id)
+         |          WHERE hamming <= 12),
+         |$simhash128CandDuck,
+         |flags AS (SELECT e.a_id, e.b_id,
+         |            CASE WHEN e.hamming <= 7 THEN 'guaranteed_le7'
+         |                 ELSE 'best_effort_8_12' END AS win,
+         |            CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |          FROM exact e LEFT JOIN cand c
+         |            ON c.a_id = e.a_id AND c.b_id = e.b_id)
+         |SELECT win, count(*) AS n_exact,
+         |  count(CASE WHEN hit = 1 THEN 1 END) AS n_found,
+         |  count(CASE WHEN hit = 0 THEN 1 END) AS n_missed,
+         |  floor(count(CASE WHEN hit = 1 THEN 1 END) * 1000000.0 / count(*)) / 1000000.0 AS recall
+         |FROM flags GROUP BY win""".stripMargin) { (s, d) =>
+      simhash128Recall(s, d)
     },
 
     // ── Exact Jaccard on a content-hash sample (the 100 TB audit form) ─
@@ -1103,27 +1163,92 @@ object Dedup {
     */
   private[graft] def simhash128Pairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    val chunks = (0 until 4).map(c => s"c$c")
-    val fp = Tables.documents(s, d)
-      .select(col("doc_id"), expr("simhash128(text)").as("fp"))
-      .filter(col("fp").isNotNull)
-      .select(col("doc_id") +: (0 until 4).map(c =>
-        col("fp").getItem(c).as(s"c$c")): _*)
-      .transform(CacheScope.scoped)
-    val bands = fp
-      .select(col("doc_id") +: chunks.map(col) :+
-        explode(expr("sequence(0, 7)")).as("b"): _*)
+    val fp = simhash128Chunks(Tables.documents(s, d))
+    simhash128Verified(simhash128Bands(fp, nBands = 8, bandBits = 16))
+  }
+
+  /** q171: recall of the production 8 × 16 banding against the exact
+    * hamming ≤ 12 pair set on the h60-sampled corpus, split by window
+    * (≤ 7 = pigeonhole-guaranteed, must read 1.0; 8–12 = banding
+    * best-effort, the measured number). The exact side is enumerated
+    * by a FINER pigeonhole blocking (16 × 8: exact at hamming ≤ 15)
+    * instead of an all-pairs join, so the ground-truth stage itself
+    * stays subquadratic — the sample modulus remains the only 100 TB
+    * dial. One cached fingerprint relation feeds both bandings; the
+    * verified candidate set is a subset of the exact set by
+    * construction (both filter hamming ≤ 12), so found = |cand ∩
+    * exact| = |cand| per window and precision is structurally 1.
+    */
+  private[graft] def simhash128Recall(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val sampled = Tables.documents(s, d)
+      .filter(expr(s"${Portable.h60Spark("text")} % 2 = 0"))
+    val fp = simhash128Chunks(sampled)
+    val exact = simhash128Verified(simhash128Bands(fp, nBands = 16, bandBits = 8))
+    val cand = simhash128Verified(simhash128Bands(fp, nBands = 8, bandBits = 16))
+      .select(col("a_id"), col("b_id")).withColumn("hit", lit(1))
+    exact
+      .withColumn("win",
+        when(col("hamming") <= 7, lit("guaranteed_le7"))
+          .otherwise(lit("best_effort_8_12")))
+      .join(cand, Seq("a_id", "b_id"), "left")
+      .groupBy("win")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        count(expr("CASE WHEN hit = 1 THEN 1 END")).as("n_found"),
+        count(expr("CASE WHEN hit IS NULL THEN 1 END")).as("n_missed"),
+        expr("floor(count(CASE WHEN hit = 1 THEN 1 END) * 1000000.0D / count(1)) / 1000000.0D")
+          .as("recall"))
+  }
+
+  /** The cached (doc_id, c0..c3) 128-bit fingerprint chunk relation of
+    * a documents relation (32 B/doc) — the shared front half of
+    * [[simhash128Pairs]] and q171's recall audit. Callers must have
+    * registered the kernel ([[graft.functions.VectorExpressions]]).
+    */
+  private def simhash128Chunks(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), expr("simhash128(text)").as("fp"))
+    .filter(col("fp").isNotNull)
+    .select(col("doc_id") +: (0 until 4).map(c =>
+      col("fp").getItem(c).as(s"c$c")): _*)
+    .transform(CacheScope.scoped)
+
+  /** Disjoint equal-width band projection of the 128-bit chunk
+    * relation: `nBands` bands of `bandBits` bits (nBands · bandBits =
+    * 128). 8 × 16 is the production blocking (pigeonhole-exact recall
+    * at hamming ≤ 7); 16 × 8 is q171's ground-truth blocking
+    * (pigeonhole-exact at hamming ≤ 15 ⊇ the ≤ 12 emission window,
+    * so it can serve as the exact pair enumerator on a sampled corpus
+    * without an all-pairs join).
+    */
+  private[graft] def simhash128Bands(
+      fp: DataFrame, nBands: Int, bandBits: Int): DataFrame = {
+    require(nBands * bandBits == 128, s"bad banding: $nBands x $bandBits")
+    val perChunk = 32 / bandBits
+    val chunkOf = (0 until 4).map { c =>
+      val hi = (c + 1) * perChunk
+      if (c == 3) s"ELSE c3" else s"WHEN b < $hi THEN c$c"
+    }.mkString(" ")
+    fp.select(col("doc_id") +: (0 until 4).map(c => col(s"c$c")) :+
+        explode(expr(s"sequence(0, ${nBands - 1})")).as("b"): _*)
       .withColumn("bv", expr(
-        "shiftright(CASE WHEN b < 2 THEN c0 WHEN b < 4 THEN c1 " +
-          "WHEN b < 6 THEN c2 ELSE c3 END, 16 * (b % 2)) & 65535"))
-    Skew.selfPairs(bands, "doc_id", Seq("b", "bv"), payloadCols = chunks)
+        s"shiftright(CASE $chunkOf END, $bandBits * (b % $perChunk)) " +
+          s"& ${(1L << bandBits) - 1}"))
+  }
+
+  /** Skew-aware banding self-join + exact-hamming verification ≤ 12
+    * over a [[simhash128Bands]] projection (any width): emits the
+    * distinct verified pair relation (a_id, b_id, hamming).
+    */
+  private[graft] def simhash128Verified(bands: DataFrame): DataFrame =
+    Skew.selfPairs(bands, "doc_id", Seq("b", "bv"),
+        payloadCols = (0 until 4).map(c => s"c$c"))
       .select(col("a_id"), col("b_id"),
         expr("cast(bit_count(a_c0 ^ b_c0) + bit_count(a_c1 ^ b_c1) " +
           "+ bit_count(a_c2 ^ b_c2) + bit_count(a_c3 ^ b_c3) as bigint)")
           .as("hamming"))
       .filter(col("hamming") <= 12)
       .distinct()
-  }
 
   /** The full Spark-side SimHash pair pipeline over `documents` —
     * shared by q37 and q53's connected components. Persists the

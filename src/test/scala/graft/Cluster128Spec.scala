@@ -123,4 +123,56 @@ class Cluster128Spec extends AnyFunSuite {
 
   private def q2(name: String, dir: String): DataFrame =
     SparkEntry.queries(name)(spark, dir)
+
+  test("q171 pigeonhole law: the guaranteed window reads recall 1.0") {
+    // hamming ≤ 7 over 8 disjoint 16-bit bands MUST share a band
+    // (pigeonhole) — a miss there is a code bug, not a tuning result;
+    // the best-effort window is the measured number and only its
+    // bookkeeping is law (found + missed = exact, recall consistent)
+    val rows = q("q171_simhash128_recall").collect()
+    rows.foreach { r =>
+      val (win, nExact, nFound, nMissed, recall) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nFound + nMissed === nExact, s"$win bookkeeping broken: $r")
+      assert(recall === math.floor(nFound * 1e6 / nExact) / 1e6,
+        s"$win recall inconsistent with counts: $r")
+      if (win == "guaranteed_le7")
+        assert(nMissed === 0L && recall === 1.0,
+          s"pigeonhole guarantee violated: $r")
+    }
+  }
+
+  test("q171's audit detects a banding miss: adversarial 12-bit pair") {
+    // The audit must be ABLE to report a miss — a recall metric that
+    // structurally reads 1.0 measures nothing. Craft two fingerprints
+    // differing in exactly 12 bits spread over ALL EIGHT 16-bit bands
+    // (2+2+2+2+1+1+1+1): no clean 16-bit band, so the production
+    // 8 × 16 banding misses the pair — but every differing bit sits in
+    // the LOW byte of its band, so each band's high byte matches and
+    // the 16 × 8 ground-truth blocking (pigeonhole-exact ≤ 15) finds
+    // it. Plus a 7-bit pair for the guaranteed side.
+    import spark.implicits._
+    val base = Seq(0L, 0L, 0L, 0L)
+    // bits 0,1 + 16,17 of c0/c1 (2 per band), bit 0 + 16 of c2/c3 (1 per band)
+    val miss = Seq(0x00030003L, 0x00030003L, 0x00010001L, 0x00010001L)
+    val hit7 = Seq(0x7FL, 0L, 0L, 0L) // 7 bits in one band: must be found
+    val fp = Seq(
+      (1L, base), (2L, miss), (3L, hit7))
+      .map { case (id, cs) => (id, cs(0), cs(1), cs(2), cs(3)) }
+      .toDF("doc_id", "c0", "c1", "c2", "c3")
+    def pairsOf(nBands: Int, bandBits: Int): Set[(Long, Long)] =
+      graft.ext.Dedup.simhash128Verified(
+          graft.ext.Dedup.simhash128Bands(fp, nBands, bandBits))
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prod = pairsOf(8, 16)
+    val truth = pairsOf(16, 8)
+    assert(!prod.contains((1L, 2L)),
+      s"adversarial 12-bit pair unexpectedly caught by 8x16 banding: $prod")
+    assert(truth.contains((1L, 2L)),
+      s"16x8 ground-truth blocking missed the 12-bit pair: $truth")
+    assert(prod.contains((1L, 3L)) && truth.contains((1L, 3L)),
+      s"7-bit pair must be pigeonhole-guaranteed in both: $prod / $truth")
+    CacheScope.drain()
+  }
 }

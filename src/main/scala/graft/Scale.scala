@@ -17,16 +17,26 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   * fits memory means the partition sizing story failed.
   */
 object Scale {
-  /** The most expensive registry queries per the latest (late-round-6)
-    * bench — the ones whose scale claims are worth soaking (all
-    * documents-table dedup/text/tokenizer paths; the rest of the
-    * registry is dimension-sized).
+  /** The soak list: the most expensive registry queries whose scale
+    * claims are worth measuring every round. Re-pinned r13 on the
+    * PRODUCTION-WIDTH forms (r12 verdict ask #1): the 128-bit cluster
+    * family q167–q170 replaces the 60-bit q53/q160 it superseded —
+    * soak cycles should measure what a 100 TB run ships — with
+    * q67_canonical_docs kept as the ONE 60-bit representative (the
+    * quadratic-banding canary: its ×300/×1000 trend line is the
+    * longest-running in SCALE.md and guards the audit dial's cost).
+    * All documents-table dedup/text/tokenizer paths; the rest of the
+    * registry is dimension-sized.
     */
   val hot: Seq[String] = Seq(
-    "q127_curation_ledger", "q67_canonical_docs", "q104_containment",
-    "q53_dedup_clusters", "q35_ngram_jaccard", "q156_bpe_encode",
-    "q154_bpe_train", "q160_cluster_split", "q78_duplicated_spans",
-    "q148_threshold_sweep", "q157_dup_source_matrix", "q102_bloom_contamination")
+    "q127_curation_ledger", "q104_containment",
+    "q167_dedup_clusters128", "q168_canonical_docs128",
+    "q169_cluster_split128", "q170_triangles128",
+    "q67_canonical_docs",
+    "q35_ngram_jaccard", "q156_bpe_encode",
+    "q154_bpe_train", "q78_duplicated_spans",
+    "q148_threshold_sweep", "q157_dup_source_matrix",
+    "q102_bloom_contamination")
 
   /** Host-speed calibration subset + anchor live in [[HostCal]] (r12:
     * extracted so StreamBench's ingest lines carry the same stamp —

@@ -21,7 +21,7 @@
 #     config-legal, so the assert is opt-in.
 #
 #   tools/soak.sh --certify /tmp/x1000 q127_curation_ledger,q104_containment
-#   tools/soak.sh /tmp/x300            # full hot-12
+#   tools/soak.sh /tmp/x300            # full hot list (Scale.hot)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 

@@ -473,6 +473,83 @@ object Clustering {
       trianglesByDegree(pairs)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_triangles"))
+    },
+
+    // ── Soft dedup: duplication-aware down-weighting, per source ───────
+    // The THIRD retention policy beside drop-nothing and hard-drop
+    // (q168's keep=true): instead of deleting near-duplicates, weight
+    // every cluster member by 1/cluster_size so each duplicated page
+    // contributes ONE document's worth of training mass however many
+    // times it was crawled (soft deduplication — the sampling-weight
+    // formulation of He et al. 2024's SoftDedup; also how
+    // duplication-aware mixture reweighting is usually shipped when
+    // outright deletion is too lossy for rare domains). The output is
+    // the policy-decision table a curation run reads: per source, the
+    // token mass kept by hard dedup (canonical survivors only) vs the
+    // effective mass under soft weighting — sources whose duplicates
+    // are internal templates keep less under both; sources mirrored
+    // ACROSS the corpus diverge (hard dedup credits the whole page to
+    // whichever source holds the min-id canonical, soft weighting
+    // splits it pro-rata), and that divergence is the signal for
+    // choosing the policy.
+    //
+    // Integer-exact cross-engine: the per-doc weight is the INTEGER
+    // ppm quotient 10⁶ div cluster_size, so the weighted token sums
+    // are BIGINT arithmetic — no float accumulation-order skew — and
+    // the two pct columns are single IEEE divisions of exact integers,
+    // floor-truncated, identical in both engines.
+    //
+    // Scale: rides the shared subquadratic 128-bit pair machinery
+    // (q166's banding) + the same singleton-free CC fixpoint as
+    // q167–q169; after the cluster map exists this is one narrow
+    // (doc_id, cluster_id) shuffle for the size window, one
+    // hash-partitioned join against a (doc_id, source, n_tokens)
+    // projection — text never moves — and a source-cardinality-sized
+    // aggregate. Nothing here grows faster than the corpus.
+    Q(
+      "q172_soft_dedup",
+      s"""WITH RECURSIVE ${Dedup.simhash128PairsDuck},
+         |$ccDuck,
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id),
+         |w AS (SELECT cc.doc_id, cc.cluster_id, sizes.cluster_size,
+         |        1000000 // sizes.cluster_size AS weight_ppm
+         |      FROM cc JOIN sizes USING (cluster_id)),
+         |dt AS (SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |       FROM documents)
+         |SELECT dt.source, count(*) AS n_docs,
+         |  count(DISTINCT w.cluster_id) AS n_clusters,
+         |  CAST(sum(dt.n_tokens) AS BIGINT) AS tokens_total,
+         |  CAST(coalesce(sum(dt.n_tokens) FILTER (WHERE w.doc_id = w.cluster_id), 0) AS BIGINT) AS tokens_hard,
+         |  CAST(sum(dt.n_tokens * w.weight_ppm) AS BIGINT) // 1000000 AS tokens_soft,
+         |  floor(coalesce(sum(dt.n_tokens) FILTER (WHERE w.doc_id = w.cluster_id), 0)
+         |        * 1000000.0 / sum(dt.n_tokens)) / 10000.0 AS hard_pct,
+         |  floor(CAST(sum(dt.n_tokens * w.weight_ppm) AS BIGINT) / 1000000.0
+         |        * 1000000.0 / sum(dt.n_tokens)) / 10000.0 AS soft_pct
+         |FROM w JOIN dt USING (doc_id)
+         |GROUP BY dt.source""".stripMargin) { (s, d) =>
+      val w = simhash128Clusters(s, d)
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+        .withColumn("weight_ppm", expr("1000000L div cluster_size"))
+      val dt = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"))
+      w.join(dt, "doc_id")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct("cluster_id").as("n_clusters"),
+          sum("n_tokens").as("tokens_total"),
+          coalesce(sum(when(col("doc_id") === col("cluster_id"),
+            col("n_tokens"))), lit(0L)).as("tokens_hard"),
+          sum(expr("n_tokens * weight_ppm")).as("soft_ppm"))
+        .select(col("source"), col("n_docs"), col("n_clusters"),
+          col("tokens_total"), col("tokens_hard"),
+          expr("soft_ppm div 1000000").as("tokens_soft"),
+          expr("floor(tokens_hard * 1000000.0D / tokens_total) / 10000.0D")
+            .as("hard_pct"),
+          expr("floor(soft_ppm / 1000000.0D * 1000000.0D / tokens_total) / 10000.0D")
+            .as("soft_pct"))
     })
 
   /** One row per (triangle, member) — every triangle's three corners —

@@ -917,5 +917,333 @@ object Similarity {
           col("nearest_label"), col("cd").as("inter"),
           expr("CAST(floor(CAST(cd AS DOUBLE) * 1000.0D" +
             " / CAST(intra + 1 AS DOUBLE)) AS BIGINT)").as("separation_x1000"))
+    },
+
+    // ── Product quantization + ADC scan (the compressed ANN tier) ──────
+    // Completes the ANN ladder brute-force (q39) → LSH (q47) → IVF
+    // (q40): PQ (Jégou/Douze/Schmid, TPAMI 2011 — the FAISS IVF-PQ
+    // code path) is what actually fits a 100 TB embedding corpus in
+    // memory. The 64-dim vector splits into M=8 subvectors of 8 dims;
+    // each subspace gets its own K=8 codebook (deterministic seeds =
+    // the first 8 vectors' subvectors, one Lloyd refinement — q80's
+    // training shape per subspace); a vector is then stored as 8 small
+    // codes — 8 bytes instead of 256, a 32× index compression — and
+    // query-time distance is ASYMMETRIC: the query precomputes a
+    // (subspace × centroid) lookup table of exact integer L2 distances
+    // to every centroid, and each corpus vector's approximate distance
+    // is M table adds over its codes. The scan never touches the full
+    // vectors. Output is the built-in fidelity audit (the q153/q73
+    // pattern): ADC top-5 vs exact integer-L2 top-5 per query, with
+    // the ADC rank-1 neighbor and its approximate distance.
+    //
+    // Scale: codebooks are (8×8 centroids × 8 dims) — broadcast
+    // trivially; the LUT is |Q|·64 rows — broadcast; the corpus
+    // streams ONCE through encode (a linear pass emitting 8 ints/row)
+    // and ONCE through the ADC scan (a broadcast-hash join + map-side
+    // partial sum; the |Q|-fan-out before the combine is the query
+    // batch dial, exactly the FAISS ADC loop). Codebook TRAINING also
+    // scans the corpus here because the test corpus is small; at
+    // production scale training runs on a content-hash sample (the
+    // q164 dial) — the trained codebook, not the training pass, is
+    // what the scan needs. Everything is integer arithmetic
+    // (quantized dims ≤ 2²⁰, subspace distances ≤ 2⁴⁵, argmin packed
+    // as dist·8+cl ≤ 2⁴⁸), so both engines rank identically and the
+    // audit is hash-exact.
+    Q(
+      "q173_pq_adc", {
+        def l2(a: String, b: String) =
+          s"(${idotD(a, a)} - 2 * ${idotD(a, b)} + ${idotD(b, b)})"
+        s"""WITH qv AS (SELECT vec_id, list_transform(embedding, x -> ${qD("x")}) AS qe FROM embeddings),
+           |sub AS (SELECT vec_id, g.j AS j, qe[(8*g.j+1):(8*g.j+8)] AS s
+           |        FROM qv, generate_series(0, 7) g(j)),
+           |c0 AS (SELECT j, vec_id AS cl, s AS c FROM sub WHERE vec_id < 8),
+           |a1 AS (SELECT sub.vec_id, sub.j,
+           |         CAST(min(${l2("sub.s", "c0.c")} * 8 + c0.cl) AS BIGINT) AS k
+           |       FROM sub JOIN c0 ON c0.j = sub.j GROUP BY 1, 2),
+           |pos1 AS (SELECT a1.j, a1.k % 8 AS cl, g.i, sub.s[g.i] AS v
+           |         FROM a1 JOIN sub ON sub.vec_id = a1.vec_id AND sub.j = a1.j,
+           |              generate_series(1, 8) g(i)),
+           |m1 AS (SELECT j, cl, i,
+           |         CAST(floor(CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+           |       FROM pos1 GROUP BY j, cl, i),
+           |c1 AS (SELECT j, cl, list(cv ORDER BY i) AS c FROM m1 GROUP BY j, cl),
+           |codes AS (SELECT sub.vec_id, sub.j,
+           |            CAST(min(${l2("sub.s", "c1.c")} * 8 + c1.cl) AS BIGINT) % 8 AS code
+           |          FROM sub JOIN c1 ON c1.j = sub.j GROUP BY 1, 2),
+           |q AS (SELECT vec_id AS qid, j, s AS qs FROM sub WHERE vec_id < 10),
+           |lut AS (SELECT q.qid, c1.j, c1.cl,
+           |          CAST(${l2("q.qs", "c1.c")} AS BIGINT) AS dist
+           |        FROM q JOIN c1 ON c1.j = q.j),
+           |adc AS (SELECT lut.qid, codes.vec_id, CAST(sum(lut.dist) AS BIGINT) AS adist
+           |        FROM codes JOIN lut ON lut.j = codes.j AND lut.cl = codes.code
+           |        WHERE codes.vec_id <> lut.qid
+           |        GROUP BY 1, 2),
+           |tpq AS (SELECT qid, vec_id AS neighbor_id, adist, r
+           |        FROM (SELECT qid, vec_id, adist,
+           |                row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS r
+           |              FROM adc) WHERE r <= 5),
+           |ex AS (SELECT qid, neighbor_id
+           |       FROM (SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+           |               row_number() OVER (PARTITION BY a.vec_id
+           |                 ORDER BY ${l2("a.qe", "b.qe")}, b.vec_id) AS r
+           |             FROM qv a JOIN qv b ON b.vec_id <> a.vec_id
+           |             WHERE a.vec_id < 10) WHERE r <= 5),
+           |ov AS (SELECT ex.qid, count(tpq.neighbor_id) AS n_overlap
+           |       FROM ex LEFT JOIN tpq ON tpq.qid = ex.qid AND tpq.neighbor_id = ex.neighbor_id
+           |       GROUP BY ex.qid)
+           |SELECT ov.qid, t1.neighbor_id AS pq_top1, t1.adist AS top1_adist,
+           |  ov.n_overlap,
+           |  floor(ov.n_overlap * 1000000.0 / 5) / 1000000.0 AS recall_at_5
+           |FROM ov JOIN tpq t1 ON t1.qid = ov.qid AND t1.r = 1""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      VectorExpressions.register(s)
+      val qv = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(qeSpark).as("qe"))
+        .transform(CacheScope.scoped) // subvector split + exact baseline
+      val sub = qv
+        .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("j"), col("qe"))
+        .select(col("vec_id"), col("j"), expr("slice(qe, 8 * j + 1, 8)").as("s"))
+        .transform(CacheScope.scoped) // seeds + 2 assign passes + recompute + queries
+      val c0 = sub.filter(col("vec_id") < 8)
+        .select(col("j"), col("vec_id").as("cl"), col("s").as("c"))
+      // nearest-centroid assignment per (vector, subspace): integer L2,
+      // argmin packed as dist*8+cl (dist ≥ 0 — it IS a square), broadcast
+      // codebook, corpus streams once
+      def assign(cent: org.apache.spark.sql.DataFrame) =
+        sub.join(broadcast(cent), "j")
+          .select(col("vec_id"), col("j"), expr(
+            "(vec_ldot(s, s) - 2 * vec_ldot(s, c) + vec_ldot(c, c)) * 8 + cl")
+            .as("key"))
+          .groupBy("vec_id", "j").agg(min("key").as("k"))
+          .select(col("vec_id"), col("j"), expr("k % 8").as("code"))
+      // per-(subspace, centroid) floor-mean recompute — q80's shape
+      val c1 = assign(c0)
+        .join(sub, Seq("vec_id", "j"))
+        .select(col("j"), col("code").as("cl"), posexplode(col("s")).as(Seq("p", "v")))
+        .groupBy("j", "cl", "p").agg(sum("v").as("cs"), count(lit(1)).as("n"))
+        .select(col("j"), col("cl"), col("p"),
+          expr("cast(floor(cast(cs as double) / n) as bigint)").as("cv"))
+        .groupBy("j", "cl")
+        .agg(expr("transform(array_sort(collect_list(struct(p, cv))), x -> x.cv)").as("c"))
+        .transform(CacheScope.scoped) // encode pass + LUT
+      val codes = assign(c1)
+      val q = sub.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("j"), col("s").as("qs"))
+      // |Q|·64-row asymmetric-distance lookup table (exact query-to-
+      // centroid integer L2), broadcast onto the code scan
+      val lut = q.join(c1, "j")
+        .select(col("qid"), col("j"), col("cl"),
+          expr("vec_ldot(qs, qs) - 2 * vec_ldot(qs, c) + vec_ldot(c, c)").as("dist"))
+      val adc = codes.as("cd")
+        .join(broadcast(lut.as("lu")),
+          col("lu.j") === col("cd.j") && col("lu.cl") === col("cd.code") &&
+            col("cd.vec_id") =!= col("lu.qid"))
+        .groupBy(col("lu.qid").as("qid"), col("cd.vec_id").as("vec_id"))
+        .agg(sum("lu.dist").as("adist"))
+      val tpq = adc
+        .withColumn("r", row_number().over(
+          Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))))
+        .filter(col("r") <= 5)
+        .select(col("qid"), col("vec_id").as("neighbor_id"), col("adist"), col("r"))
+        .transform(CacheScope.scoped) // overlap audit + rank-1 projection
+      val ex = broadcast(qv.filter(col("vec_id") < 10).as("a"))
+        .join(qv.as("b"), col("b.vec_id") =!= col("a.vec_id"))
+        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("neighbor_id"),
+          expr("vec_ldot(a.qe, a.qe) - 2 * vec_ldot(a.qe, b.qe) + vec_ldot(b.qe, b.qe)")
+            .as("dist"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("qid").orderBy(col("dist"), col("neighbor_id"))))
+        .filter(col("r") <= 5)
+        .select(col("qid"), col("neighbor_id"))
+      val ov = ex.as("ex")
+        .join(tpq.as("t"),
+          col("t.qid") === col("ex.qid") &&
+            col("t.neighbor_id") === col("ex.neighbor_id"), "left")
+        .groupBy(col("ex.qid").as("qid"))
+        .agg(count(col("t.neighbor_id")).as("n_overlap"))
+      ov.join(tpq.filter(col("r") === 1)
+          .select(col("qid"), col("neighbor_id").as("pq_top1"),
+            col("adist").as("top1_adist")), "qid")
+        .select(col("qid"), col("pq_top1"), col("top1_adist"), col("n_overlap"),
+          expr("floor(n_overlap * 1000000.0D / 5) / 1000000.0D").as("recall_at_5"))
+    },
+
+    // ── IVF-PQ: coarse partitions + residual PQ + probed ADC scan ──────
+    // The COMPOSED production form (FAISS's IVFADC, Jégou et al.
+    // TPAMI'11 §V): q40's coarse quantizer (label partitions, integer
+    // centroids, 2-probe) restricts WHICH vectors are scanned, and
+    // q173's product quantizer — trained on the RESIDUAL qe − c(label),
+    // which is tighter than raw vectors because the coarse centroid
+    // already absorbs the partition's mean — compresses WHAT is
+    // scanned. Query-time distance is fully asymmetric: per probed
+    // partition the query forms its own residual against that
+    // partition's centroid, builds a (subspace × centroid) LUT of
+    // exact integer L2 distances, and every member's approximate
+    // distance is M table adds over its stored codes. End-to-end
+    // recall (probe misses + quantization error together) is audited
+    // against the exact full-corpus L2 top-5 — the honest number an
+    // IVF-PQ deployment tunes nprobe and code budget against.
+    //
+    // Scale: this is the layout that serves 100 TB of embeddings —
+    // the index holds 8 code bytes + a label per vector (32×
+    // compression), the coarse table and PQ codebooks broadcast, the
+    // |Q|·nprobe·64-row LUT broadcasts, and the ADC join's
+    // (label, j, code) keys restrict the scan to probed partitions
+    // WITHOUT moving the corpus (members of unprobed labels match no
+    // LUT row). Training scans the corpus here because the test
+    // corpus is small; production trains on the q164 content-hash
+    // sample dial. All-integer (residuals ≤ 2²¹ per dim, subspace
+    // distances ≤ 2⁴⁷, argmin pack ≤ 2⁵⁰) — hash-exact in both
+    // engines.
+    Q(
+      "q174_ivfpq_ann", {
+        def l2(a: String, b: String) =
+          s"(${idotD(a, a)} - 2 * ${idotD(a, b)} + ${idotD(b, b)})"
+        s"""WITH qv AS (SELECT vec_id, label, list_transform(embedding, x -> ${qD("x")}) AS qe
+           |            FROM embeddings),
+           |$labelCentroidsDuck,
+           |rv AS (SELECT qv.vec_id, qv.label,
+           |         list_transform(list_zip(qv.qe, cent.c), x -> x[1] - x[2]) AS r
+           |       FROM qv JOIN cent USING (label)),
+           |rsub AS (SELECT vec_id, label, g.j AS j, r[(8*g.j+1):(8*g.j+8)] AS s
+           |         FROM rv, generate_series(0, 7) g(j)),
+           |c0 AS (SELECT j, vec_id AS cl, s AS c FROM rsub WHERE vec_id < 8),
+           |a1 AS (SELECT rsub.vec_id, rsub.j,
+           |         CAST(min(${l2("rsub.s", "c0.c")} * 8 + c0.cl) AS BIGINT) AS k
+           |       FROM rsub JOIN c0 ON c0.j = rsub.j GROUP BY 1, 2),
+           |pos1 AS (SELECT a1.j, a1.k % 8 AS cl, g.i, rsub.s[g.i] AS v
+           |         FROM a1 JOIN rsub ON rsub.vec_id = a1.vec_id AND rsub.j = a1.j,
+           |              generate_series(1, 8) g(i)),
+           |m1 AS (SELECT j, cl, i,
+           |         CAST(floor(CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+           |       FROM pos1 GROUP BY j, cl, i),
+           |c1 AS (SELECT j, cl, list(cv ORDER BY i) AS c FROM m1 GROUP BY j, cl),
+           |codes AS (SELECT rsub.vec_id, rsub.label, rsub.j,
+           |            CAST(min(${l2("rsub.s", "c1.c")} * 8 + c1.cl) AS BIGINT) % 8 AS code
+           |          FROM rsub JOIN c1 ON c1.j = rsub.j GROUP BY 1, 2, 3),
+           |qp AS (SELECT vec_id AS qid, qe FROM qv WHERE vec_id < 10),
+           |probe AS (SELECT qid, label
+           |          FROM (SELECT qp.qid, cent.label,
+           |                  row_number() OVER (PARTITION BY qp.qid
+           |                    ORDER BY ${l2("qp.qe", "cent.c")}, cent.label) AS pr
+           |                FROM qp, cent) WHERE pr <= 2),
+           |qr0 AS (SELECT probe.qid, probe.label,
+           |          list_transform(list_zip(qp.qe, cent.c), x -> x[1] - x[2]) AS qr
+           |        FROM probe JOIN qp USING (qid) JOIN cent USING (label)),
+           |qrs AS (SELECT qid, label, g.j AS j, qr[(8*g.j+1):(8*g.j+8)] AS qs
+           |        FROM qr0, generate_series(0, 7) g(j)),
+           |lut AS (SELECT qrs.qid, qrs.label, qrs.j, c1.cl,
+           |          CAST(${l2("qrs.qs", "c1.c")} AS BIGINT) AS dist
+           |        FROM qrs JOIN c1 ON c1.j = qrs.j),
+           |adc AS (SELECT lut.qid, codes.vec_id, CAST(sum(lut.dist) AS BIGINT) AS adist
+           |        FROM codes JOIN lut ON lut.label = codes.label
+           |                           AND lut.j = codes.j AND lut.cl = codes.code
+           |        WHERE codes.vec_id <> lut.qid
+           |        GROUP BY 1, 2),
+           |tpq AS (SELECT qid, vec_id AS neighbor_id, adist, r
+           |        FROM (SELECT qid, vec_id, adist,
+           |                row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS r
+           |              FROM adc) WHERE r <= 5),
+           |ex AS (SELECT qid, neighbor_id
+           |       FROM (SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+           |               row_number() OVER (PARTITION BY a.vec_id
+           |                 ORDER BY ${l2("a.qe", "b.qe")}, b.vec_id) AS r
+           |             FROM qv a JOIN qv b ON b.vec_id <> a.vec_id
+           |             WHERE a.vec_id < 10) WHERE r <= 5),
+           |ov AS (SELECT ex.qid, count(tpq.neighbor_id) AS n_overlap
+           |       FROM ex LEFT JOIN tpq ON tpq.qid = ex.qid AND tpq.neighbor_id = ex.neighbor_id
+           |       GROUP BY ex.qid)
+           |SELECT ov.qid, t1.neighbor_id AS pq_top1, t1.adist AS top1_adist,
+           |  ov.n_overlap,
+           |  floor(ov.n_overlap * 1000000.0 / 5) / 1000000.0 AS recall_at_5
+           |FROM ov JOIN tpq t1 ON t1.qid = ov.qid AND t1.r = 1""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      VectorExpressions.register(s)
+      val qv = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), expr(qeSpark).as("qe"))
+        .transform(CacheScope.scoped) // centroids + residuals + queries + exact baseline
+      val cent = labelCentroids(qv)
+        .transform(CacheScope.scoped) // residual pass + probe + query residuals
+      val rv = qv.join(broadcast(cent), "label")
+        .select(col("vec_id"), col("label"),
+          expr("zip_with(qe, c, (a, b) -> a - b)").as("r"))
+      val rsub = rv
+        .select(col("vec_id"), col("label"), explode(expr("sequence(0, 7)")).as("j"), col("r"))
+        .select(col("vec_id"), col("label"), col("j"), expr("slice(r, 8 * j + 1, 8)").as("s"))
+        .transform(CacheScope.scoped) // seeds + 2 assign passes + recompute
+      val c0 = rsub.filter(col("vec_id") < 8)
+        .select(col("j"), col("vec_id").as("cl"), col("s").as("c"))
+      // q173's assignment, residual-space; label carried for the probed scan
+      def assign(cb: org.apache.spark.sql.DataFrame) =
+        rsub.join(broadcast(cb), "j")
+          .select(col("vec_id"), col("label"), col("j"), expr(
+            "(vec_ldot(s, s) - 2 * vec_ldot(s, c) + vec_ldot(c, c)) * 8 + cl")
+            .as("key"))
+          .groupBy("vec_id", "label", "j").agg(min("key").as("k"))
+          .select(col("vec_id"), col("label"), col("j"), expr("k % 8").as("code"))
+      val c1 = assign(c0).select("vec_id", "j", "code")
+        .join(rsub.select("vec_id", "j", "s"), Seq("vec_id", "j"))
+        .select(col("j"), col("code").as("cl"), posexplode(col("s")).as(Seq("p", "v")))
+        .groupBy("j", "cl", "p").agg(sum("v").as("cs"), count(lit(1)).as("n"))
+        .select(col("j"), col("cl"), col("p"),
+          expr("cast(floor(cast(cs as double) / n) as bigint)").as("cv"))
+        .groupBy("j", "cl")
+        .agg(expr("transform(array_sort(collect_list(struct(p, cv))), x -> x.cv)").as("c"))
+        .transform(CacheScope.scoped) // encode pass + LUT
+      val codes = assign(c1)
+      val qp = qv.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qe"))
+      // 2-probe coarse search (|Q|·|labels| tiny frames, both broadcast)
+      val probe = broadcast(qp).crossJoin(broadcast(cent))
+        .select(col("qid"), col("label"), col("qe"), col("c"),
+          expr("vec_ldot(qe, qe) - 2 * vec_ldot(qe, c) + vec_ldot(c, c)").as("cdist"))
+        .withColumn("pr", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cdist"), col("label"))))
+        .filter(col("pr") <= 2)
+        .select(col("qid"), col("label"),
+          expr("zip_with(qe, c, (a, b) -> a - b)").as("qr"))
+      // per-(query, probed partition) residual LUT — |Q|·nprobe·64 rows
+      val lut = probe
+        .select(col("qid"), col("label"), explode(expr("sequence(0, 7)")).as("j"), col("qr"))
+        .select(col("qid"), col("label"), col("j"), expr("slice(qr, 8 * j + 1, 8)").as("qs"))
+        .join(c1, "j")
+        .select(col("qid"), col("label"), col("j"), col("cl"),
+          expr("vec_ldot(qs, qs) - 2 * vec_ldot(qs, c) + vec_ldot(c, c)").as("dist"))
+      // probed ADC scan: the (label, j, code) keys restrict the scan to
+      // probed partitions without moving the corpus
+      val adc = codes.as("cd")
+        .join(broadcast(lut.as("lu")),
+          col("lu.label") === col("cd.label") && col("lu.j") === col("cd.j") &&
+            col("lu.cl") === col("cd.code") && col("cd.vec_id") =!= col("lu.qid"))
+        .groupBy(col("lu.qid").as("qid"), col("cd.vec_id").as("vec_id"))
+        .agg(sum("lu.dist").as("adist"))
+      val tpq = adc
+        .withColumn("r", row_number().over(
+          Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))))
+        .filter(col("r") <= 5)
+        .select(col("qid"), col("vec_id").as("neighbor_id"), col("adist"), col("r"))
+        .transform(CacheScope.scoped) // overlap audit + rank-1 projection
+      val ex = broadcast(qv.filter(col("vec_id") < 10).as("a"))
+        .join(qv.as("b"), col("b.vec_id") =!= col("a.vec_id"))
+        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("neighbor_id"),
+          expr("vec_ldot(a.qe, a.qe) - 2 * vec_ldot(a.qe, b.qe) + vec_ldot(b.qe, b.qe)")
+            .as("dist"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("qid").orderBy(col("dist"), col("neighbor_id"))))
+        .filter(col("r") <= 5)
+        .select(col("qid"), col("neighbor_id"))
+      val ov = ex.as("ex")
+        .join(tpq.as("t"),
+          col("t.qid") === col("ex.qid") &&
+            col("t.neighbor_id") === col("ex.neighbor_id"), "left")
+        .groupBy(col("ex.qid").as("qid"))
+        .agg(count(col("t.neighbor_id")).as("n_overlap"))
+      ov.join(tpq.filter(col("r") === 1)
+          .select(col("qid"), col("neighbor_id").as("pq_top1"),
+            col("adist").as("top1_adist")), "qid")
+        .select(col("qid"), col("pq_top1"), col("top1_adist"), col("n_overlap"),
+          expr("floor(n_overlap * 1000000.0D / 5) / 1000000.0D").as("recall_at_5"))
     })
 }

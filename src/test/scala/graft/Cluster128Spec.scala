@@ -175,4 +175,54 @@ class Cluster128Spec extends AnyFunSuite {
       s"7-bit pair must be pigeonhole-guaranteed in both: $prod / $truth")
     CacheScope.drain()
   }
+
+  test("q172 soft-dedup: weights bounded, totals partition the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val nTokens = docs.select(sum(expr("size(split(text, ' '))"))).head.getLong(0)
+    val rows = q("q172_soft_dedup").collect()
+    assert(rows.map(_.getLong(1)).sum === nDocs, "n_docs must partition the corpus")
+    assert(rows.map(_.getLong(3)).sum === nTokens, "tokens_total must partition the corpus")
+    rows.foreach { r =>
+      val (total, hard, soft) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(hard <= total, s"hard mass exceeds total: $r")
+      assert(soft <= total, s"soft mass exceeds total (weights are <= 1): $r")
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 100.0, s"hard_pct out of range: $r")
+      assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 100.0, s"soft_pct out of range: $r")
+    }
+  }
+
+  test("q172 soft-dedup: cross-source mirror splits mass pro-rata, hard credits the canonical") {
+    // the divergence the policy table exists to expose: docs 1/2 (web)
+    // and 3 (mirror) are exact twins — hard dedup credits all 12 tokens
+    // to web's canonical doc 1; soft weighting gives every copy
+    // 12 * (10^6 div 3) ppm, so mirror keeps floor(3.999996) = 3
+    // effective tokens instead of 0
+    import spark.implicits._
+    val doc = "the quick brown fox jumps over the lazy dog again and again" // 12 tokens
+    val docs = Seq(
+      (1L, doc, "en", "web", doc.length.toLong),
+      (2L, doc, "en", "web", doc.length.toLong),
+      (3L, doc, "en", "mirror", doc.length.toLong),
+      (4L, "completely different content with no shared shingles at all here", "en", "web", 64L), // 10
+      (5L, "another unrelated document body for the singleton case in this test", "en", "web", 68L)) // 11
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("softfix").toString
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(dir, "documents.parquet").toString)
+    val bySource = q2("q172_soft_dedup", dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val web = bySource("web")
+    assert((web.getLong(1), web.getLong(2), web.getLong(3)) === ((4L, 3L, 45L)))
+    assert(web.getLong(4) === 33L, s"web hard mass: $web") // docs 1 + 4 + 5
+    // 2 * 12 * 333333 + (10 + 11) * 1000000 = 28,999,992 ppm -> 28
+    assert(web.getLong(5) === 28L, s"web soft mass: $web")
+    val mirror = bySource("mirror")
+    assert((mirror.getLong(1), mirror.getLong(2), mirror.getLong(3)) === ((1L, 1L, 12L)))
+    assert(mirror.getLong(4) === 0L, s"mirror hard mass must be 0 (canonical is web's): $mirror")
+    assert(mirror.getLong(5) === 3L, s"mirror soft mass: $mirror") // floor(12 * 333333 / 1e6)
+    assert(mirror.getDouble(6) === 0.0)
+    assert(mirror.getDouble(7) === 33.3333)
+    CacheScope.drain()
+  }
 }

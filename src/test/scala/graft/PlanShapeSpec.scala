@@ -488,4 +488,60 @@ class PlanShapeSpec extends AnyFunSuite {
           df.queryExecution.executedPlan)
     } finally CacheScope.drain()
   }
+
+  test("q173/q174 ADC scan builds on the LUT side; the code relation streams") {
+    // the asymmetric-distance join must broadcast the lookup table
+    // (|Q|·64 rows flat, |Q|·nprobe·64 rows IVF-PQ) onto the corpus
+    // code scan — building on the codes side would hash the whole
+    // (compressed) corpus per executor, defeating the one-pass scan
+    // PQ exists for
+    for (name <- Seq("q173_pq_adc", "q174_ivfpq_ann")) {
+      CacheScope.drain()
+      try {
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.sparkPlan
+        val adcJoins = allNodes(plan).collect {
+          case j: BroadcastHashJoinExec
+              if j.leftKeys.exists(_.toString.contains("code")) ||
+                j.rightKeys.exists(_.toString.contains("code")) => j
+        }
+        assert(adcJoins.nonEmpty, s"$name: no ADC code-probe join:\n$plan")
+        adcJoins.foreach { j =>
+          val buildTree = j.buildSide match {
+            case BuildLeft => j.left
+            case BuildRight => j.right
+          }
+          assert(buildTree.output.exists(_.name == "dist"),
+            s"$name: ADC join built on the code side instead of the LUT:\n$j")
+        }
+      } finally CacheScope.drain()
+    }
+  }
+
+  test("q172 soft-dedup: document text never crosses an exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the policy table rides narrow relations only — (doc_id,
+    // cluster_id) for the CC/size machinery, (doc_id, source,
+    // n_tokens) for the mass join; shuffling text would make the
+    // aggregation pay the corpus a second time. Split the scan so
+    // exchanges take their real multi-partition shape (q149's note).
+    CacheScope.drain()
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+      val plan = SparkEntry.queries("q172_soft_dedup")(spark, sf)
+        .queryExecution.executedPlan
+      val withText = allNodes(plan).collect {
+        case e: ShuffleExchangeExec if e.output.exists(_.name == "text") => e
+      }
+      assert(withText.isEmpty,
+        s"document text crosses ${withText.size} exchange(s):\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+      CacheScope.drain()
+    }
+  }
 }

@@ -17,6 +17,7 @@ object SparkEntry {
       _root_.graft.ext.TextAnalysis.all ++
       _root_.graft.ext.Dedup.all ++
       _root_.graft.ext.Similarity.all ++
+      _root_.graft.ext.KnnGraph.all ++
       _root_.graft.ext.Multimodal.all ++
       _root_.graft.ext.Statistics.all ++
       _root_.graft.ext.Temporal.all ++

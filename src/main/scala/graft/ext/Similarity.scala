@@ -42,22 +42,22 @@ import graft.functions.VectorExpressions
 object Similarity {
 
   /** DuckDB-side quantization of one float scalar expression. */
-  private def qD(x: String): String =
+  private[ext] def qD(x: String): String =
     s"CAST(floor(CAST($x AS DOUBLE) * 1048576.0) AS BIGINT)"
 
   /** DuckDB-side `vec_qdot`: quantize two float lists inline, integer dot. */
-  private def qdotD(a: String, b: String): String =
+  private[ext] def qdotD(a: String, b: String): String =
     s"CAST(list_sum(list_transform(list_zip($a, $b), x -> ${qD("x[1]")} * ${qD("x[2]")})) AS BIGINT)"
 
   /** DuckDB-side integer dot of two already-quantized BIGINT lists. */
-  private def idotD(a: String, b: String): String =
+  private[ext] def idotD(a: String, b: String): String =
     s"CAST(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) AS BIGINT)"
 
   /** embeddings with per-vector quantized norm — computed once, reused
     * per pair. √(integer) is one correctly-rounded op: identical in
     * both engines.
     */
-  private val nvDuck =
+  private[ext] val nvDuck =
     s"nv AS (SELECT vec_id, label, embedding, sqrt(CAST(${qdotD("embedding", "embedding")} AS DOUBLE)) AS nrm FROM embeddings)"
 
   /** Spark-side quantized vector column. */
@@ -91,12 +91,47 @@ object Similarity {
       |cent AS (SELECT label, list(cv ORDER BY i) AS c FROM m GROUP BY label)"""
       .stripMargin
 
+  /** Spark-side 6-plane LSH sign-bucket expression over a `qe` column
+    * (q47's deterministic hyperplane family: md5-derived integer
+    * components in [-1000, 1000], identical to [[planesDuck]]). Shared
+    * by q47 (multi-probe ANN) and the q175/q176 kNN-graph init.
+    */
+  private[ext] def lshBucketExpr: String = {
+    def planeArr(j: Int): String = "array(" + (1 to 64).map { i =>
+      val p = Portable.h60Scala(s"plane|$j|$i") % 2001 - 1000
+      s"${p}L"
+    }.mkString(", ") + ")"
+    (0 until 6)
+      .map(j => s"CASE WHEN vec_ldot(qe, ${planeArr(j)}) >= 0 THEN ${1L << j}L ELSE 0L END")
+      .mkString(" + ")
+  }
+
+  /** DuckDB mirror of the hyperplane family: CTE `planes(j, pvec)`. */
+  private[ext] val planesDuck =
+    """planes AS (
+      |  SELECT j, list((('0x' || substr(md5(concat('plane|', j, '|', i)), 1, 15))::BIGINT % 2001 - 1000) ORDER BY i) AS pvec
+      |  FROM generate_series(0, 5) g(j), generate_series(1, 64) gi(i)
+      |  GROUP BY j)""".stripMargin
+
+  /** DuckDB quantized-embedding CTE `qv(vec_id, label, embedding, qe)`. */
+  private[ext] val qvDuck =
+    s"qv AS (SELECT vec_id, label, embedding, list_transform(embedding, x -> ${qD("x")}) AS qe FROM embeddings)"
+
+  /** DuckDB mirror of [[lshBucketExpr]]: CTE `bkt(vec_id, bucket)`
+    * (expects `planes` and `qv` in scope).
+    */
+  private[ext] val bktDuck =
+    s"""bkt AS (SELECT v.vec_id,
+       |          (SUM(CASE WHEN ${idotD("v.qe", "p.pvec")} >= 0
+       |                    THEN (1::BIGINT << p.j) ELSE 0 END))::BIGINT AS bucket
+       |        FROM qv v, planes p GROUP BY v.vec_id)""".stripMargin
+
   /** Quantize ONCE per vector at the scan (`qe`), then every pair/probe
     * kernel is `vec_ldot` over long arrays — in an O(n·m) join,
     * re-quantizing inside the pair kernel (`vec_qdot`) would redo the
     * 128 floor/cast ops per PAIR instead of 64 per ROW.
     */
-  private def nv(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[graft] def nv(s: org.apache.spark.sql.SparkSession, d: String) = {
     VectorExpressions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), expr(qeSpark).as("qe"))
@@ -445,17 +480,10 @@ object Similarity {
     // ~probes/buckets of the corpus instead of all of it.
     Q(
       "q47_lsh_ann",
-      s"""WITH planes AS (
-         |  SELECT j, list((('0x' || substr(md5(concat('plane|', j, '|', i)), 1, 15))::BIGINT % 2001 - 1000) ORDER BY i) AS pvec
-         |  FROM generate_series(0, 5) g(j), generate_series(1, 64) gi(i)
-         |  GROUP BY j),
-         |qv AS (SELECT vec_id, label, embedding,
-         |         list_transform(embedding, x -> ${qD("x")}) AS qe FROM embeddings),
+      s"""WITH $planesDuck,
+         |$qvDuck,
          |$nvDuck,
-         |bkt AS (SELECT v.vec_id,
-         |          (SUM(CASE WHEN ${idotD("v.qe", "p.pvec")} >= 0
-         |                    THEN (1::BIGINT << p.j) ELSE 0 END))::BIGINT AS bucket
-         |        FROM qv v, planes p GROUP BY v.vec_id),
+         |$bktDuck,
          |q AS (SELECT nv.vec_id AS qid, nv.embedding AS qemb, nv.nrm AS qnrm, b.bucket
          |      FROM nv JOIN bkt b ON b.vec_id = nv.vec_id WHERE nv.vec_id < 10),
          |probes AS (SELECT qid, qemb, qnrm,
@@ -476,16 +504,9 @@ object Similarity {
          |WHERE rank <= 5""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       VectorExpressions.register(s)
-      // hyperplane components derived with the same md5 the oracle uses
-      def planeArr(j: Int): String = "array(" + (1 to 64).map { i =>
-        val p = Portable.h60Scala(s"plane|$j|$i") % 2001 - 1000
-        s"${p}L"
-      }.mkString(", ") + ")"
-      def dotPlane(j: Int): String = s"vec_ldot(qe, ${planeArr(j)})"
-      val bucketExpr = (0 until 6)
-        .map(j => s"CASE WHEN ${dotPlane(j)} >= 0 THEN ${1L << j}L ELSE 0L END")
-        .mkString(" + ")
-      val nb = nv(s, d).withColumn("bucket", expr(bucketExpr))
+      // hyperplane buckets derived with the same md5 the oracle uses
+      // (shared with the q175/q176 kNN-graph init: [[lshBucketExpr]])
+      val nb = nv(s, d).withColumn("bucket", expr(lshBucketExpr))
       val q = nb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("qe").as("qq"),
           col("nrm").as("qnrm"), col("bucket"))

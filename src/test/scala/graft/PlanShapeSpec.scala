@@ -518,6 +518,31 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q175 kNN graph: equi-joins only; no exchange carries two vectors") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // every join in the descent is an equi hash join (bucket, v, w) —
+    // a planner fallback to a nested-loop/cartesian form would turn
+    // the linear candidate machinery quadratic; and scored pairs must
+    // shuffle as (v, w, cos) triples, never with both 64-long qe
+    // arrays aboard (the vectors join in corpus-side, ids travel)
+    CacheScope.drain()
+    try {
+      val plan = SparkEntry.queries("q175_knn_graph")(spark, sf)
+        .queryExecution.executedPlan
+      val nodes = allNodes(plan)
+      val nonEqui = nodes.filter(n =>
+        n.nodeName.contains("CartesianProduct") ||
+          n.nodeName.contains("BroadcastNestedLoop"))
+      assert(nonEqui.isEmpty, s"non-equi join in the descent:\n$plan")
+      val doubleVec = nodes.collect {
+        case e: ShuffleExchangeExec
+            if Seq("vqe", "wqe").forall(c => e.output.exists(_.name == c)) => e
+      }
+      assert(doubleVec.isEmpty,
+        s"scored pairs shuffle with both vectors aboard:\n${doubleVec.mkString("\n")}")
+    } finally CacheScope.drain()
+  }
+
   test("q172 soft-dedup: document text never crosses an exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     // the policy table rides narrow relations only — (doc_id,

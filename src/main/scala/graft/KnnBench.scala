@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.{KnnGraph, Portable, Similarity}
+
+/** The kNN-graph dial A/B (q175/q176's 100 TB story, measured): the
+  * registered queries pick the LSH plane count AUTOMATICALLY
+  * ([[graft.ext.KnnGraph.planesFor]] holds bucket size ~32); this
+  * bench prices arbitrary dial points against it. With planes FIXED,
+  * bucket size grows ~n/2^planes and the init pairing term
+  * n·(planes+1)·n/2^planes goes corpus-quadratic (measured: the fixed
+  * width-6 form filled the scratch disk at ×30 before failing);
+  * raising planes with corpus size holds the init linear — and this
+  * bench shows what each width COSTS and what recall it BUYS on the
+  * same corpus.
+  *
+  * `runMain graft.KnnBench <sfDir> <planesCsv> <mod> [repeats]`
+  * (planesCsv entries may be numbers or `auto`) times the FULL graph
+  * build (init + NN-descent rounds, forced by a checksum aggregate)
+  * per plane count in ONE session — the same-session A/B pattern
+  * SCALE.md mandates for scale claims — and then audits each form's
+  * final-graph recall against the exact ground truth on the h60 % mod
+  * sample, so the dial's cost-vs-recall trade is one table, not two
+  * claims. One JSON line per form.
+  */
+object KnnBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val planesArg = args(1).split(',').map(_.trim).toSeq
+    val mod = args(2).toLong
+    val repeats = args.lift(3).map(_.toInt).getOrElse(2)
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val nShuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      (2 * Runtime.getRuntime.availableProcessors()).toString)
+    spark.conf.set("spark.sql.shuffle.partitions", nShuffle)
+
+    val e = Similarity.nv(spark, dir).select("vec_id", "qe", "nrm")
+      .persist()
+    val n = e.count()
+    val planesList = planesArg.map {
+      case "auto" => KnnGraph.planesFor(n)
+      case p => p.toInt
+    }
+
+    // exact ground truth on the h60 % mod sample — shared by every
+    // form (the dial under test is the GRAPH's, not the audit's)
+    val ex = e.filter(expr(
+        s"${Portable.h60Spark("cast(vec_id as string)")} % $mod = 0"))
+      .select(col("vec_id").as("v"), col("qe").as("vqe"),
+        col("nrm").as("vnrm"))
+      .join(e.select(col("vec_id").as("w"), col("qe").as("wqe"),
+        col("nrm").as("wnrm")), col("w") =!= col("v"))
+      .select(col("v"), col("w"),
+        expr("cast(vec_ldot(vqe, wqe) as double) / (vnrm * wnrm)").as("cos"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("v").orderBy(col("cos").desc, col("w"))))
+      .filter(col("r") <= KnnGraph.K)
+      .select("v", "w")
+      .persist()
+    val nExact = ex.count()
+
+    for (planes <- planesList) {
+      def build(): DataFrame = KnnGraph.descend(e, planes = planes).last
+      var best = Double.MaxValue
+      var edges = 0L
+      for (_ <- 1 to repeats) {
+        CacheScope.drain()
+        val t0 = System.nanoTime()
+        val g = build()
+        // checksum forces every edge (and so the whole descent)
+        g.selectExpr("sum(v + w + rank) as checksum")
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (sec < best) best = sec
+        edges = g.count()
+        CacheScope.drain()
+      }
+      // audit pass (untimed build reuse is impossible post-drain: one
+      // more descent, its cost reported separately as audit_sec)
+      val t1 = System.nanoTime()
+      val g = build()
+      val found = ex.join(g.select(col("v"), col("w")), Seq("v", "w"),
+        "left_semi").count()
+      val auditSec = (System.nanoTime() - t1) / 1e9
+      CacheScope.drain()
+      val recall = math.floor(found * 1e6 / math.max(nExact, 1)) / 1e6
+      println(f"""{"metric":"knn_bench","planes":$planes,"sec":$best%.3f,"edges":$edges,"n":$n,"mod":$mod,"audit_sec":$auditSec%.3f,"n_exact":$nExact,"n_found":$found,"recall":$recall%.6f,"repeats":$repeats,"shuffle_partitions":$nShuffle}""")
+    }
+    e.unpersist(); ex.unpersist()
+    spark.stop()
+  }
+}

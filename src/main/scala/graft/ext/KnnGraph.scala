@@ -24,17 +24,20 @@ import graft.{CacheScope, Q}
   *     w ≠ v }, exact re-rank to top-k. B(v) ⊆ C(v) makes per-node
   *     quality MONOTONE non-decreasing (KnnGraphSpec pins the law).
   *
-  * Scale design (100 TB): every stage is linear in corpus size n —
-  * init is n·(7n/B) pairs where B is the hyperplane-count dial (64
-  * buckets here; production raises the plane count so bucket size stays
-  * ~constant, the q164-modulus pattern), rounds are O(n·k²) candidate
-  * rows (k=5 → ≤ ~105/node), and every exchange is a hash shuffle on
-  * ids (bucket, v) — the 64-long `qe` arrays move only through the
-  * corpus-side hash joins, never through a pair relation. No stage is
-  * corpus-quadratic; the exact audit truth (q176) runs on the
-  * deterministic content-hash SAMPLE dial (|S|·n, linear), never the
-  * full n². Ranking is integer-dot cosine (`vec_ldot`) with
-  * neighbor-id tie-break, so both engines produce the identical graph.
+  * Scale design (100 TB): every stage is linear in corpus size n, and
+  * the two dials that could break that are AUTOMATIC — [[planesFor]]
+  * picks the hyperplane count so bucket size stays ~32 (init =
+  * n·(planes+1)·~32 scored pairs; with a FIXED width the same term is
+  * corpus-quadratic — measured fatal at ×30), and [[modFor]] holds the
+  * audit sample ~500 nodes (exact truth ~500·n, never n²). Both are
+  * integer bit-length/division math derived from count(*) on BOTH
+  * engines, so the oracle stays exact at every corpus size. Rounds are
+  * O(n·k²) candidate rows (k=5, reverse side of B capped at k), and
+  * every exchange is a hash shuffle on ids (bucket, v) — the 64-long
+  * `qe` arrays move only through the corpus-side hash joins, never
+  * through a pair relation. Ranking is integer-dot cosine (`vec_ldot`)
+  * with neighbor-id tie-break, so both engines produce the identical
+  * graph.
   *
   * Reference scope: the reference pipeline has no ANN surface; this is
   * north-star extension coverage (SURVEY §7.1) alongside q38–q47.
@@ -47,11 +50,30 @@ object KnnGraph {
   /** NN-descent refinement rounds after the LSH init. */
   val Rounds = 2
 
-  /** Audit sample modulus: h60(vec_id) % Mod == 0 nodes get exact
-    * ground truth (the q164 sample dial — production picks Mod so the
-    * audit is sample-sized, the graph itself always covers all nodes).
+  /** Hyperplane count for corpus size n — the init's corpus-size dial,
+    * AUTOMATIC (r13): smallest p with 2^p ≥ ⌈n/32⌉, floored at 6, so
+    * bucket size stays ~32 and the init pairing n·(p+1)·(n/2^p) stays
+    * ~32·(p+1)·n — linear with a log factor — at every corpus size.
+    * With p FIXED the same term is corpus-quadratic (measured: ×30
+    * filled the scratch disk before failing). Integer bit-length math,
+    * not float log2 — `log`-based ceil disagrees between engines by
+    * one ulp exactly at power-of-two corpus sizes, which would flip
+    * the whole bucket layout. Both SFs of the test corpus resolve to
+    * the q47-compatible width of 6.
     */
-  val Mod = 4
+  def planesFor(n: Long): Int = {
+    val b = (n + 31) / 32
+    math.max(6, if (b <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(b - 1))
+  }
+
+  /** Audit sample modulus for corpus size n: h60(vec_id) % mod == 0
+    * nodes get exact ground truth — ⌈n/500⌉ keeps the sample ~500
+    * nodes so the exact-truth stage is ~500·n at every corpus size
+    * (the q164 sample-dial posture, made automatic), floored at 4 so
+    * the test corpora keep a dense sample. The graph itself always
+    * covers all nodes.
+    */
+  def modFor(n: Long): Long = math.max(4L, (n + 499) / 500)
 
   /** Exact quantized-cosine top-k re-rank of a candidate pair relation
     * `cand(v, w)` against an nv-shaped relation `e(vec_id, qe, nrm)`.
@@ -71,15 +93,17 @@ object KnnGraph {
         Window.partitionBy("v").orderBy(col("cos").desc, col("w"))))
       .filter(col("rank") <= k)
 
-  /** LSH multi-probe init candidates: each node × (own bucket + 6
-    * hamming-1 buckets). The 7 probe values are distinct by
+  /** LSH multi-probe init candidates: each node × (own bucket + all
+    * hamming-1 buckets). The probe values are distinct by
     * construction, so each (v, w) appears at most once — no distinct
-    * exchange needed.
+    * exchange needed. `planes` is the corpus-size dial (the registered
+    * queries pin 6; KnnBench raises it so bucket size stays ~constant
+    * at soak scale).
     */
-  private[graft] def initCand(e: DataFrame): DataFrame = {
-    val nb = e.withColumn("bucket", expr(Similarity.lshBucketExpr))
+  private[graft] def initCand(e: DataFrame, planes: Int = 6): DataFrame = {
+    val nb = e.withColumn("bucket", expr(Similarity.lshBucketExpr(planes)))
     val probes = nb.select(col("vec_id").as("v"), explode(expr(
-      "transform(sequence(0, 6), t -> CASE WHEN t = 0 THEN bucket" +
+      s"transform(sequence(0, $planes), t -> CASE WHEN t = 0 THEN bucket" +
         " ELSE bucket ^ shiftleft(cast(1 as bigint), t - 1) END)")).as("pb"))
     probes.join(
         nb.select(col("vec_id").as("w"), col("bucket").as("wb")),
@@ -87,15 +111,30 @@ object KnnGraph {
       .select("v", "w")
   }
 
-  /** One NN-descent candidate expansion over a graph `g(v, w)`:
-    * B(v) ∪ B(B(v)). Deduplicated — neighbor-of-neighbor paths
-    * multiply, and duplicate (v, w) rows would double-place a neighbor
-    * in the rank window.
+  /** One NN-descent candidate expansion over a graph `g(v, w, cos)`:
+    * B(v) ∪ B(B(v)) with the REVERSE side of B capped at the top-k
+    * in-neighbors by (cos desc, id) — Dong et al.'s reverse-neighbor
+    * sampling (ρK), made deterministic. The cap is load-bearing at
+    * every scale: kNN graphs grow hubs (one popular vector sits in
+    * thousands of top-k lists), in-degree is unbounded, and an
+    * uncapped B(B(v)) pays indeg² through each hub — measured 14 s on
+    * 2k vectors at sf0.1 before the cap, corpus-quadratic after. With
+    * the cap |B(v)| ≤ 2k, so candidates ≤ ~4k²+2k per node, bounded.
+    * Out-neighbors are kept in full, so g(v) ⊆ B(v) ⊆ C(v) and the
+    * monotone law survives. Deduplicated — duplicate (v, w) rows would
+    * double-place a neighbor in the rank window.
     */
-  private[graft] def roundCand(g: DataFrame): DataFrame = {
-    val b = g.select("v", "w")
-      .union(g.select(col("w").as("v"), col("v").as("w")))
-      .distinct()
+  private[graft] def roundCand(g: DataFrame, k: Int = K): DataFrame = {
+    val rev = g.select(col("w").as("rv"), col("v").as("rw"), col("cos"))
+      .withColumn("rr", row_number().over(
+        Window.partitionBy("rv").orderBy(col("cos").desc, col("rw"))))
+      .filter(col("rr") <= k)
+      .select(col("rv").as("v"), col("rw").as("w"))
+    // b may carry (v, w) twice (an edge present forward AND as a kept
+    // reverse) — at most a 2× blowup through the join, cleaned by the
+    // single distinct below; deduplicating b separately would buy one
+    // more exchange per round for nothing
+    val b = g.select("v", "w").union(rev)
     b.as("x")
       .join(b.as("y"), col("x.w") === col("y.v") && col("y.w") =!= col("x.v"))
       .select(col("x.v").as("v"), col("y.w").as("w"))
@@ -108,16 +147,38 @@ object KnnGraph {
     * expansion and (in q176) the per-round audit union.
     */
   private[graft] def descend(e: DataFrame, rounds: Int = Rounds,
-      k: Int = K): Seq[DataFrame] = {
-    val g0 = topK(e, initCand(e), k).transform(CacheScope.scoped)
+      k: Int = K, planes: Int = 6): Seq[DataFrame] = {
+    val g0 = topK(e, initCand(e, planes), k).transform(CacheScope.scoped)
     (1 to rounds).foldLeft(Vector(g0)) { (gs, _) =>
-      gs :+ topK(e, roundCand(gs.last), k).transform(CacheScope.scoped)
+      gs :+ topK(e, roundCand(gs.last, k), k).transform(CacheScope.scoped)
     }
   }
 
   /** Spark-side sampled-node predicate (the q164 content-hash dial). */
-  private val sampSpark =
-    s"${Portable.h60Spark("cast(vec_id as string)")} % $Mod = 0"
+  private def sampSpark(mod: Long) =
+    s"${Portable.h60Spark("cast(vec_id as string)")} % $mod = 0"
+
+  /** DuckDB mirror of [[planesFor]]/[[modFor]]: CTE `nn(np, md)` —
+    * pure integer math (bit length via `bin()`, integer division), so
+    * both engines pick the identical dial at every corpus size.
+    */
+  private val nnDuck =
+    """nn AS (SELECT
+      |         GREATEST(6, CASE WHEN ((count(*) + 31) // 32) <= 1 THEN 1
+      |                          ELSE length(bin((count(*) + 31) // 32 - 1)) END) AS np,
+      |         GREATEST(4, (count(*) + 499) // 500) AS md
+      |       FROM embeddings)""".stripMargin
+
+  /** Adaptive-width variant of [[Similarity.planesDuck]]: only the
+    * first `np` hyperplanes exist (same md5 family, so width 6 is
+    * bit-identical to q47's fixed table).
+    */
+  private val planesAdaptiveDuck =
+    """planes AS (
+      |  SELECT j, list((('0x' || substr(md5(concat('plane|', j, '|', i)), 1, 15))::BIGINT % 2001 - 1000) ORDER BY i) AS pvec
+      |  FROM generate_series(0, 63) g(j), generate_series(1, 64) gi(i), nn
+      |  WHERE j < nn.np
+      |  GROUP BY j)""".stripMargin
 
   /** DuckDB CTE chain computing g0/g1/g2 as `(v, w, cos, r)` relations
     * (ends without trailing comma; expects nothing in scope).
@@ -132,17 +193,23 @@ object KnnGraph {
          |        JOIN qn a ON a.vec_id = c.v
          |        JOIN qn b ON b.vec_id = c.w)) WHERE r <= $K)""".stripMargin
     def bCte(name: String, g: String) =
-      s"$name AS (SELECT v, w FROM $g UNION SELECT w AS v, v AS w FROM $g)"
+      s"""$name AS (SELECT v, w FROM $g
+         |          UNION
+         |          SELECT rv AS v, rw AS w FROM (
+         |            SELECT w AS rv, v AS rw,
+         |              row_number() OVER (PARTITION BY w ORDER BY cos DESC, v) AS rr
+         |            FROM $g) WHERE rr <= $K)""".stripMargin
     def cCte(name: String, b: String) =
       s"""$name AS (SELECT x.v, y.w FROM $b x JOIN $b y ON y.v = x.w AND y.w <> x.v
          |          UNION SELECT v, w FROM $b)""".stripMargin
-    s"""${Similarity.planesDuck},
+    s"""$nnDuck,
+       |$planesAdaptiveDuck,
        |${Similarity.qvDuck},
        |${Similarity.nvDuck},
        |${Similarity.bktDuck},
        |qn AS (SELECT qv.vec_id, qv.qe, nv.nrm FROM qv JOIN nv ON nv.vec_id = qv.vec_id),
        |pr AS (SELECT b.vec_id AS v,
-       |         unnest(list_transform(range(0, 7),
+       |         unnest(list_transform(range(0, (SELECT np + 1 FROM nn)),
        |           t -> CASE WHEN t = 0 THEN bucket ELSE xor(bucket, (1::BIGINT << (t - 1))) END)) AS pb
        |       FROM bkt b),
        |c0 AS (SELECT p.v, eb.vec_id AS w FROM pr p
@@ -166,7 +233,10 @@ object KnnGraph {
          |FROM g2""".stripMargin) { (s, d) =>
       val e = Similarity.nv(s, d).select("vec_id", "qe", "nrm")
         .transform(CacheScope.scoped)
-      descend(e).last
+      // the dial is a 1-row driver decision off the cached corpus count
+      // (the BPE-argmax precedent) — the oracle derives the identical
+      // width from its own count(*) in the nn CTE
+      descend(e, planes = planesFor(e.count())).last
         .select(col("v").as("vec_id"), col("rank"),
           col("w").as("neighbor_id"),
           expr("floor(cos * 1000000.0D) / 1000000.0D").as("cosine"))
@@ -182,7 +252,7 @@ object KnnGraph {
       "q176_knn_graph_recall",
       s"""WITH $descentDuck,
          |samp AS (SELECT vec_id FROM qn
-         |         WHERE ${Portable.h60Duck("CAST(vec_id AS VARCHAR)")} % $Mod = 0),
+         |         WHERE ${Portable.h60Duck("CAST(vec_id AS VARCHAR)")} % (SELECT md FROM nn) = 0),
          |ex AS (SELECT v, w FROM (
          |         SELECT a.vec_id AS v, b.vec_id AS w,
          |           row_number() OVER (PARTITION BY a.vec_id
@@ -203,10 +273,11 @@ object KnnGraph {
          |FROM f GROUP BY iter""".stripMargin) { (s, d) =>
       val e = Similarity.nv(s, d).select("vec_id", "qe", "nrm")
         .transform(CacheScope.scoped)
-      val gs = descend(e)
-      // exact truth on the sampled nodes only: |S|·n pairs (linear —
-      // the modulus is the 100 TB dial), NOT the full n² scan
-      val ex = e.filter(expr(sampSpark))
+      val n = e.count()
+      val gs = descend(e, planes = planesFor(n))
+      // exact truth on the sampled nodes only: ~500·n pairs (the
+      // automatic modulus holds the sample ~constant), NOT the full n²
+      val ex = e.filter(expr(sampSpark(modFor(n))))
         .select(col("vec_id").as("v"), col("qe").as("vqe"),
           col("nrm").as("vnrm"))
         .join(e.select(col("vec_id").as("w"), col("qe").as("wqe"),

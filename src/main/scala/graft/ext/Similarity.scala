@@ -91,17 +91,21 @@ object Similarity {
       |cent AS (SELECT label, list(cv ORDER BY i) AS c FROM m GROUP BY label)"""
       .stripMargin
 
-  /** Spark-side 6-plane LSH sign-bucket expression over a `qe` column
-    * (q47's deterministic hyperplane family: md5-derived integer
-    * components in [-1000, 1000], identical to [[planesDuck]]). Shared
-    * by q47 (multi-probe ANN) and the q175/q176 kNN-graph init.
+  /** Spark-side LSH sign-bucket expression over a `qe` column (q47's
+    * deterministic hyperplane family: md5-derived integer components
+    * in [-1000, 1000], identical to [[planesDuck]] at the registered
+    * width of 6). Shared by q47 (multi-probe ANN) and the q175/q176
+    * kNN-graph init; `planes` is the corpus-size dial (more planes →
+    * smaller buckets; production raises it so bucket size stays
+    * ~constant — KnnBench measures the dial, the registered queries
+    * pin 6).
     */
-  private[ext] def lshBucketExpr: String = {
+  private[graft] def lshBucketExpr(planes: Int = 6): String = {
     def planeArr(j: Int): String = "array(" + (1 to 64).map { i =>
       val p = Portable.h60Scala(s"plane|$j|$i") % 2001 - 1000
       s"${p}L"
     }.mkString(", ") + ")"
-    (0 until 6)
+    (0 until planes)
       .map(j => s"CASE WHEN vec_ldot(qe, ${planeArr(j)}) >= 0 THEN ${1L << j}L ELSE 0L END")
       .mkString(" + ")
   }
@@ -506,7 +510,7 @@ object Similarity {
       VectorExpressions.register(s)
       // hyperplane buckets derived with the same md5 the oracle uses
       // (shared with the q175/q176 kNN-graph init: [[lshBucketExpr]])
-      val nb = nv(s, d).withColumn("bucket", expr(lshBucketExpr))
+      val nb = nv(s, d).withColumn("bucket", expr(lshBucketExpr()))
       val q = nb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("qe").as("qq"),
           col("nrm").as("qnrm"), col("bucket"))

@@ -27,6 +27,31 @@ class KnnGraphSpec extends AnyFunSuite {
   private def q(name: String, dir: String): DataFrame =
     SparkEntry.queries(name)(spark, dir)
 
+  test("dial laws: planesFor holds bucket size ~32; modFor holds the sample ~500") {
+    // exact pins at the corpus sizes the gates and soaks use
+    assert(ext.KnnGraph.planesFor(500) === 6)      // sf0.01 → q47-compatible
+    assert(ext.KnnGraph.planesFor(2000) === 6)     // sf0.1  → q47-compatible
+    assert(ext.KnnGraph.planesFor(60000) === 11)   // ×30
+    assert(ext.KnnGraph.planesFor(600000) === 15)  // ×300
+    assert(ext.KnnGraph.planesFor(2000000) === 16) // ×1000
+    assert(ext.KnnGraph.modFor(500) === 4L)
+    assert(ext.KnnGraph.modFor(2000) === 4L)
+    assert(ext.KnnGraph.modFor(60000) === 120L)
+    assert(ext.KnnGraph.modFor(600000) === 1200L)
+    // the law itself: 2^planes is the tightest power of two covering
+    // ceil(n/32) buckets (above the floor of 6), incl. the exact
+    // power-of-two corpus sizes where float log2 is one ulp from
+    // flipping
+    for (n <- Seq(1L, 31L, 32L, 33L, 2048L, 2049L, 65536L, 65537L,
+        1L << 20, (1L << 20) + 1, 999983L)) {
+      val p = ext.KnnGraph.planesFor(n)
+      val b = (n + 31) / 32
+      assert((1L << p) >= b, s"n=$n: 2^$p buckets < $b")
+      if (p > 6) assert((1L << (p - 1)) < b, s"n=$n: width $p not tight for $b")
+      assert(ext.KnnGraph.modFor(n) === math.max(4L, (n + 499) / 500))
+    }
+  }
+
   test("q175 graph bookkeeping: no self edges, no dup neighbors, contiguous ranks <= K") {
     val rows = q("q175_knn_graph", "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
@@ -50,9 +75,29 @@ class KnnGraphSpec extends AnyFunSuite {
     import spark.implicits._
     // hand graph 1→2, 2→3: B = {(1,2),(2,1),(2,3),(3,2)}; two-hop adds
     // (1,3) and (3,1); nothing else, nothing twice, no (v,v)
-    val g = Seq((1L, 2L), (2L, 3L)).toDF("v", "w")
+    val g = Seq((1L, 2L, 0.9), (2L, 3L, 0.8)).toDF("v", "w", "cos")
     val got = ext.KnnGraph.roundCand(g).as[(Long, Long)].collect().toSet
     assert(got === Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L)))
+  }
+
+  test("roundCand caps the REVERSE side of B at top-k by cosine (hub safety)") {
+    import spark.implicits._
+    // hub node 99 is the out-neighbor of 8 nodes with distinct cosines;
+    // with k=2 only the two highest-cos in-neighbors (1, 2) survive
+    // into B(99), so the hub contributes 2 two-hop sources, not 8 —
+    // the bound that keeps B(B(v)) from paying indeg² through hubs
+    val g = (1L to 8L).map(i => (i, 99L, 1.0 - i * 0.01)).toDF("v", "w", "cos")
+    val got = ext.KnnGraph.roundCand(g, k = 2).as[(Long, Long)].collect().toSet
+    val fromHub = got.filter(_._1 == 99L).map(_._2)
+    assert(fromHub === Set(1L, 2L),
+      s"hub's B must keep only the top-2 in-neighbors: $fromHub")
+    // two-hop targets through the hub are only the kept pair: without
+    // the cap node 3 would reach all of 1..8 (indeg² = 64 pairs); with
+    // it, exactly {1, 2}
+    assert(got.contains((1L, 2L)) && got.contains((2L, 1L)))
+    val via3 = got.filter(p => p._1 == 3L && p._2 != 99L).map(_._2)
+    assert(via3 === Set(1L, 2L),
+      s"node 3's two-hop set must be the capped pair only: $via3")
   }
 
   test("monotone law per NODE: each round's kept-cosine sum never degrades") {

@@ -34,9 +34,18 @@ object Bench {
     * plus the additive q170: ~70–110. The raw band is now only the
     * FALLBACK when calibration is off — the primary check is
     * [[NormBandSec]] below.
+    *
+    * Round-13 re-pin for the 170-query registry (q171 banding recall
+    * audit ~2.5 s, q172 soft dedup ~2.5 s, q173/q174 PQ tier ~2 s
+    * each, q175/q176 kNN graph + audit, the two heaviest adds at
+    * 5.3–8.4 s — ~20 normalized seconds total): the r13 clean triplet
+    * (BENCH_CLEAN_r13.json) read 115.5–120.8 s raw in fast 1.125–1.133
+    * windows, 101.9–106.6 normalized. Raw band = the r12 convention,
+    * norm envelope scaled across the historical window range
+    * (≈ ×1.215 on the r12 edges): ~85–134.
     */
-  val CleanBandSec: (Double, Double) = (70.0, 110.0)
-  val CleanBandQueries = 164
+  val CleanBandSec: (Double, Double) = (85.0, 134.0)
+  val CleanBandQueries = 170
   /** …and only for the SF the band was measured at. */
   val CleanBandSf = "sf0.1"
 
@@ -54,8 +63,13 @@ object Bench {
     * q170 (~1 s), floor relaxed below r10's 76 (a faster future
     * window must not read as "contended"). Raw band kept above as
     * the fallback when calibration is off (hostSpeed ≤ 0).
+    *
+    * r13 re-pin (170 queries, q171–q176 added): clean triplet
+    * normalized 101.9 / 106.6 / 106.0 (BENCH_CLEAN_r13.json).
+    * Ceiling = 106.6 × 1.064 ≈ 113.4 → 114; floor relaxed by the
+    * same r12 proportion (≈ envelope min × 0.89) → 90.
     */
-  val NormBandSec: (Double, Double) = (72.0, 94.0)
+  val NormBandSec: (Double, Double) = (90.0, 114.0)
 
   /** Measured inter-run residual of the NORMALIZED total across
     * same-code clean runs: the r12 clean triplet's normalized totals

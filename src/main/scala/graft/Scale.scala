@@ -26,7 +26,12 @@ object Scale {
     * quadratic-banding canary: its ×300/×1000 trend line is the
     * longest-running in SCALE.md and guards the audit dial's cost).
     * All documents-table dedup/text/tokenizer paths; the rest of the
-    * registry is dimension-sized.
+    * registry is dimension-sized. The r13 kNN-graph family
+    * (q175/q176) soaks SEPARATELY (SCALE.md r13 section): its
+    * embedding descent needs ~3× the 15×-on-disk heap rule this
+    * list's flag-free config applies (measured: 15 g OOM, 48 g
+    * clean at ×300), so putting it here would fail the soak for a
+    * sizing reason, not a scale one.
     */
   val hot: Seq[String] = Seq(
     "q127_curation_ledger", "q104_containment",

@@ -17,7 +17,7 @@ import graft.ext.{KnnGraph, Portable, Similarity}
   * same corpus.
   *
   * `runMain graft.KnnBench <sfDir> <planesCsv> <mod> [repeats]`
-  * (planesCsv entries may be numbers or `auto`) times the FULL graph
+  * (planesCsv entries and mod may be numbers or `auto`) times the FULL graph
   * build (init + NN-descent rounds, forced by a checksum aggregate)
   * per plane count in ONE session — the same-session A/B pattern
   * SCALE.md mandates for scale claims — and then audits each form's
@@ -29,7 +29,7 @@ object KnnBench {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val planesArg = args(1).split(',').map(_.trim).toSeq
-    val mod = args(2).toLong
+    val modArg = args(2)
     val repeats = args.lift(3).map(_.toInt).getOrElse(2)
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val nShuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
@@ -42,6 +42,12 @@ object KnnBench {
     val planesList = planesArg.map {
       case "auto" => KnnGraph.planesFor(n)
       case p => p.toInt
+    }
+    // `auto` mirrors planesCsv (r13 ADVICE): the registered queries'
+    // modFor dial, so a sweep never hand-types a modulus at all
+    val mod = modArg match {
+      case "auto" => KnnGraph.modFor(n)
+      case m => m.toLong
     }
 
     // exact ground truth on the h60 % mod sample — shared by every
@@ -60,6 +66,12 @@ object KnnBench {
       .select("v", "w")
       .persist()
     val nExact = ex.count()
+    // fail fast on an empty audit sample (r13 ADVICE): a mistyped
+    // modulus must not read as recall 0.0 — that output is otherwise
+    // indistinguishable from a catastrophically bad plane width
+    require(nExact > 0,
+      s"audit sample is empty: h60(vec_id) % $mod = 0 matched no rows " +
+        s"of the $n-vector corpus — bad mod dial (try 'auto' = ${KnnGraph.modFor(n)})")
 
     for (planes <- planesList) {
       def build(): DataFrame = KnnGraph.descend(e, planes = planes).last
@@ -85,7 +97,7 @@ object KnnBench {
         "left_semi").count()
       val auditSec = (System.nanoTime() - t1) / 1e9
       CacheScope.drain()
-      val recall = math.floor(found * 1e6 / math.max(nExact, 1)) / 1e6
+      val recall = math.floor(found * 1e6 / nExact) / 1e6
       println(f"""{"metric":"knn_bench","planes":$planes,"sec":$best%.3f,"edges":$edges,"n":$n,"mod":$mod,"audit_sec":$auditSec%.3f,"n_exact":$nExact,"n_found":$found,"recall":$recall%.6f,"repeats":$repeats,"shuffle_partitions":$nShuffle}""")
     }
     e.unpersist(); ex.unpersist()

@@ -96,11 +96,12 @@ object KnnGraph {
   /** LSH multi-probe init candidates: each node × (own bucket + all
     * hamming-1 buckets). The probe values are distinct by
     * construction, so each (v, w) appears at most once — no distinct
-    * exchange needed. `planes` is the corpus-size dial (the registered
-    * queries pin 6; KnnBench raises it so bucket size stays ~constant
-    * at soak scale).
+    * exchange needed. `planes` is the corpus-size dial — pass
+    * [[planesFor]](n) (the registered queries do) or an explicit
+    * sweep width; there is deliberately no default (r13 ADVICE: a
+    * fixed default width is the measured-fatal configuration).
     */
-  private[graft] def initCand(e: DataFrame, planes: Int = 6): DataFrame = {
+  private[graft] def initCand(e: DataFrame, planes: Int): DataFrame = {
     val nb = e.withColumn("bucket", expr(Similarity.lshBucketExpr(planes)))
     val probes = nb.select(col("vec_id").as("v"), explode(expr(
       s"transform(sequence(0, $planes), t -> CASE WHEN t = 0 THEN bucket" +
@@ -146,8 +147,12 @@ object KnnGraph {
     * persisted (query-scoped): g₍ᵣ₋₁₎ feeds BOTH the next round's
     * expansion and (in q176) the per-round audit union.
     */
-  private[graft] def descend(e: DataFrame, rounds: Int = Rounds,
-      k: Int = K, planes: Int = 6): Seq[DataFrame] = {
+  // `planes` has NO default on purpose (r13 ADVICE): 6 is the exact
+  // fixed width measured corpus-quadratic-fatal at ×30 — callers must
+  // pass planesFor(n) (or an explicit test width) so the fatal
+  // configuration stays opt-in, never the silent default.
+  private[graft] def descend(e: DataFrame, planes: Int,
+      rounds: Int = Rounds, k: Int = K): Seq[DataFrame] = {
     val g0 = topK(e, initCand(e, planes), k).transform(CacheScope.scoped)
     (1 to rounds).foldLeft(Vector(g0)) { (gs, _) =>
       gs :+ topK(e, roundCand(gs.last, k), k).transform(CacheScope.scoped)
@@ -180,8 +185,13 @@ object KnnGraph {
       |  WHERE j < nn.np
       |  GROUP BY j)""".stripMargin
 
-  /** DuckDB CTE chain computing g0/g1/g2 as `(v, w, cos, r)` relations
-    * (ends without trailing comma; expects nothing in scope).
+  /** DuckDB CTE chain computing g0..g[[Rounds]] as `(v, w, cos, r)`
+    * relations (ends without trailing comma; expects nothing in
+    * scope). The chain is GENERATED from [[Rounds]] — the same
+    * constant the Spark side folds over in [[descend]] — so retuning
+    * the round count moves both engines together (r13 ADVICE: a
+    * hard-coded g0/b0/c1/... chain desyncs silently when Rounds
+    * changes, surfacing only as a confusing oracle row mismatch).
     */
   private def descentDuck: String = {
     def gCte(name: String, candCte: String) =
@@ -202,6 +212,11 @@ object KnnGraph {
     def cCte(name: String, b: String) =
       s"""$name AS (SELECT x.v, y.w FROM $b x JOIN $b y ON y.v = x.w AND y.w <> x.v
          |          UNION SELECT v, w FROM $b)""".stripMargin
+    val rounds = (1 to Rounds).flatMap { r =>
+      Seq(bCte(s"b${r - 1}", s"g${r - 1}"),
+        cCte(s"c$r", s"b${r - 1}"),
+        gCte(s"g$r", s"c$r"))
+    }.mkString(",\n")
     s"""$nnDuck,
        |$planesAdaptiveDuck,
        |${Similarity.qvDuck},
@@ -215,12 +230,7 @@ object KnnGraph {
        |c0 AS (SELECT p.v, eb.vec_id AS w FROM pr p
        |       JOIN bkt eb ON eb.bucket = p.pb AND eb.vec_id <> p.v),
        |${gCte("g0", "c0")},
-       |${bCte("b0", "g0")},
-       |${cCte("c1", "b0")},
-       |${gCte("g1", "c1")},
-       |${bCte("b1", "g1")},
-       |${cCte("c2", "b1")},
-       |${gCte("g2", "c2")}""".stripMargin
+       |$rounds""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
@@ -230,7 +240,7 @@ object KnnGraph {
       s"""WITH $descentDuck
          |SELECT v AS vec_id, r AS rank, w AS neighbor_id,
          |  floor(cos * 1000000.0) / 1000000.0 AS cosine
-         |FROM g2""".stripMargin) { (s, d) =>
+         |FROM g$Rounds""".stripMargin) { (s, d) =>
       val e = Similarity.nv(s, d).select("vec_id", "qe", "nrm")
         .transform(CacheScope.scoped)
       // the dial is a 1-row driver decision off the cached corpus count
@@ -260,10 +270,10 @@ object KnnGraph {
          |                      b.vec_id) AS r
          |         FROM qn a JOIN samp s ON s.vec_id = a.vec_id
          |         JOIN qn b ON b.vec_id <> a.vec_id) WHERE r <= $K),
-         |gall AS (SELECT CAST(0 AS BIGINT) AS iter, v, w FROM g0
-         |         UNION ALL SELECT CAST(1 AS BIGINT), v, w FROM g1
-         |         UNION ALL SELECT CAST(2 AS BIGINT), v, w FROM g2),
-         |iters AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS iter),
+         |gall AS (${(0 to Rounds).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS iter, v, w FROM g$i")
+        .mkString("\n         UNION ALL ")}),
+         |iters AS (SELECT CAST(unnest([${(0 to Rounds).mkString(", ")}]) AS BIGINT) AS iter),
          |f AS (SELECT i.iter, CASE WHEN gall.w IS NOT NULL THEN 1 ELSE 0 END AS hit
          |      FROM ex CROSS JOIN iters i
          |      LEFT JOIN gall ON gall.iter = i.iter AND gall.v = ex.v AND gall.w = ex.w)

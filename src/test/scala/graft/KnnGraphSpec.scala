@@ -103,7 +103,8 @@ class KnnGraphSpec extends AnyFunSuite {
   test("monotone law per NODE: each round's kept-cosine sum never degrades") {
     val e = ext.Similarity.nv(spark, "/root/testdata/sf0.001")
       .select("vec_id", "qe", "nrm").transform(CacheScope.scoped)
-    val gs = ext.KnnGraph.descend(e)
+    val gs = ext.KnnGraph.descend(e,
+      planes = ext.KnnGraph.planesFor(e.count()))
     val sums = gs.map(
       _.groupBy("v").agg(sum("cos").as("s"), count(lit(1)).as("n"))
         .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap)

@@ -550,7 +550,119 @@ object Clustering {
             .as("hard_pct"),
           expr("floor(soft_ppm / 1000000.0D * 1000000.0D / tokens_total) / 10000.0D")
             .as("soft_pct"))
+    },
+
+    // ── Retention-policy-weighted token budget (q172 → q89) ────────────
+    // The consumer that makes q172's third retention policy change
+    // what the trainer actually sees: q89's largest-remainder
+    // apportionment of a fixed 10⁶-token budget across languages, run
+    // under all THREE policies side by side — `none` (raw corpus
+    // mass), `hard` (canonical survivors only: doc_id = cluster_id),
+    // `soft` (every member down-weighted by its q172 weight_ppm). A
+    // language whose mass is mostly mirrored duplicates loses budget
+    // under hard, gets it partially back under soft (each cluster
+    // contributes ONE doc's mass, split pro-rata across members —
+    // including cross-lang members), and the three alloc columns are
+    // the decision table a mixture plan reads before picking the
+    // policy. Each alloc column sums to the budget EXACTLY (Hamilton's
+    // method per policy).
+    //
+    // Integer-exact cross-engine: the soft allocation runs on the
+    // UNDIVIDED ppm mass Σ n_tokens·weight_ppm — dividing to tokens
+    // first would throw away the sub-token remainders that decide the
+    // largest-remainder ranking — and every stage is BIGINT (budget ×
+    // ppm-mass needs 10⁶·10⁶·total_tokens < 2⁶³, i.e. total tokens
+    // under ~9.2×10⁶; production pre-scales masses to ppm-of-corpus
+    // first, q89's documented trade). tokens_soft is displayed
+    // floor-divided for the report.
+    //
+    // Scale: the cluster map and the (doc_id, lang, n_tokens)
+    // projection join hash-partitioned on doc_id (text never moves),
+    // collapse to a LANG-cardinality aggregate, and the three Hamilton
+    // chains run on that aggregate — windows over ~languages rows,
+    // three broadcast one-row totals. Nothing downstream of the m
+    // aggregate is corpus-sized.
+    Q(
+      "q177_weighted_token_budget", {
+        def hamDuck(p: String) =
+          s"""tot_$p AS (SELECT CAST(sum(w_$p) AS BIGINT) AS tw FROM m),
+             |base_$p AS (SELECT lang, CAST(1000000 * w_$p // tot_$p.tw AS BIGINT) AS b,
+             |              CAST((1000000 * w_$p) % tot_$p.tw AS BIGINT) AS rem
+             |            FROM m, tot_$p),
+             |lo_$p AS (SELECT CAST(1000000 - sum(b) AS BIGINT) AS leftover FROM base_$p),
+             |al_$p AS (SELECT lang,
+             |            CAST(b + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+             |                            <= lo_$p.leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+             |          FROM base_$p, lo_$p)""".stripMargin
+        s"""WITH RECURSIVE ${Dedup.simhash128PairsDuck},
+           |$ccDuck,
+           |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id),
+           |w AS (SELECT cc.doc_id, cc.cluster_id,
+           |        1000000 // sizes.cluster_size AS weight_ppm
+           |      FROM cc JOIN sizes USING (cluster_id)),
+           |dt AS (SELECT doc_id, lang,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |       FROM documents),
+           |m AS (SELECT dt.lang,
+           |        CAST(sum(dt.n_tokens) AS BIGINT) AS w_none,
+           |        CAST(coalesce(sum(dt.n_tokens) FILTER (WHERE w.doc_id = w.cluster_id), 0) AS BIGINT) AS w_hard,
+           |        CAST(sum(dt.n_tokens * w.weight_ppm) AS BIGINT) AS w_soft
+           |      FROM w JOIN dt USING (doc_id) GROUP BY dt.lang),
+           |${hamDuck("none")},
+           |${hamDuck("hard")},
+           |${hamDuck("soft")}
+           |SELECT m.lang, m.w_none AS tokens_none, m.w_hard AS tokens_hard,
+           |  m.w_soft // 1000000 AS tokens_soft,
+           |  al_none.alloc AS alloc_none, al_hard.alloc AS alloc_hard,
+           |  al_soft.alloc AS alloc_soft
+           |FROM m JOIN al_none USING (lang) JOIN al_hard USING (lang)
+           |JOIN al_soft USING (lang)""".stripMargin
+      }) { (s, d) =>
+      val w = simhash128Clusters(s, d)
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+        .withColumn("weight_ppm", expr("1000000L div cluster_size"))
+      val dt = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"))
+      val m = w.join(dt, "doc_id")
+        .groupBy("lang")
+        .agg(
+          sum("n_tokens").as("w_none"),
+          coalesce(sum(when(col("doc_id") === col("cluster_id"),
+            col("n_tokens"))), lit(0L)).as("w_hard"),
+          sum(expr("n_tokens * weight_ppm")).as("w_soft"))
+        .transform(CacheScope.scoped) // lang-sized; feeds 3 Hamilton chains + the report join
+      m.join(hamilton(m, "w_none", "alloc_none"), "lang")
+        .join(hamilton(m, "w_hard", "alloc_hard"), "lang")
+        .join(hamilton(m, "w_soft", "alloc_soft"), "lang")
+        .select(col("lang"),
+          col("w_none").as("tokens_none"), col("w_hard").as("tokens_hard"),
+          expr("w_soft div 1000000").as("tokens_soft"),
+          col("alloc_none"), col("alloc_hard"), col("alloc_soft"))
     })
+
+  /** Hamilton largest-remainder allocation of a fixed 10⁶ budget over a
+    * (lang, `massCol`) aggregate — q89's machinery parameterized on the
+    * mass column so q177's three retention policies share one
+    * implementation. `m` is lang-cardinality; the ranking window runs
+    * over that aggregate (q89's documented single-partition posture)
+    * and both one-row totals broadcast.
+    */
+  private def hamilton(m: DataFrame, massCol: String, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = m.agg(sum(massCol).as("tw"))
+    val base = m.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        expr(s"(1000000 * $massCol) div tw").as("b"),
+        expr(s"(1000000 * $massCol) % tw").as("rem"))
+    val lo = base.agg(expr("1000000 - sum(b)").as("leftover"))
+    base
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang"))))
+      .crossJoin(broadcast(lo))
+      .select(col("lang"),
+        expr("b + CASE WHEN rk <= leftover THEN 1L ELSE 0L END").as(out))
+  }
 
   /** One row per (triangle, member) — every triangle's three corners —
     * from a canonical (a < b, distinct) undirected pair list, by

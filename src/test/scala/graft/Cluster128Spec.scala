@@ -225,4 +225,50 @@ class Cluster128Spec extends AnyFunSuite {
     assert(mirror.getDouble(7) === 33.3333)
     CacheScope.drain()
   }
+
+  test("q177: none/hard/soft policies apportion three DISTINCT budgets") {
+    // The end-to-end claim that makes q172's policy table load-bearing
+    // (r13 verdict ask #4): the retention policy demonstrably changes
+    // what the trainer sees. Cross-lang mirror fixture — docs 1/2 (en)
+    // and 3 (ar) are exact twins, docs 4 (ar, 10 tok) and 5 (en, 11
+    // tok) unique — so per-lang token masses diverge per policy:
+    //   none: en 35, ar 22          (raw corpus mass)
+    //   hard: en 23, ar 10          (cluster credited to en's doc 1)
+    //   soft: en 18999992, ar 13999996 ppm  (twin mass split 1/3 each)
+    // Golden Hamilton allocations of the 10⁶ budget (hand-derived):
+    import spark.implicits._
+    val t = "the quick brown fox jumps over the lazy dog again and again" // 12 tokens
+    val docs = Seq(
+      (1L, t, "en", "web", t.length.toLong),
+      (2L, t, "en", "web", t.length.toLong),
+      (3L, t, "ar", "mirror", t.length.toLong),
+      (4L, "unique arabic tagged document body with ten whitespace tokens here", "ar", "web", 67L),
+      (5L, "a second unique english document body holding eleven whitespace tokens here", "en", "web", 77L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("wtbfix").toString
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(dir, "documents.parquet").toString)
+    val rows = q2("q177_weighted_token_budget", dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(rows.keySet === Set("en", "ar"))
+    // (tokens_none, tokens_hard, tokens_soft, alloc_none, alloc_hard, alloc_soft)
+    assert(rows("en") === ((35L, 23L, 18L, 614035L, 696970L, 575758L)))
+    assert(rows("ar") === ((22L, 10L, 13L, 385965L, 303030L, 424242L)))
+    // every policy's column sums to the budget EXACTLY
+    val sums = (rows("en"), rows("ar")) match {
+      case ((_, _, _, n1, h1, s1), (_, _, _, n2, h2, s2)) =>
+        Seq(n1 + n2, h1 + h2, s1 + s2)
+    }
+    assert(sums === Seq(1000000L, 1000000L, 1000000L), s"budgets must sum exactly: $sums")
+    // and the three budget vectors are pairwise distinct — the policy
+    // choice is visible downstream, not a report-only artifact
+    val vecs = Seq(
+      Seq(rows("en")._4, rows("ar")._4),
+      Seq(rows("en")._5, rows("ar")._5),
+      Seq(rows("en")._6, rows("ar")._6))
+    assert(vecs.distinct.size === 3, s"policies must yield distinct budgets: $vecs")
+    CacheScope.drain()
+  }
 }

@@ -85,6 +85,12 @@ object CurationStreamBench {
         s""""bench_shingles":$benchN,"wall_sec":${f"$lakeSec%.1f"},""" +
         s""""docs_per_sec":${(nDocs / lakeSec).toInt},"verdicts":$verdicts}""")
 
+    // ── leg 3 setup (before leg 2 consumes the JVM's cache headroom):
+    // the static IVF-PQ index over the dir's embeddings — built once,
+    // the write-once relation the semantic gate probes per batch ──────
+    val emb = Tables.embeddings(spark, dir)
+    val nVec = emb.count()
+
     // ── leg 2: streaming near-dup candidate gate ─────────────────────
     val t1 = System.nanoTime()
     val q2 = StreamingCuration
@@ -101,6 +107,39 @@ object CurationStreamBench {
         s""""corpus_sig_rows":$sigN,"wall_sec":${f"$ndSec%.1f"},""" +
         s""""docs_per_sec":${(nDocs / ndSec).toInt},"n_batches":${progress.length},""" +
         s""""candidates":$candRows}""")
+
+    // ── leg 3: streaming SEMANTIC near-dup gate (r13 ask #5) ─────────
+    // Probe the static IVF-PQ index with the corpus's own embeddings,
+    // ids offset past the corpus — worst-case load: every streamed doc
+    // has an exact twin in the index (its un-offset self), so every
+    // probe pays a full LUT + probed ADC scan and the flag rate is the
+    // quantization-error ceiling, not a fixture artifact.
+    val idx = StreamingCuration.semanticIndex(emb)
+    val src3 = s"$root/src_emb"
+    emb.select((col("vec_id") + 1000000000L).as("doc_id"), col("embedding"))
+      .repartitionByRange(nFiles, col("doc_id"))
+      .write.parquet(src3)
+    val parts3 = new java.io.File(src3).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts3.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(nowMs - (parts3.length - i) * 1000L)
+    }
+    val schema3 = spark.read.parquet(src3).schema
+    val t2 = System.nanoTime()
+    val q3 = StreamingCuration.runSemanticGate(
+      spark.readStream.schema(schema3)
+        .option("maxFilesPerTrigger", perTrigger).parquet(src3),
+      idx, maxDist = 1.0, s"$root/semlake", s"$root/ckpt3")
+    q3.awaitTermination()
+    val semSec = (System.nanoTime() - t2) / 1e9
+    val semVerdicts = spark.read.parquet(s"$root/semlake")
+      .groupBy("verdict").agg(count(lit(1)).as("n"))
+      .collect().map(r => s""""${r.getString(0)}":${r.getLong(1)}""")
+      .sorted.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"curation_stream","leg":"semantic gate (IVF-PQ probe)","docs":$nVec,""" +
+        s""""index_vectors":$nVec,"wall_sec":${f"$semSec%.1f"},""" +
+        s""""docs_per_sec":${(nVec / semSec).toInt},"verdicts":$semVerdicts}""")
     graft.stream.OrderlyShutdown.stop(spark)
   }
 }

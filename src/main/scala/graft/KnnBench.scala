@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ext.{KnnGraph, Portable, Similarity}
 
-/** The kNN-graph dial A/B (q175/q176's 100 TB story, measured): the
+/** The kNN-graph dial sweep (q175/q176's 100 TB story, measured): the
   * registered queries pick the LSH plane count AUTOMATICALLY
   * ([[graft.ext.KnnGraph.planesFor]] holds bucket size ~32); this
   * bench prices arbitrary dial points against it. With planes FIXED,
@@ -13,22 +13,35 @@ import graft.ext.{KnnGraph, Portable, Similarity}
   * n·(planes+1)·n/2^planes goes corpus-quadratic (measured: the fixed
   * width-6 form filled the scratch disk at ×30 before failing);
   * raising planes with corpus size holds the init linear — and this
-  * bench shows what each width COSTS and what recall it BUYS on the
-  * same corpus.
+  * bench shows what each dial point COSTS and what recall it BUYS.
   *
-  * `runMain graft.KnnBench <sfDir> <planesCsv> <mod> [repeats]`
-  * (planesCsv entries and mod may be numbers or `auto`) times the FULL graph
-  * build (init + NN-descent rounds, forced by a checksum aggregate)
-  * per plane count in ONE session — the same-session A/B pattern
-  * SCALE.md mandates for scale claims — and then audits each form's
-  * final-graph recall against the exact ground truth on the h60 % mod
-  * sample, so the dial's cost-vs-recall trade is one table, not two
-  * claims. One JSON line per form.
+  * `runMain graft.KnnBench <dirCsv> <armsCsv> <mod> [repeats]`
+  *
+  * `dirCsv`: one or more corpus dirs (comma-separated) measured in ONE
+  * JVM session — the r13 verdict asks the dial to be priced on BOTH
+  * the uniform driver corpus (LSH/descent's worst case) and a
+  * [[ClusteredGen]] mixture fixture (the realistic case) in one
+  * session, so the numbers are same-session-comparable.
+  *
+  * `armsCsv`: each arm is `planes[:rounds[:kBuild]]` — planes may be a
+  * number or `auto` ([[KnnGraph.planesFor]]); rounds defaults to
+  * [[KnnGraph.Rounds]]; kBuild defaults to [[KnnGraph.K]]. kBuild > K
+  * is the build-wide/truncate-narrow arm: the graph is built at kBuild
+  * neighbors per node (wider candidate field for NN-descent to climb
+  * through) and recall is ALWAYS audited on the top-[[KnnGraph.K]]
+  * truncation, so every arm answers the same question — "how good are
+  * the 5 neighbors this dial ships?".
+  *
+  * `mod` may be a number or `auto` ([[KnnGraph.modFor]]). Each arm
+  * times the FULL graph build (init + descent, forced by a checksum
+  * aggregate, min over `repeats`), then audits final-graph recall@K
+  * against the exact ground truth on the h60 % mod sample. One JSON
+  * line per (dir, arm) — cost-vs-recall as one table, not two claims.
   */
 object KnnBench {
   def main(args: Array[String]): Unit = {
-    val dir = args(0)
-    val planesArg = args(1).split(',').map(_.trim).toSeq
+    val dirs = args(0).split(',').map(_.trim).toSeq
+    val arms = args(1).split(',').map(_.trim).toSeq
     val modArg = args(2)
     val repeats = args.lift(3).map(_.toInt).getOrElse(2)
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -36,71 +49,78 @@ object KnnBench {
       (2 * Runtime.getRuntime.availableProcessors()).toString)
     spark.conf.set("spark.sql.shuffle.partitions", nShuffle)
 
-    val e = Similarity.nv(spark, dir).select("vec_id", "qe", "nrm")
-      .persist()
-    val n = e.count()
-    val planesList = planesArg.map {
-      case "auto" => KnnGraph.planesFor(n)
-      case p => p.toInt
-    }
-    // `auto` mirrors planesCsv (r13 ADVICE): the registered queries'
-    // modFor dial, so a sweep never hand-types a modulus at all
-    val mod = modArg match {
-      case "auto" => KnnGraph.modFor(n)
-      case m => m.toLong
-    }
-
-    // exact ground truth on the h60 % mod sample — shared by every
-    // form (the dial under test is the GRAPH's, not the audit's)
-    val ex = e.filter(expr(
-        s"${Portable.h60Spark("cast(vec_id as string)")} % $mod = 0"))
-      .select(col("vec_id").as("v"), col("qe").as("vqe"),
-        col("nrm").as("vnrm"))
-      .join(e.select(col("vec_id").as("w"), col("qe").as("wqe"),
-        col("nrm").as("wnrm")), col("w") =!= col("v"))
-      .select(col("v"), col("w"),
-        expr("cast(vec_ldot(vqe, wqe) as double) / (vnrm * wnrm)").as("cos"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy("v").orderBy(col("cos").desc, col("w"))))
-      .filter(col("r") <= KnnGraph.K)
-      .select("v", "w")
-      .persist()
-    val nExact = ex.count()
-    // fail fast on an empty audit sample (r13 ADVICE): a mistyped
-    // modulus must not read as recall 0.0 — that output is otherwise
-    // indistinguishable from a catastrophically bad plane width
-    require(nExact > 0,
-      s"audit sample is empty: h60(vec_id) % $mod = 0 matched no rows " +
-        s"of the $n-vector corpus — bad mod dial (try 'auto' = ${KnnGraph.modFor(n)})")
-
-    for (planes <- planesList) {
-      def build(): DataFrame = KnnGraph.descend(e, planes = planes).last
-      var best = Double.MaxValue
-      var edges = 0L
-      for (_ <- 1 to repeats) {
-        CacheScope.drain()
-        val t0 = System.nanoTime()
-        val g = build()
-        // checksum forces every edge (and so the whole descent)
-        g.selectExpr("sum(v + w + rank) as checksum")
-          .write.format("noop").mode("overwrite").save()
-        val sec = (System.nanoTime() - t0) / 1e9
-        if (sec < best) best = sec
-        edges = g.count()
-        CacheScope.drain()
+    for (dir <- dirs) {
+      val e = Similarity.nv(spark, dir).select("vec_id", "qe", "nrm")
+        .persist()
+      val n = e.count()
+      // `auto` mirrors planes (r13 ADVICE): the registered queries'
+      // modFor dial, so a sweep never hand-types a modulus at all
+      val mod = modArg match {
+        case "auto" => KnnGraph.modFor(n)
+        case m => m.toLong
       }
-      // audit pass (untimed build reuse is impossible post-drain: one
-      // more descent, its cost reported separately as audit_sec)
-      val t1 = System.nanoTime()
-      val g = build()
-      val found = ex.join(g.select(col("v"), col("w")), Seq("v", "w"),
-        "left_semi").count()
-      val auditSec = (System.nanoTime() - t1) / 1e9
-      CacheScope.drain()
-      val recall = math.floor(found * 1e6 / nExact) / 1e6
-      println(f"""{"metric":"knn_bench","planes":$planes,"sec":$best%.3f,"edges":$edges,"n":$n,"mod":$mod,"audit_sec":$auditSec%.3f,"n_exact":$nExact,"n_found":$found,"recall":$recall%.6f,"repeats":$repeats,"shuffle_partitions":$nShuffle}""")
+
+      // exact ground truth on the h60 % mod sample — shared by every
+      // arm (the dial under test is the GRAPH's, not the audit's)
+      val ex = e.filter(expr(
+          s"${Portable.h60Spark("cast(vec_id as string)")} % $mod = 0"))
+        .select(col("vec_id").as("v"), col("qe").as("vqe"),
+          col("nrm").as("vnrm"))
+        .join(e.select(col("vec_id").as("w"), col("qe").as("wqe"),
+          col("nrm").as("wnrm")), col("w") =!= col("v"))
+        .select(col("v"), col("w"),
+          expr("cast(vec_ldot(vqe, wqe) as double) / (vnrm * wnrm)").as("cos"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("v").orderBy(col("cos").desc, col("w"))))
+        .filter(col("r") <= KnnGraph.K)
+        .select("v", "w")
+        .persist()
+      val nExact = ex.count()
+      // fail fast on an empty audit sample (r13 ADVICE): a mistyped
+      // modulus must not read as recall 0.0 — that output is otherwise
+      // indistinguishable from a catastrophically bad plane width
+      require(nExact > 0,
+        s"audit sample is empty: h60(vec_id) % $mod = 0 matched no rows " +
+          s"of the $n-vector corpus — bad mod dial (try 'auto' = ${KnnGraph.modFor(n)})")
+
+      for (arm <- arms) {
+        val parts = arm.split(':')
+        val planes = parts(0) match {
+          case "auto" => KnnGraph.planesFor(n)
+          case p => p.toInt
+        }
+        val rounds = parts.lift(1).map(_.toInt).getOrElse(KnnGraph.Rounds)
+        val kBuild = parts.lift(2).map(_.toInt).getOrElse(KnnGraph.K)
+        def build(): DataFrame =
+          KnnGraph.descend(e, planes = planes, rounds = rounds, k = kBuild).last
+        var best = Double.MaxValue
+        var edges = 0L
+        for (_ <- 1 to repeats) {
+          CacheScope.drain()
+          val t0 = System.nanoTime()
+          val g = build()
+          // checksum forces every edge (and so the whole descent)
+          g.selectExpr("sum(v + w + rank) as checksum")
+            .write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (sec < best) best = sec
+          edges = g.count()
+          CacheScope.drain()
+        }
+        // audit pass (untimed build reuse is impossible post-drain: one
+        // more descent, its cost reported separately as audit_sec);
+        // recall is ALWAYS on the top-K truncation so arms compare
+        val t1 = System.nanoTime()
+        val g = build().filter(col("rank") <= KnnGraph.K)
+        val found = ex.join(g.select(col("v"), col("w")), Seq("v", "w"),
+          "left_semi").count()
+        val auditSec = (System.nanoTime() - t1) / 1e9
+        CacheScope.drain()
+        val recall = math.floor(found * 1e6 / nExact) / 1e6
+        println(f"""{"metric":"knn_bench","dir":"$dir","planes":$planes,"rounds":$rounds,"k_build":$kBuild,"sec":$best%.3f,"edges":$edges,"n":$n,"mod":$mod,"audit_sec":$auditSec%.3f,"n_exact":$nExact,"n_found":$found,"recall_at_${KnnGraph.K}":$recall%.6f,"repeats":$repeats,"shuffle_partitions":$nShuffle}""")
+      }
+      e.unpersist(); ex.unpersist()
     }
-    e.unpersist(); ex.unpersist()
     spark.stop()
   }
 }

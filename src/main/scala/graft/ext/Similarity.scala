@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.{CacheScope, Q, Tables}
 import graft.functions.VectorExpressions
@@ -60,8 +61,11 @@ object Similarity {
   private[ext] val nvDuck =
     s"nv AS (SELECT vec_id, label, embedding, sqrt(CAST(${qdotD("embedding", "embedding")} AS DOUBLE)) AS nrm FROM embeddings)"
 
-  /** Spark-side quantized vector column. */
-  private val qeSpark =
+  /** Spark-side quantized vector column (shared with the streaming
+    * semantic gate, which quantizes micro-batch embeddings the same
+    * way the index build quantized the corpus).
+    */
+  private[graft] val qeSpark =
     "transform(embedding, x -> cast(floor(cast(x as double) * 1048576.0D) as bigint))"
 
   /** Per-label integer centroids of a (label, qe) relation — q80's
@@ -78,6 +82,101 @@ object Similarity {
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(p, cv))), x -> x.cv)")
         .as("c"))
+
+  /** The IVF-PQ index relations (q174's layout — FAISS's IVFADC): the
+    * coarse per-label centroid table `cent(label, c)`, the
+    * residual-space product-quantizer codebook `codebook(j, cl, c)`
+    * (8 subspaces × 8 centroids × 8 dims), and the compressed corpus
+    * `codes(vec_id, label, j, code)` — 8 code bytes + a label per
+    * vector, the 32×-compressed relation that serves 100 TB. Built
+    * once ([[ivfPqBuild]]), probed many times ([[ivfPqTopK]]) — the
+    * write-once/probe-per-batch split a streaming deployment needs.
+    */
+  private[graft] case class IvfPqIndex(
+      cent: DataFrame, codebook: DataFrame, codes: DataFrame)
+
+  /** Build an [[IvfPqIndex]] from a quantized corpus
+    * `qv(vec_id, label, qe)`. `cache` wraps the multi-consumer
+    * intermediates AND the returned relations' upstreams: registered
+    * queries pass `CacheScope.scoped` (cache dies with the query); a
+    * streaming deployment passes its own `persist` (the index must
+    * outlive every micro-batch). Training scans the corpus here
+    * because the test corpus is small; production trains on the q164
+    * content-hash sample dial — the trained codebook, not the
+    * training pass, is what the scan needs.
+    */
+  private[graft] def ivfPqBuild(
+      qv: DataFrame, cache: DataFrame => DataFrame): IvfPqIndex = {
+    val cent = cache(labelCentroids(qv)) // residual pass + probe + query residuals
+    val rv = qv.join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"),
+        expr("zip_with(qe, c, (a, b) -> a - b)").as("r"))
+    val rsub = cache(rv
+      .select(col("vec_id"), col("label"), explode(expr("sequence(0, 7)")).as("j"), col("r"))
+      .select(col("vec_id"), col("label"), col("j"), expr("slice(r, 8 * j + 1, 8)").as("s")))
+    // ^ seeds + 2 assign passes + recompute
+    val c0 = rsub.filter(col("vec_id") < 8)
+      .select(col("j"), col("vec_id").as("cl"), col("s").as("c"))
+    // q173's assignment, residual-space; label carried for the probed scan
+    def assign(cb: DataFrame) =
+      rsub.join(broadcast(cb), "j")
+        .select(col("vec_id"), col("label"), col("j"), expr(
+          "(vec_ldot(s, s) - 2 * vec_ldot(s, c) + vec_ldot(c, c)) * 8 + cl")
+          .as("key"))
+        .groupBy("vec_id", "label", "j").agg(min("key").as("k"))
+        .select(col("vec_id"), col("label"), col("j"), expr("k % 8").as("code"))
+    // per-(subspace, centroid) floor-mean recompute — q80's shape
+    val c1 = cache(assign(c0).select("vec_id", "j", "code")
+      .join(rsub.select("vec_id", "j", "s"), Seq("vec_id", "j"))
+      .select(col("j"), col("code").as("cl"), posexplode(col("s")).as(Seq("p", "v")))
+      .groupBy("j", "cl", "p").agg(sum("v").as("cs"), count(lit(1)).as("n"))
+      .select(col("j"), col("cl"), col("p"),
+        expr("cast(floor(cast(cs as double) / n) as bigint)").as("cv"))
+      .groupBy("j", "cl")
+      .agg(expr("transform(array_sort(collect_list(struct(p, cv))), x -> x.cv)").as("c")))
+    // ^ encode pass + LUT (every later probe joins this codebook)
+    IvfPqIndex(cent, c1, assign(c1))
+  }
+
+  /** ADC top-k of a query batch `qp(qid, qe)` against an
+    * [[IvfPqIndex]]: nprobe-probe coarse search (|Q|·|labels| tiny
+    * frames, both broadcast), per-(query, probed partition) residual
+    * LUT (|Q|·nprobe·64 rows, broadcast), and the probed ADC scan —
+    * the (label, j, code) keys restrict the scan to probed partitions
+    * WITHOUT moving the corpus (members of unprobed labels match no
+    * LUT row). Returns `(qid, neighbor_id, adist, r)`, r ≤ k. Scanned
+    * members matching the query's own id are excluded (self-match
+    * guard for audits that query the corpus against itself).
+    */
+  private[graft] def ivfPqTopK(
+      qp: DataFrame, idx: IvfPqIndex, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probe = broadcast(qp).crossJoin(broadcast(idx.cent))
+      .select(col("qid"), col("label"), col("qe"), col("c"),
+        expr("vec_ldot(qe, qe) - 2 * vec_ldot(qe, c) + vec_ldot(c, c)").as("cdist"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cdist"), col("label"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("label"),
+        expr("zip_with(qe, c, (a, b) -> a - b)").as("qr"))
+    val lut = probe
+      .select(col("qid"), col("label"), explode(expr("sequence(0, 7)")).as("j"), col("qr"))
+      .select(col("qid"), col("label"), col("j"), expr("slice(qr, 8 * j + 1, 8)").as("qs"))
+      .join(idx.codebook, "j")
+      .select(col("qid"), col("label"), col("j"), col("cl"),
+        expr("vec_ldot(qs, qs) - 2 * vec_ldot(qs, c) + vec_ldot(c, c)").as("dist"))
+    val adc = idx.codes.as("cd")
+      .join(broadcast(lut.as("lu")),
+        col("lu.label") === col("cd.label") && col("lu.j") === col("cd.j") &&
+          col("lu.cl") === col("cd.code") && col("cd.vec_id") =!= col("lu.qid"))
+      .groupBy(col("lu.qid").as("qid"), col("cd.vec_id").as("vec_id"))
+      .agg(sum("lu.dist").as("adist"))
+    adc
+      .withColumn("r", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))))
+      .filter(col("r") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("adist"), col("r"))
+  }
 
   /** DuckDB mirror of [[labelCentroids]] as a CTE chain ending in
     * `cent(label, c)` (expects `qv(vec_id, label, qe)` in scope).
@@ -1189,66 +1288,10 @@ object Similarity {
       val qv = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), expr(qeSpark).as("qe"))
         .transform(CacheScope.scoped) // centroids + residuals + queries + exact baseline
-      val cent = labelCentroids(qv)
-        .transform(CacheScope.scoped) // residual pass + probe + query residuals
-      val rv = qv.join(broadcast(cent), "label")
-        .select(col("vec_id"), col("label"),
-          expr("zip_with(qe, c, (a, b) -> a - b)").as("r"))
-      val rsub = rv
-        .select(col("vec_id"), col("label"), explode(expr("sequence(0, 7)")).as("j"), col("r"))
-        .select(col("vec_id"), col("label"), col("j"), expr("slice(r, 8 * j + 1, 8)").as("s"))
-        .transform(CacheScope.scoped) // seeds + 2 assign passes + recompute
-      val c0 = rsub.filter(col("vec_id") < 8)
-        .select(col("j"), col("vec_id").as("cl"), col("s").as("c"))
-      // q173's assignment, residual-space; label carried for the probed scan
-      def assign(cb: org.apache.spark.sql.DataFrame) =
-        rsub.join(broadcast(cb), "j")
-          .select(col("vec_id"), col("label"), col("j"), expr(
-            "(vec_ldot(s, s) - 2 * vec_ldot(s, c) + vec_ldot(c, c)) * 8 + cl")
-            .as("key"))
-          .groupBy("vec_id", "label", "j").agg(min("key").as("k"))
-          .select(col("vec_id"), col("label"), col("j"), expr("k % 8").as("code"))
-      val c1 = assign(c0).select("vec_id", "j", "code")
-        .join(rsub.select("vec_id", "j", "s"), Seq("vec_id", "j"))
-        .select(col("j"), col("code").as("cl"), posexplode(col("s")).as(Seq("p", "v")))
-        .groupBy("j", "cl", "p").agg(sum("v").as("cs"), count(lit(1)).as("n"))
-        .select(col("j"), col("cl"), col("p"),
-          expr("cast(floor(cast(cs as double) / n) as bigint)").as("cv"))
-        .groupBy("j", "cl")
-        .agg(expr("transform(array_sort(collect_list(struct(p, cv))), x -> x.cv)").as("c"))
-        .transform(CacheScope.scoped) // encode pass + LUT
-      val codes = assign(c1)
+      val idx = ivfPqBuild(qv, CacheScope.scoped)
       val qp = qv.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("qe"))
-      // 2-probe coarse search (|Q|·|labels| tiny frames, both broadcast)
-      val probe = broadcast(qp).crossJoin(broadcast(cent))
-        .select(col("qid"), col("label"), col("qe"), col("c"),
-          expr("vec_ldot(qe, qe) - 2 * vec_ldot(qe, c) + vec_ldot(c, c)").as("cdist"))
-        .withColumn("pr", row_number().over(
-          Window.partitionBy("qid").orderBy(col("cdist"), col("label"))))
-        .filter(col("pr") <= 2)
-        .select(col("qid"), col("label"),
-          expr("zip_with(qe, c, (a, b) -> a - b)").as("qr"))
-      // per-(query, probed partition) residual LUT — |Q|·nprobe·64 rows
-      val lut = probe
-        .select(col("qid"), col("label"), explode(expr("sequence(0, 7)")).as("j"), col("qr"))
-        .select(col("qid"), col("label"), col("j"), expr("slice(qr, 8 * j + 1, 8)").as("qs"))
-        .join(c1, "j")
-        .select(col("qid"), col("label"), col("j"), col("cl"),
-          expr("vec_ldot(qs, qs) - 2 * vec_ldot(qs, c) + vec_ldot(c, c)").as("dist"))
-      // probed ADC scan: the (label, j, code) keys restrict the scan to
-      // probed partitions without moving the corpus
-      val adc = codes.as("cd")
-        .join(broadcast(lut.as("lu")),
-          col("lu.label") === col("cd.label") && col("lu.j") === col("cd.j") &&
-            col("lu.cl") === col("cd.code") && col("cd.vec_id") =!= col("lu.qid"))
-        .groupBy(col("lu.qid").as("qid"), col("cd.vec_id").as("vec_id"))
-        .agg(sum("lu.dist").as("adist"))
-      val tpq = adc
-        .withColumn("r", row_number().over(
-          Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))))
-        .filter(col("r") <= 5)
-        .select(col("qid"), col("vec_id").as("neighbor_id"), col("adist"), col("r"))
+      val tpq = ivfPqTopK(qp, idx)
         .transform(CacheScope.scoped) // overlap audit + rank-1 projection
       val ex = broadcast(qv.filter(col("vec_id") < 10).as("a"))
         .join(qv.as("b"), col("b.vec_id") =!= col("a.vec_id"))

@@ -3,7 +3,7 @@ package graft.stream
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.ext.{Dedup, TextAnalysis}
+import graft.ext.{Dedup, Similarity, TextAnalysis}
 
 /** Streaming corpus curation: the quality + decontamination gate run ON
   * INGEST, before a document ever lands in the lake — the streaming
@@ -116,6 +116,98 @@ object StreamingCuration {
       .dropDuplicatesWithinWatermark(Seq("doc_id"))
       .select("doc_id", eventTimeCol)
   }
+
+  /** The static IVF-PQ index a streaming ingest probes for SEMANTIC
+    * near-duplicates — the vector-space analog of [[signatureTable]]
+    * (r13 verdict ask #5): MinHash gates lexical near-dups, but a
+    * paraphrased or re-encoded duplicate shares no shingles and only
+    * the embedding space sees it (q158's batch semantic-contamination
+    * check, moved to the ingest boundary). Layout is exactly q174's
+    * ([[Similarity.ivfPqBuild]]): coarse centroids + residual PQ
+    * codebooks (both broadcast-sized) and the 32×-compressed
+    * `codes` relation — 8 code bytes + a label per corpus vector, the
+    * only corpus-proportional relation a probe touches. All three are
+    * persisted and MATERIALIZED here (an index built lazily would
+    * re-train per micro-batch); build-time intermediates (the
+    * quantized corpus, the residual subvectors) are released once the
+    * codes exist. In production the index is written once as parquet
+    * and refreshed on a compaction cadence — this builder is that
+    * write path.
+    */
+  def semanticIndex(emb: DataFrame): Similarity.IvfPqIndex = {
+    graft.functions.VectorExpressions.register(emb.sparkSession)
+    val buildScoped = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val cache = (df: DataFrame) => { df.persist(); buildScoped += df; df }
+    val qv = cache(emb.select(col("vec_id"), col("label"),
+      expr(Similarity.qeSpark).as("qe")))
+    val built = Similarity.ivfPqBuild(qv, cache)
+    val codes = built.codes.persist()
+    // materialize the long-lived probe relations, then drop the
+    // build-time intermediates (cent/codebook were cached by the
+    // builder — keep those two, release the rest)
+    codes.count(); built.cent.count(); built.codebook.count()
+    buildScoped
+      .filterNot(d => (d eq built.cent) || (d eq built.codebook))
+      .foreach(_.unpersist(blocking = false))
+    Similarity.IvfPqIndex(built.cent, built.codebook, codes)
+  }
+
+  /** Per-batch semantic near-dup verdicts against a [[semanticIndex]]:
+    * quantize the batch embeddings (the same 2²⁰ fixed point the index
+    * was built with), ADC-probe for each doc's nearest compressed
+    * neighbor, and flag docs within `maxDist` — float-space L2, i.e.
+    * the comparison is `sqrt(adist)/2²⁰ ≤ maxDist` (adist is integer
+    * L2 in the quantized residual space). Every input doc gets a
+    * verdict row: docs whose probed partitions held no corpus vector
+    * come back `semantic_dup = false` with NULL neighbor. A batch doc
+    * whose id equals a corpus vec_id skips that one corpus vector
+    * (ivfPqTopK's self-match guard — re-ingesting an id is an update,
+    * not its own duplicate).
+    *
+    * Scale: per micro-batch this is two broadcast-sized frames
+    * (probe, LUT) and ONE pass over the compressed codes relation
+    * restricted to probed partitions — the corpus's full vectors are
+    * never touched after index build, which is what makes an ingest
+    * gate against a 100 TB embedding corpus affordable.
+    */
+  def semanticVerdicts(
+      batch: DataFrame,
+      idx: Similarity.IvfPqIndex,
+      maxDist: Double): DataFrame = {
+    graft.functions.VectorExpressions.register(batch.sparkSession)
+    val qp = batch.select(col("doc_id").as("qid"),
+      expr(Similarity.qeSpark).as("qe"))
+    val top1 = Similarity.ivfPqTopK(qp, idx, k = 1)
+      .select(col("qid").as("doc_id"), col("neighbor_id").as("nn_vec_id"),
+        expr("sqrt(cast(adist as double)) / 1048576.0D").as("nn_dist"))
+    batch.join(top1, Seq("doc_id"), "left")
+      .withColumn("semantic_dup",
+        coalesce(col("nn_dist") <= maxDist, lit(false)))
+  }
+
+  /** Deployable semantic gate: verdict-partitioned parquet sink over
+    * micro-batches (the [[run]] discipline — downstream consumers
+    * partition-prune to `verdict=accepted`). The stream carries
+    * (doc_id, embedding, …) — embedding inference is upstream of the
+    * engine, exactly like the multimodal decode seam.
+    */
+  def runSemanticGate(
+      stream: DataFrame,
+      idx: Similarity.IvfPqIndex,
+      maxDist: Double,
+      outDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        semanticVerdicts(batch, idx, maxDist)
+          .withColumn("verdict", expr(
+            "CASE WHEN semantic_dup THEN 'rejected_semantic_dup' ELSE 'accepted' END"))
+          .write.mode("append").partitionBy("verdict").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 
   /** Deployable gate: verdict-partitioned parquet sink over micro
     * batches. `bench` is the static benchmark shingle set (`sh`

@@ -121,4 +121,78 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(rows(2L) === "rejected_contaminated")
     assert(rows(3L) === "rejected_quality")
   }
+
+  // ── semantic (embedding) gate against the static IVF-PQ index ──────
+
+  /** 24-vector corpus in 3 well-separated clusters (centers ±0.3-ish,
+    * inter-center L2 ≈ 4.8, member noise ≤ 0.016·√64 ≈ 0.13): label =
+    * true cluster, per-member per-dim deterministic offset so no two
+    * vectors are identical. vec_ids 0..7 (the PQ seed ids) span
+    * cluster A.
+    */
+  private def semanticCorpus = {
+    import spark.implicits._
+    def center(c: Int): Array[Float] = Array.tabulate(64) { i =>
+      c match {
+        case 0 => 0.3f
+        case 1 => -0.3f
+        case _ => if (i % 2 == 0) 0.3f else -0.3f
+      }
+    }
+    (0L until 24L).map { id =>
+      val c = (id / 8).toInt
+      val emb = center(c).zipWithIndex.map { case (v, i) =>
+        v + ((id * 7 + i * 3) % 33 - 16) * 0.001f // deterministic ±0.016 noise
+      }
+      (id, emb.toSeq, c)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("semantic gate flags an embedding near-dup, passes a novel vector, verdicts every doc") {
+    import spark.implicits._
+    val idx = StreamingCuration.semanticIndex(semanticCorpus)
+    // doc 100: sits 0.05/dim off a cluster-A member (true L2 ≈ 0.4) —
+    // a paraphrase-grade near-dup; doc 101: a direction no cluster
+    // occupies (all +0.9: nearest center ≥ sqrt(64)·0.6/√2 ≈ 3.4)
+    val nearA = Array.tabulate(64)(i => 0.3f + ((i * 3) % 33 - 16) * 0.001f + 0.005f)
+    val far = Array.fill(64)(0.9f)
+    val batch = Seq(
+      (100L, nearA.toSeq),
+      (101L, far.toSeq)).toDF("doc_id", "embedding")
+    val out = StreamingCuration.semanticVerdicts(batch, idx, maxDist = 1.0)
+      .select("doc_id", "nn_vec_id", "nn_dist", "semantic_dup")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 2, "every input doc must get exactly one verdict row")
+    assert(out(100L).getBoolean(3), s"near-dup must be flagged: ${out(100L)}")
+    assert(out(100L).getLong(1) < 8L,
+      s"nearest neighbor of a cluster-A copy must be a cluster-A member: ${out(100L)}")
+    assert(!out(101L).getBoolean(3), s"novel vector must pass: ${out(101L)}")
+    assert(out(101L).getDouble(2) > 1.0,
+      s"novel vector's ADC distance must exceed the gate: ${out(101L)}")
+    idx.cent.unpersist(); idx.codebook.unpersist(); idx.codes.unpersist()
+  }
+
+  test("semantic gate sink routes by verdict over micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = StreamingCuration.semanticIndex(semanticCorpus)
+    val base = java.nio.file.Files.createTempDirectory("graft_semgate").toString
+    val in = MemoryStream[(Long, Seq[Float])]
+    // data BEFORE start: AvailableNow latches the available offset at
+    // query start, so rows added after start() may fall outside it
+    val nearB = Array.tabulate(64)(i => -0.3f + ((i * 5) % 33 - 16) * 0.001f)
+    in.addData(
+      (200L, nearB.toSeq),                    // cluster-B near-dup
+      (201L, Array.fill(64)(-0.9f).toSeq))    // novel direction
+    val q = StreamingCuration.runSemanticGate(
+      in.toDF.toDF("doc_id", "embedding"),
+      idx, 1.0, s"$base/out", s"$base/ckpt")
+    q.awaitTermination(120000)
+    val rows = spark.read.parquet(s"$base/out")
+      .select("doc_id", "verdict")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(200L) === "rejected_semantic_dup")
+    assert(rows(201L) === "accepted")
+    idx.cent.unpersist(); idx.codebook.unpersist(); idx.codes.unpersist()
+  }
 }

@@ -82,6 +82,19 @@ object Bench {
     */
   val InterRunSigmaPct = 6.4
 
+  /** Multi-round ITERATIVE queries whose bench-scale time is
+    * dominated by fixed per-round scheduling (each NN-descent /
+    * fixpoint round is its own AQE barrier chain — q175+q176 schedule
+    * ~30 barriers and read 5–8 s each at sf0.1 while their ×30→×300
+    * soak walls are linear in DATA), not by data cost (r13 verdict
+    * nit #3). Their summed time is emitted per run as
+    * `iterative_overhead_sec` so a future band re-pin reads descent
+    * scheduling as the FLOOR it is instead of as regression headroom
+    * — subtract it before comparing data-cost trends across rounds.
+    */
+  val IterativeOverheadQueries: Seq[String] =
+    Seq("q175_knn_graph", "q176_knn_graph_recall")
+
   /** Host-speed anchor for mechanical per-query normalization (r9
     * verdict ask #7: the ±13% clean band swallows real per-query
     * regressions unless deltas are divided by a per-run host-speed
@@ -267,7 +280,10 @@ object Bench {
         else if (total <= CleanBandSec._2) "within-clean-band-raw"
         else "above-clean-band-host-contended"
       }
+    val iterOverheadSec =
+      IterativeOverheadQueries.flatMap(results.get).sum
     val normField =
+      f""","iterative_overhead_sec":$iterOverheadSec%.1f""" +
       f""","ref_query":${Json.str(refQ)},"ref_sec":$refSec%.3f""" +
       f""","median_query_sec":$medianSec%.3f,"host_speed_vs_clean_r9":$hostSpeed%.3f""" +
       f""","normalized_total_sec":$normTotal%.1f,"normalized_total_err_sec":$normErrSec%.1f""" +

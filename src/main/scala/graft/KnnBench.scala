@@ -23,9 +23,11 @@ import graft.ext.{KnnGraph, Portable, Similarity}
   * [[ClusteredGen]] mixture fixture (the realistic case) in one
   * session, so the numbers are same-session-comparable.
   *
-  * `armsCsv`: each arm is `planes[:rounds[:kBuild]]` — planes may be a
-  * number or `auto` ([[KnnGraph.planesFor]]); rounds defaults to
-  * [[KnnGraph.Rounds]]; kBuild defaults to [[KnnGraph.K]]. kBuild > K
+  * `armsCsv`: each arm is `planes[:rounds[:kBuild[:segments]]]` —
+  * planes may be a number or `auto` ([[KnnGraph.planesFor]]); rounds
+  * defaults to [[KnnGraph.Rounds]]; kBuild defaults to [[KnnGraph.K]];
+  * segments defaults to 1 (one-shot init) and > 1 runs the
+  * bounded-scratch segmented init ([[KnnGraph.initTopK]]). kBuild > K
   * is the build-wide/truncate-narrow arm: the graph is built at kBuild
   * neighbors per node (wider candidate field for NN-descent to climb
   * through) and recall is ALWAYS audited on the top-[[KnnGraph.K]]
@@ -91,8 +93,10 @@ object KnnBench {
         }
         val rounds = parts.lift(1).map(_.toInt).getOrElse(KnnGraph.Rounds)
         val kBuild = parts.lift(2).map(_.toInt).getOrElse(KnnGraph.K)
+        val segments = parts.lift(3).map(_.toInt).getOrElse(1)
         def build(): DataFrame =
-          KnnGraph.descend(e, planes = planes, rounds = rounds, k = kBuild).last
+          KnnGraph.descend(e, planes = planes, rounds = rounds, k = kBuild,
+            segments = segments).last
         var best = Double.MaxValue
         var edges = 0L
         for (_ <- 1 to repeats) {
@@ -117,7 +121,7 @@ object KnnBench {
         val auditSec = (System.nanoTime() - t1) / 1e9
         CacheScope.drain()
         val recall = math.floor(found * 1e6 / nExact) / 1e6
-        println(f"""{"metric":"knn_bench","dir":"$dir","planes":$planes,"rounds":$rounds,"k_build":$kBuild,"sec":$best%.3f,"edges":$edges,"n":$n,"mod":$mod,"audit_sec":$auditSec%.3f,"n_exact":$nExact,"n_found":$found,"recall_at_${KnnGraph.K}":$recall%.6f,"repeats":$repeats,"shuffle_partitions":$nShuffle}""")
+        println(f"""{"metric":"knn_bench","dir":"$dir","planes":$planes,"rounds":$rounds,"k_build":$kBuild,"segments":$segments,"sec":$best%.3f,"edges":$edges,"n":$n,"mod":$mod,"audit_sec":$auditSec%.3f,"n_exact":$nExact,"n_found":$found,"recall_at_${KnnGraph.K}":$recall%.6f,"repeats":$repeats,"shuffle_partitions":$nShuffle}""")
       }
       e.unpersist(); ex.unpersist()
     }

@@ -101,16 +101,62 @@ object KnnGraph {
     * sweep width; there is deliberately no default (r13 ADVICE: a
     * fixed default width is the measured-fatal configuration).
     */
-  private[graft] def initCand(e: DataFrame, planes: Int): DataFrame = {
-    val nb = e.withColumn("bucket", expr(Similarity.lshBucketExpr(planes)))
-    val probes = nb.select(col("vec_id").as("v"), explode(expr(
+  /** Multi-probe relation (v, pb): each node × (own bucket + all
+    * hamming-1 probe buckets) over a bucketed corpus `nb(vec_id,
+    * bucket, …)`.
+    */
+  private def probesOf(nb: DataFrame, planes: Int): DataFrame =
+    nb.select(col("vec_id").as("v"), explode(expr(
       s"transform(sequence(0, $planes), t -> CASE WHEN t = 0 THEN bucket" +
         " ELSE bucket ^ shiftleft(cast(1 as bigint), t - 1) END)")).as("pb"))
-    probes.join(
+
+  private[graft] def initCand(e: DataFrame, planes: Int): DataFrame = {
+    val nb = e.withColumn("bucket", expr(Similarity.lshBucketExpr(planes)))
+    probesOf(nb, planes).join(
         nb.select(col("vec_id").as("w"), col("bucket").as("wb")),
         col("wb") === col("pb") && col("w") =!= col("v"))
       .select("v", "w")
   }
+
+  /** The LSH init's top-k, optionally SEGMENTED (r13 verdict ask #2 —
+    * the ×1000 story): the init is the family's scratch hog (the
+    * candidate scoring + per-node rank window spilled 30.9 GB at ×300
+    * and projects ~100 GB at ×1000 — past this host's disk), so with
+    * `segments` > 1 the candidate space is processed in SEQUENTIAL
+    * passes over probe-bucket residue classes (pb % segments), each
+    * pass re-ranked to its own top-k and EAGERLY materialized
+    * (localCheckpoint forces pass s to finish — and its sort scratch
+    * to be released — before pass s+1 plans), then the per-pass
+    * winners re-ranked once. Peak live scratch is ~1/segments of the
+    * one-shot init; the union re-rank runs on ≤ segments·k rows per
+    * node.
+    *
+    * EXACT at any segment count: a candidate pair (v, w) exists via
+    * exactly one probe value (probe values are distinct and w has one
+    * bucket), so the residue classes PARTITION the candidate set, and
+    * top-k of a union of per-class top-ks is the global top-k (same
+    * (cos desc, id) order both levels). KnnGraphSpec pins segmented ≡
+    * one-shot on the real corpus.
+    */
+  private[graft] def initTopK(
+      e: DataFrame, planes: Int, k: Int = K, segments: Int = 1): DataFrame =
+    if (segments <= 1) topK(e, initCand(e, planes), k)
+    else {
+      val nb = e.withColumn("bucket", expr(Similarity.lshBucketExpr(planes)))
+        .transform(CacheScope.scoped)
+      val wside = nb.select(col("vec_id").as("w"), col("bucket").as("wb"))
+      val parts = (0 until segments).map { s =>
+        val cand = probesOf(nb, planes)
+          .filter(pmod(col("pb"), lit(segments.toLong)) === s)
+          .join(wside, col("wb") === col("pb") && col("w") =!= col("v"))
+          .select("v", "w")
+        CacheScope.checkpointed(topK(e, cand, k).select("v", "w", "cos"))
+      }
+      parts.reduce(_.unionAll(_))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("v").orderBy(col("cos").desc, col("w"))))
+        .filter(col("rank") <= k)
+    }
 
   /** One NN-descent candidate expansion over a graph `g(v, w, cos)`:
     * B(v) ∪ B(B(v)) with the REVERSE side of B capped at the top-k
@@ -152,8 +198,8 @@ object KnnGraph {
   // pass planesFor(n) (or an explicit test width) so the fatal
   // configuration stays opt-in, never the silent default.
   private[graft] def descend(e: DataFrame, planes: Int,
-      rounds: Int = Rounds, k: Int = K): Seq[DataFrame] = {
-    val g0 = topK(e, initCand(e, planes), k).transform(CacheScope.scoped)
+      rounds: Int = Rounds, k: Int = K, segments: Int = 1): Seq[DataFrame] = {
+    val g0 = initTopK(e, planes, k, segments).transform(CacheScope.scoped)
     (1 to rounds).foldLeft(Vector(g0)) { (gs, _) =>
       gs :+ topK(e, roundCand(gs.last, k), k).transform(CacheScope.scoped)
     }

@@ -71,6 +71,28 @@ class KnnGraphSpec extends AnyFunSuite {
     CacheScope.drain()
   }
 
+  test("segmented init is EXACTLY the one-shot init (any segment count)") {
+    // the ×1000 bounded-scratch path must not be an approximation:
+    // probe residue classes partition the candidate set, so top-k of
+    // the per-class top-ks is the global top-k — pinned row-for-row
+    // on the real corpus at two segment counts (one of them not a
+    // divisor of the bucket count, so classes are uneven)
+    val e = ext.Similarity.nv(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "qe", "nrm").transform(CacheScope.scoped)
+    val planes = ext.KnnGraph.planesFor(e.count())
+    def rows(segments: Int): Set[(Long, Long, Long, Int)] =
+      ext.KnnGraph.initTopK(e, planes, segments = segments)
+        .select(col("v"), col("w"), expr("cast(floor(cos * 1000000.0D) as bigint)"),
+          col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+    val oneShot = rows(1)
+    assert(oneShot.nonEmpty)
+    assert(rows(4) === oneShot, "4-segment init diverged from one-shot")
+    assert(rows(7) === oneShot, "7-segment init diverged from one-shot")
+    CacheScope.drain()
+  }
+
   test("roundCand is exactly B(v) ∪ B(B(v)): both directions, two hops, no self, deduped") {
     import spark.implicits._
     // hand graph 1→2, 2→3: B = {(1,2),(2,1),(2,3),(3,2)}; two-hop adds

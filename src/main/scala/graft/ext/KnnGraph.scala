@@ -44,8 +44,24 @@ import graft.{CacheScope, Q}
   */
 object KnnGraph {
 
-  /** Neighbors kept per node (k of the kNN graph). */
+  /** Neighbors kept per node (k of the kNN graph — what q175 ships). */
   val K = 5
+
+  /** Neighbors kept per node DURING the build (r14 re-pin, r13 verdict
+    * ask #1): the graph is built at 2K and truncated to K on output —
+    * the wider rank window keeps more of each bucket's candidates
+    * alive between rounds, so NN-descent climbs through a richer
+    * two-hop field at the same per-round candidate SHAPE (the k²
+    * expansion term grows, but the sweep measured the wall
+    * equal-or-lower at every scale tried: sf0.1 12.8 vs 14.6 s, ×30
+    * same-session 34.9 vs 47.8 s — the wider window REPLACES rank
+    * churn across rounds with kept rows). Recall@5 on the exact
+    * sample: uniform corpus 0.331 → 0.459, clustered mixture fixture
+    * 0.952 → 0.996 (STREAM_r14 `knn_sweep_r14`). rounds=3 was the
+    * measured negative: +0.008/+0.013 recall at ~2× wall. Both
+    * engines derive their rank windows from this one constant.
+    */
+  val KBuild = 2 * K
 
   /** NN-descent refinement rounds after the LSH init. */
   val Rounds = 2
@@ -247,14 +263,14 @@ object KnnGraph {
          |          CAST(${Similarity.idotD("a.qe", "b.qe")} AS DOUBLE) / (a.nrm * b.nrm) AS cos
          |        FROM $candCte c
          |        JOIN qn a ON a.vec_id = c.v
-         |        JOIN qn b ON b.vec_id = c.w)) WHERE r <= $K)""".stripMargin
+         |        JOIN qn b ON b.vec_id = c.w)) WHERE r <= $KBuild)""".stripMargin
     def bCte(name: String, g: String) =
       s"""$name AS (SELECT v, w FROM $g
          |          UNION
          |          SELECT rv AS v, rw AS w FROM (
          |            SELECT w AS rv, v AS rw,
          |              row_number() OVER (PARTITION BY w ORDER BY cos DESC, v) AS rr
-         |            FROM $g) WHERE rr <= $K)""".stripMargin
+         |            FROM $g) WHERE rr <= $KBuild)""".stripMargin
     def cCte(name: String, b: String) =
       s"""$name AS (SELECT x.v, y.w FROM $b x JOIN $b y ON y.v = x.w AND y.w <> x.v
          |          UNION SELECT v, w FROM $b)""".stripMargin
@@ -286,13 +302,15 @@ object KnnGraph {
       s"""WITH $descentDuck
          |SELECT v AS vec_id, r AS rank, w AS neighbor_id,
          |  floor(cos * 1000000.0) / 1000000.0 AS cosine
-         |FROM g$Rounds""".stripMargin) { (s, d) =>
+         |FROM g$Rounds WHERE r <= $K""".stripMargin) { (s, d) =>
       val e = Similarity.nv(s, d).select("vec_id", "qe", "nrm")
         .transform(CacheScope.scoped)
       // the dial is a 1-row driver decision off the cached corpus count
       // (the BPE-argmax precedent) — the oracle derives the identical
-      // width from its own count(*) in the nn CTE
-      descend(e, planes = planesFor(e.count())).last
+      // width from its own count(*) in the nn CTE. Built at KBuild,
+      // shipped at K (the r14 build-wide/truncate-narrow re-pin).
+      descend(e, planes = planesFor(e.count()), k = KBuild).last
+        .filter(col("rank") <= K)
         .select(col("v").as("vec_id"), col("rank"),
           col("w").as("neighbor_id"),
           expr("floor(cos * 1000000.0D) / 1000000.0D").as("cosine"))
@@ -317,7 +335,7 @@ object KnnGraph {
          |         FROM qn a JOIN samp s ON s.vec_id = a.vec_id
          |         JOIN qn b ON b.vec_id <> a.vec_id) WHERE r <= $K),
          |gall AS (${(0 to Rounds).map(i =>
-        s"SELECT CAST($i AS BIGINT) AS iter, v, w FROM g$i")
+        s"SELECT CAST($i AS BIGINT) AS iter, v, w FROM g$i WHERE r <= $K")
         .mkString("\n         UNION ALL ")}),
          |iters AS (SELECT CAST(unnest([${(0 to Rounds).mkString(", ")}]) AS BIGINT) AS iter),
          |f AS (SELECT i.iter, CASE WHEN gall.w IS NOT NULL THEN 1 ELSE 0 END AS hit
@@ -330,7 +348,10 @@ object KnnGraph {
       val e = Similarity.nv(s, d).select("vec_id", "qe", "nrm")
         .transform(CacheScope.scoped)
       val n = e.count()
-      val gs = descend(e, planes = planesFor(n))
+      // audit the SHIPPED truncation: built at KBuild, recall read on
+      // each round's top-K (what q175 would emit after that round)
+      val gs = descend(e, planes = planesFor(n), k = KBuild)
+        .map(_.filter(col("rank") <= K))
       // exact truth on the sampled nodes only: ~500·n pairs (the
       // automatic modulus holds the sample ~constant), NOT the full n²
       val ex = e.filter(expr(sampSpark(modFor(n))))

@@ -99,25 +99,28 @@ object KnnBench {
             segments = segments).last
         var best = Double.MaxValue
         var edges = 0L
-        for (_ <- 1 to repeats) {
+        var g: DataFrame = null
+        for (i <- 1 to repeats) {
           CacheScope.drain()
           val t0 = System.nanoTime()
-          val g = build()
+          g = build()
           // checksum forces every edge (and so the whole descent)
           g.selectExpr("sum(v + w + rank) as checksum")
             .write.format("noop").mode("overwrite").save()
           val sec = (System.nanoTime() - t0) / 1e9
           if (sec < best) best = sec
           edges = g.count()
-          CacheScope.drain()
+          if (i < repeats) CacheScope.drain()
         }
-        // audit pass (untimed build reuse is impossible post-drain: one
-        // more descent, its cost reported separately as audit_sec);
-        // recall is ALWAYS on the top-K truncation so arms compare
+        // audit against the LAST build's still-cached graph (its scope
+        // is not drained until after the audit — a rebuild would
+        // double the corpus-scale cost for nothing); audit_sec is the
+        // incremental semi-join time. Recall is ALWAYS on the top-K
+        // truncation so arms compare.
         val t1 = System.nanoTime()
-        val g = build().filter(col("rank") <= KnnGraph.K)
-        val found = ex.join(g.select(col("v"), col("w")), Seq("v", "w"),
-          "left_semi").count()
+        val found = ex.join(
+          g.filter(col("rank") <= KnnGraph.K).select(col("v"), col("w")),
+          Seq("v", "w"), "left_semi").count()
         val auditSec = (System.nanoTime() - t1) / 1e9
         CacheScope.drain()
         val recall = math.floor(found * 1e6 / nExact) / 1e6

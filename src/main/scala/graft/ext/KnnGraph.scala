@@ -166,7 +166,21 @@ object KnnGraph {
           .filter(pmod(col("pb"), lit(segments.toLong)) === s)
           .join(wside, col("wb") === col("pb") && col("w") =!= col("v"))
           .select("v", "w")
-        CacheScope.checkpointed(topK(e, cand, k).select("v", "w", "cos"))
+        val part = CacheScope.checkpointed(topK(e, cand, k).select("v", "w", "cos"))
+        // release pass s's shuffle files BEFORE pass s+1 runs: the
+        // checkpoint truncated lineage, so the pass's shuffle
+        // dependencies are unreachable — but ContextCleaner only
+        // notices them on a driver GC, and a data-sized (48 g) heap
+        // under this id-only workload may never GC on its own.
+        // Measured at ×1000 without this: 61 GB of dead per-pass
+        // shuffle files accumulated in the block manager and the run
+        // headed for scratch-disk exhaustion — the exact failure the
+        // segmentation exists to prevent. One explicit GC per pass
+        // keeps live scratch ≈ one pass's worth (GraphX-style
+        // iterative hygiene; spark.cleaner.periodicGC's 30 min
+        // default is useless at a minutes-long pass cadence).
+        System.gc()
+        part
       }
       parts.reduce(_.unionAll(_))
         .withColumn("rank", row_number().over(

@@ -134,51 +134,69 @@ object KnnGraph {
       .select("v", "w")
   }
 
-  /** The LSH init's top-k, optionally SEGMENTED (r13 verdict ask #2 —
-    * the ×1000 story): the init is the family's scratch hog (the
-    * candidate scoring + per-node rank window spilled 30.9 GB at ×300
-    * and projects ~100 GB at ×1000 — past this host's disk), so with
-    * `segments` > 1 the candidate space is processed in SEQUENTIAL
-    * passes over probe-bucket residue classes (pb % segments), each
-    * pass re-ranked to its own top-k and EAGERLY materialized
-    * (localCheckpoint forces pass s to finish — and its sort scratch
-    * to be released — before pass s+1 plans), then the per-pass
-    * winners re-ranked once. Peak live scratch is ~1/segments of the
-    * one-shot init; the union re-rank runs on ≤ segments·k rows per
-    * node.
+  /** The LSH init's top-k — SINGLE-JOIN scoring, optionally SEGMENTED
+    * (r13 verdict ask #2 — the ×1000 story).
     *
-    * EXACT at any segment count: a candidate pair (v, w) exists via
-    * exactly one probe value (probe values are distinct and w has one
-    * bucket), so the residue classes PARTITION the candidate set, and
-    * top-k of a union of per-class top-ks is the global top-k (same
-    * (cos desc, id) order both levels). KnnGraphSpec pins segmented ≡
-    * one-shot on the real corpus.
+    * Single-join scoring (r14, measured necessary): the naive shape —
+    * id-only pairs from [[initCand]] re-ranked by [[topK]] — attaches
+    * the two vectors with two hash joins, and past broadcast size the
+    * INTERMEDIATE between them (pair rows carrying v's 64-long qe)
+    * re-exchanges on w: ~550 B × every scored pair ≈ 90 GB of
+    * exchange+sort scratch at ×1000 — measured filling this host's
+    * disk twice (61 GB dead files with lazy cleanup; "No space left
+    * on device" with per-pass GC). Here the PROBES relation carries
+    * v's vector to the probe bucket ((p+1) copies of the corpus —
+    * ~19 GB at ×1000, 4–5× less than pair×vector) and the bucket side
+    * carries w's; one equi-join on pb = wb attaches both, cos is
+    * projected IN-STAGE, and only (v, w, cos) ever reaches the rank
+    * window — whose `filter(rank ≤ k)` triggers WindowGroupLimit, so
+    * map tasks keep ≤ k rows per node before the exchange. No
+    * pair-shaped relation carries a vector through any exchange.
+    *
+    * Segmentation (`segments` > 1): the probe relation is processed
+    * in SEQUENTIAL passes over probe-bucket residue classes
+    * (pb % segments), each pass re-ranked to its own top-k and
+    * EAGERLY materialized (localCheckpoint forces pass s to finish
+    * before pass s+1 plans), with an explicit per-pass GC so
+    * ContextCleaner actually releases the dead pass's shuffle files
+    * (a data-sized 48 g heap never GCs on its own under this
+    * workload — measured 61 GB of dead files without it), then the
+    * per-pass winners re-ranked once (≤ segments·k rows per node).
+    *
+    * EXACT in every configuration: the candidate set is identical to
+    * [[initCand]]'s (same probes, same bucket equi-join), a candidate
+    * pair (v, w) exists via exactly one probe value (probe values are
+    * distinct and w has one bucket), so residue classes PARTITION the
+    * candidate set and top-k of per-class top-ks is the global top-k
+    * (same (cos desc, id) order at both levels). KnnGraphSpec pins
+    * single-join ≡ the two-join formulation and segmented ≡ one-shot
+    * on the real corpus.
     */
   private[graft] def initTopK(
-      e: DataFrame, planes: Int, k: Int = K, segments: Int = 1): DataFrame =
-    if (segments <= 1) topK(e, initCand(e, planes), k)
+      e: DataFrame, planes: Int, k: Int = K, segments: Int = 1): DataFrame = {
+    val nb = e.withColumn("bucket", expr(Similarity.lshBucketExpr(planes)))
+      .transform(CacheScope.scoped) // probe side + bucket side of the one join
+    val wside = nb.select(col("vec_id").as("w"), col("qe").as("wqe"),
+      col("nrm").as("wnrm"), col("bucket").as("wb"))
+    val probes = nb
+      .select(col("vec_id").as("v"), col("qe").as("vqe"), col("nrm").as("vnrm"),
+        col("bucket"))
+      .select(col("v"), col("vqe"), col("vnrm"), explode(expr(
+        s"transform(sequence(0, $planes), t -> CASE WHEN t = 0 THEN bucket" +
+          " ELSE bucket ^ shiftleft(cast(1 as bigint), t - 1) END)")).as("pb"))
+    def scoredTopK(p: DataFrame): DataFrame = p
+      .join(wside, col("wb") === col("pb") && col("w") =!= col("v"))
+      .select(col("v"), col("w"),
+        expr("cast(vec_ldot(vqe, wqe) as double) / (vnrm * wnrm)").as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("v").orderBy(col("cos").desc, col("w"))))
+      .filter(col("rank") <= k)
+    if (segments <= 1) scoredTopK(probes)
     else {
-      val nb = e.withColumn("bucket", expr(Similarity.lshBucketExpr(planes)))
-        .transform(CacheScope.scoped)
-      val wside = nb.select(col("vec_id").as("w"), col("bucket").as("wb"))
       val parts = (0 until segments).map { s =>
-        val cand = probesOf(nb, planes)
-          .filter(pmod(col("pb"), lit(segments.toLong)) === s)
-          .join(wside, col("wb") === col("pb") && col("w") =!= col("v"))
-          .select("v", "w")
-        val part = CacheScope.checkpointed(topK(e, cand, k).select("v", "w", "cos"))
-        // release pass s's shuffle files BEFORE pass s+1 runs: the
-        // checkpoint truncated lineage, so the pass's shuffle
-        // dependencies are unreachable — but ContextCleaner only
-        // notices them on a driver GC, and a data-sized (48 g) heap
-        // under this id-only workload may never GC on its own.
-        // Measured at ×1000 without this: 61 GB of dead per-pass
-        // shuffle files accumulated in the block manager and the run
-        // headed for scratch-disk exhaustion — the exact failure the
-        // segmentation exists to prevent. One explicit GC per pass
-        // keeps live scratch ≈ one pass's worth (GraphX-style
-        // iterative hygiene; spark.cleaner.periodicGC's 30 min
-        // default is useless at a minutes-long pass cadence).
+        val part = CacheScope.checkpointed(
+          scoredTopK(probes.filter(pmod(col("pb"), lit(segments.toLong)) === s))
+            .select("v", "w", "cos"))
         System.gc()
         part
       }
@@ -187,6 +205,7 @@ object KnnGraph {
           Window.partitionBy("v").orderBy(col("cos").desc, col("w"))))
         .filter(col("rank") <= k)
     }
+  }
 
   /** One NN-descent candidate expansion over a graph `g(v, w, cos)`:
     * B(v) ∪ B(B(v)) with the REVERSE side of B capped at the top-k

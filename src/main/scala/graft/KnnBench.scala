@@ -93,6 +93,14 @@ object KnnBench {
         }
         val rounds = parts.lift(1).map(_.toInt).getOrElse(KnnGraph.Rounds)
         val kBuild = parts.lift(2).map(_.toInt).getOrElse(KnnGraph.K)
+        // the audit below always reads the top-K truncation, so an arm
+        // built narrower than K would silently understate recall (its
+        // graph holds < K ranks but is judged against K exact
+        // neighbors) — refuse the arm instead (r14 ADVICE)
+        require(kBuild >= KnnGraph.K,
+          s"arm '$arm': kBuild=$kBuild < K=${KnnGraph.K} — recall@${KnnGraph.K} " +
+            s"audits the top-${KnnGraph.K} truncation, which a $kBuild-rank " +
+            "graph cannot fill; build at least K neighbors per node")
         val segments = parts.lift(3).map(_.toInt).getOrElse(1)
         def build(): DataFrame =
           KnnGraph.descend(e, planes = planes, rounds = rounds, k = kBuild,
@@ -110,7 +118,11 @@ object KnnBench {
           val sec = (System.nanoTime() - t0) / 1e9
           if (sec < best) best = sec
           edges = g.count()
-          if (i < repeats) CacheScope.drain()
+          // no trailing drain here: the next iteration's loop-head
+          // drain covers intermediate builds, and the LAST build's
+          // cache must survive for the audit below (r14 ADVICE — the
+          // old conditional drain was dead code inviting exactly the
+          // wrong future edit)
         }
         // audit against the LAST build's still-cached graph (its scope
         // is not drained until after the audit — a rebuild would

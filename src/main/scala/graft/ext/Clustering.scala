@@ -632,6 +632,22 @@ object Clustering {
             col("n_tokens"))), lit(0L)).as("w_hard"),
           sum(expr("n_tokens * weight_ppm")).as("w_soft"))
         .transform(CacheScope.scoped) // lang-sized; feeds 3 Hamilton chains + the report join
+      // The Hamilton quotient computes 1000000 * mass, and the soft
+      // mass (Σ n_tokens·weight_ppm, the largest of the three — ppm
+      // weights multiply raw tokens by up to 10⁶) overflows BIGINT
+      // past ~9.2×10⁶ corpus tokens. DuckDB errors loudly there;
+      // Spark (non-ANSI) would wrap SILENTLY into wrong allocations
+      // (r14 ADVICE) — so the documented limit is now enforced, not
+      // just commented. The 1-row agg reads the just-cached lang-sized
+      // m. Production pre-scales masses to ppm-of-corpus first (q89's
+      // documented trade), which keeps every mass under 10⁶.
+      val softTot = Option(m.agg(sum("w_soft")).first().get(0))
+        .fold(0L)(_.asInstanceOf[Long])
+      require(softTot <= Long.MaxValue / 1000000L,
+        s"q177: total soft ppm-mass $softTot overflows the BIGINT " +
+          "Hamilton quotient (limit ~9.2e18/1e6 ≈ 9.2e12, i.e. ~9.2M " +
+          "corpus tokens at full ppm weight) — pre-scale masses to " +
+          "ppm-of-corpus before apportioning (q89)")
       m.join(hamilton(m, "w_none", "alloc_none"), "lang")
         .join(hamilton(m, "w_hard", "alloc_hard"), "lang")
         .join(hamilton(m, "w_soft", "alloc_soft"), "lang")

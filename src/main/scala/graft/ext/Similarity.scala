@@ -115,8 +115,29 @@ object Similarity {
       .select(col("vec_id"), col("label"), explode(expr("sequence(0, 7)")).as("j"), col("r"))
       .select(col("vec_id"), col("label"), col("j"), expr("slice(r, 8 * j + 1, 8)").as("s")))
     // ^ seeds + 2 assign passes + recompute
-    val c0 = rsub.filter(col("vec_id") < 8)
-      .select(col("j"), col("vec_id").as("cl"), col("s").as("c"))
+    // Seeds by RANK (the 8 smallest vec_ids), not by absolute id
+    // (r14 ADVICE): semanticIndex/runSemanticGate expose this builder
+    // to arbitrary embedding corpora, and a corpus whose ids don't
+    // include 0..7 (offset or sharded ranges) would otherwise yield an
+    // empty codebook, an empty codes relation, and a semantic gate
+    // that silently accepts every document. orderBy+limit plans as
+    // TakeOrderedAndProject (map-side top-8, no full sort) over the
+    // cached rsub; the 8-row rank window is driver-trivial. On the
+    // driver corpora (dense ids from 0) the seeds — and so every
+    // downstream relation — are bit-identical to the old id filter.
+    val seedIds = rsub.filter(col("j") === 0).select("vec_id")
+      .orderBy("vec_id").limit(8)
+      .withColumn("cl", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
+      .transform(cache)
+    val nSeeds = seedIds.count()
+    require(nSeeds == 8,
+      s"ivfPqBuild: corpus must hold >= 8 distinct vectors to seed the " +
+        s"8-centroid PQ codebook; found $nSeeds — refusing to build a " +
+        "degenerate index (an empty codebook would make every gate " +
+        "probe miss and read as 'no duplicates')")
+    val c0 = rsub.join(broadcast(seedIds), "vec_id")
+      .select(col("j"), col("cl"), col("s").as("c"))
     // q173's assignment, residual-space; label carried for the probed scan
     def assign(cb: DataFrame) =
       rsub.join(broadcast(cb), "j")
@@ -135,6 +156,19 @@ object Similarity {
       .groupBy("j", "cl")
       .agg(expr("transform(array_sort(collect_list(struct(p, cv))), x -> x.cv)").as("c")))
     // ^ encode pass + LUT (every later probe joins this codebook)
+    // Post-build guard (r14 ADVICE): every subspace must retain ≥ 1
+    // centroid, or the ADC join would silently drop that subspace's
+    // distance term from every probe. NOT a full-64 check on purpose:
+    // a low-entropy corpus whose seed vectors share identical subspace
+    // slices legitimately collapses clusters (PqAdcSpec's 8-base
+    // fixture retains 40/64 — a coarser but CORRECT index; ties break
+    // to the lowest cl and the winners absorb the mass). The count
+    // reads the just-cached ≤64-row relation.
+    val cbSubspaces = c1.select("j").distinct().count()
+    require(cbSubspaces == 8,
+      s"ivfPqBuild: PQ codebook covers $cbSubspaces/8 subspaces — a " +
+        "missing subspace would silently drop its distance term from " +
+        "every ADC probe; refusing to serve a structurally broken index")
     IvfPqIndex(cent, c1, assign(c1))
   }
 
@@ -1232,7 +1266,9 @@ object Similarity {
            |       FROM qv JOIN cent USING (label)),
            |rsub AS (SELECT vec_id, label, g.j AS j, r[(8*g.j+1):(8*g.j+8)] AS s
            |         FROM rv, generate_series(0, 7) g(j)),
-           |c0 AS (SELECT j, vec_id AS cl, s AS c FROM rsub WHERE vec_id < 8),
+           |seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+           |         FROM (SELECT DISTINCT vec_id FROM rsub ORDER BY vec_id LIMIT 8)),
+           |c0 AS (SELECT rsub.j, seed.cl, rsub.s AS c FROM rsub JOIN seed USING (vec_id)),
            |a1 AS (SELECT rsub.vec_id, rsub.j,
            |         CAST(min(${l2("rsub.s", "c0.c")} * 8 + c0.cl) AS BIGINT) AS k
            |       FROM rsub JOIN c0 ON c0.j = rsub.j GROUP BY 1, 2),

@@ -172,6 +172,42 @@ class StreamingCurationSpec extends AnyFunSuite {
     idx.cent.unpersist(); idx.codebook.unpersist(); idx.codes.unpersist()
   }
 
+  test("semantic index builds by seed RANK: offset vec_ids still gate (r14 ADVICE)") {
+    import spark.implicits._
+    // the same 24-vector corpus with every vec_id offset by 100000 — a
+    // sharded/offset id range holds NO id in 0..7, which under the old
+    // absolute-id seeding (vec_id < 8) built an EMPTY codebook and a
+    // gate that silently accepted every doc, near-dups included
+    val offset = semanticCorpus
+      .withColumn("vec_id", col("vec_id") + lit(100000L))
+    val idx = StreamingCuration.semanticIndex(offset)
+    assert(idx.codes.count() > 0L,
+      "offset-id corpus must still produce a non-empty codes relation")
+    val nearA = Array.tabulate(64)(i => 0.3f + ((i * 3) % 33 - 16) * 0.001f + 0.005f)
+    val out = StreamingCuration.semanticVerdicts(
+        Seq((100L, nearA.toSeq)).toDF("doc_id", "embedding"), idx, maxDist = 1.0)
+      .select("doc_id", "nn_vec_id", "semantic_dup")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(100L).getBoolean(2),
+      s"near-dup must STILL be flagged on an offset-id corpus: ${out(100L)}")
+    assert(out(100L).getLong(1) >= 100000L,
+      s"neighbor ids come from the offset corpus: ${out(100L)}")
+    idx.cent.unpersist(); idx.codebook.unpersist(); idx.codes.unpersist()
+  }
+
+  test("semantic index refuses a corpus too small to seed the codebook") {
+    import spark.implicits._
+    val tiny = semanticCorpus.filter(col("vec_id") < 5) // 5 < 8 seeds
+    val e = intercept[IllegalArgumentException] {
+      StreamingCuration.semanticIndex(tiny)
+    }
+    assert(e.getMessage.contains("8 distinct vectors"), e.getMessage)
+    // the aborted build leaves its build-time caches behind
+    // (semanticIndex's release pass never ran) — drop them so later
+    // suites see a clean block manager (the q148 suite-order lesson)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("semantic gate sink routes by verdict over micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -224,6 +224,117 @@ object Similarity {
       |cent AS (SELECT label, list(cv ORDER BY i) AS c FROM m GROUP BY label)"""
       .stripMargin
 
+  /** Integer squared-L2 between two quantized lists (DuckDB side). */
+  private def pqL2(a: String, b: String) =
+    s"(${idotD(a, a)} - 2 * ${idotD(a, b)} + ${idotD(b, b)})"
+
+  /** DuckDB mirror of [[ivfPqBuild]]: CTE chain from the raw
+    * `embeddings` table through the compressed corpus
+    * `codes(vec_id, label, j, code)` (also leaves `qv`, `cent`, `c1`
+    * = the PQ codebook in scope). ONE definition shared by q174 (the
+    * ANN audit) and q178 (the semantic gate's batch pin) — the
+    * stream/batch forms cannot drift.
+    */
+  private def ivfPqIndexDuck: String =
+    s"""qv AS (SELECT vec_id, label, list_transform(embedding, x -> ${qD("x")}) AS qe
+       |            FROM embeddings),
+       |$labelCentroidsDuck,
+       |rv AS (SELECT qv.vec_id, qv.label,
+       |         list_transform(list_zip(qv.qe, cent.c), x -> x[1] - x[2]) AS r
+       |       FROM qv JOIN cent USING (label)),
+       |rsub AS (SELECT vec_id, label, g.j AS j, r[(8*g.j+1):(8*g.j+8)] AS s
+       |         FROM rv, generate_series(0, 7) g(j)),
+       |seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+       |         FROM (SELECT DISTINCT vec_id FROM rsub ORDER BY vec_id LIMIT 8)),
+       |c0 AS (SELECT rsub.j, seed.cl, rsub.s AS c FROM rsub JOIN seed USING (vec_id)),
+       |a1 AS (SELECT rsub.vec_id, rsub.j,
+       |         CAST(min(${pqL2("rsub.s", "c0.c")} * 8 + c0.cl) AS BIGINT) AS k
+       |       FROM rsub JOIN c0 ON c0.j = rsub.j GROUP BY 1, 2),
+       |pos1 AS (SELECT a1.j, a1.k % 8 AS cl, g.i, rsub.s[g.i] AS v
+       |         FROM a1 JOIN rsub ON rsub.vec_id = a1.vec_id AND rsub.j = a1.j,
+       |              generate_series(1, 8) g(i)),
+       |m1 AS (SELECT j, cl, i,
+       |         CAST(floor(CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+       |       FROM pos1 GROUP BY j, cl, i),
+       |c1 AS (SELECT j, cl, list(cv ORDER BY i) AS c FROM m1 GROUP BY j, cl),
+       |codes AS (SELECT rsub.vec_id, rsub.label, rsub.j,
+       |            CAST(min(${pqL2("rsub.s", "c1.c")} * 8 + c1.cl) AS BIGINT) % 8 AS code
+       |          FROM rsub JOIN c1 ON c1.j = rsub.j GROUP BY 1, 2, 3)""".stripMargin
+
+  /** DuckDB mirror of [[ivfPqTopK]]'s probe + ADC scan, ending in
+    * `adc(qid, vec_id, adist)` (self-matches excluded). Expects
+    * `qp(qid, qe)` plus [[ivfPqIndexDuck]]'s relations in scope;
+    * nprobe = 2 (the registered dial).
+    */
+  private def ivfPqAdcDuck: String =
+    s"""probe AS (SELECT qid, label
+       |          FROM (SELECT qp.qid, cent.label,
+       |                  row_number() OVER (PARTITION BY qp.qid
+       |                    ORDER BY ${pqL2("qp.qe", "cent.c")}, cent.label) AS pr
+       |                FROM qp, cent) WHERE pr <= 2),
+       |qr0 AS (SELECT probe.qid, probe.label,
+       |          list_transform(list_zip(qp.qe, cent.c), x -> x[1] - x[2]) AS qr
+       |        FROM probe JOIN qp USING (qid) JOIN cent USING (label)),
+       |qrs AS (SELECT qid, label, g.j AS j, qr[(8*g.j+1):(8*g.j+8)] AS qs
+       |        FROM qr0, generate_series(0, 7) g(j)),
+       |lut AS (SELECT qrs.qid, qrs.label, qrs.j, c1.cl,
+       |          CAST(${pqL2("qrs.qs", "c1.c")} AS BIGINT) AS dist
+       |        FROM qrs JOIN c1 ON c1.j = qrs.j),
+       |adc AS (SELECT lut.qid, codes.vec_id, CAST(sum(lut.dist) AS BIGINT) AS adist
+       |        FROM codes JOIN lut ON lut.label = codes.label
+       |                           AND lut.j = codes.j AND lut.cl = codes.code
+       |        WHERE codes.vec_id <> lut.qid
+       |        GROUP BY 1, 2)""".stripMargin
+
+  /** The semantic gate's distance threshold for the REGISTERED batch
+    * pin (q178): a doc is a semantic near-dup when its nearest
+    * compressed neighbor sits within float-space L2 0.92. ADC
+    * distances are biased LOW vs exact L2 (the PQ codeword absorbs
+    * most of the residual), so τ is calibrated on the COMPRESSED
+    * distance distribution — measured nn_dist deciles put 0.92
+    * between p10 and p25 at both SFs (~12 % of sf0.01 docs, ~18 % of
+    * sf0.1 docs flag `rejected_semantic_dup`), so both verdicts are
+    * oracle-exercised at both SFs. A deployment passes its own τ; the
+    * SEMANTICS (nearest compressed neighbor, integer adist,
+    * √adist/2²⁰ ≤ τ) are what q178 pins cross-engine.
+    */
+  val SemanticGateMaxDist = 0.92
+
+  /** Per-doc semantic near-dup verdicts against an [[IvfPqIndex]] —
+    * the ONE definition of the gate's decision boundary, shared by
+    * the streaming gate ([[graft.stream.StreamingCuration]] delegates
+    * here per micro-batch) and its batch oracle pin q178 (the
+    * DriftMonitor/q87 shared-expression pattern): quantize the batch
+    * embeddings (the same 2²⁰ fixed point the index was built with),
+    * ADC-probe for each doc's nearest compressed neighbor, flag docs
+    * within `maxDist` — float-space L2, i.e. `sqrt(adist)/2²⁰ ≤
+    * maxDist` (adist is integer L2 in the quantized residual space,
+    * so the boolean is bit-identical on any engine computing the same
+    * integer). Every input doc gets a verdict row: docs whose probed
+    * partitions held no corpus vector come back `semantic_dup = false`
+    * with NULL neighbor; a batch doc whose id equals a corpus vec_id
+    * skips that one corpus vector (ivfPqTopK's self-match guard).
+    *
+    * Scale: per batch this is two broadcast-sized frames (probe, LUT)
+    * and ONE pass over the compressed codes relation restricted to
+    * probed partitions — the corpus's full vectors are never touched
+    * after index build.
+    */
+  private[graft] def semanticVerdicts(
+      batch: DataFrame,
+      idx: IvfPqIndex,
+      maxDist: Double): DataFrame = {
+    VectorExpressions.register(batch.sparkSession)
+    val qp = batch.select(col("doc_id").as("qid"),
+      expr(qeSpark).as("qe"))
+    val top1 = ivfPqTopK(qp, idx, k = 1)
+      .select(col("qid").as("doc_id"), col("neighbor_id").as("nn_vec_id"),
+        expr("sqrt(cast(adist as double)) / 1048576.0D").as("nn_dist"))
+    batch.join(top1, Seq("doc_id"), "left")
+      .withColumn("semantic_dup",
+        coalesce(col("nn_dist") <= maxDist, lit(false)))
+  }
+
   /** Spark-side LSH sign-bucket expression over a `qe` column (q47's
     * deterministic hyperplane family: md5-derived integer components
     * in [-1000, 1000], identical to [[planesDuck]] at the registered
@@ -1256,51 +1367,9 @@ object Similarity {
     // engines.
     Q(
       "q174_ivfpq_ann", {
-        def l2(a: String, b: String) =
-          s"(${idotD(a, a)} - 2 * ${idotD(a, b)} + ${idotD(b, b)})"
-        s"""WITH qv AS (SELECT vec_id, label, list_transform(embedding, x -> ${qD("x")}) AS qe
-           |            FROM embeddings),
-           |$labelCentroidsDuck,
-           |rv AS (SELECT qv.vec_id, qv.label,
-           |         list_transform(list_zip(qv.qe, cent.c), x -> x[1] - x[2]) AS r
-           |       FROM qv JOIN cent USING (label)),
-           |rsub AS (SELECT vec_id, label, g.j AS j, r[(8*g.j+1):(8*g.j+8)] AS s
-           |         FROM rv, generate_series(0, 7) g(j)),
-           |seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
-           |         FROM (SELECT DISTINCT vec_id FROM rsub ORDER BY vec_id LIMIT 8)),
-           |c0 AS (SELECT rsub.j, seed.cl, rsub.s AS c FROM rsub JOIN seed USING (vec_id)),
-           |a1 AS (SELECT rsub.vec_id, rsub.j,
-           |         CAST(min(${l2("rsub.s", "c0.c")} * 8 + c0.cl) AS BIGINT) AS k
-           |       FROM rsub JOIN c0 ON c0.j = rsub.j GROUP BY 1, 2),
-           |pos1 AS (SELECT a1.j, a1.k % 8 AS cl, g.i, rsub.s[g.i] AS v
-           |         FROM a1 JOIN rsub ON rsub.vec_id = a1.vec_id AND rsub.j = a1.j,
-           |              generate_series(1, 8) g(i)),
-           |m1 AS (SELECT j, cl, i,
-           |         CAST(floor(CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS cv
-           |       FROM pos1 GROUP BY j, cl, i),
-           |c1 AS (SELECT j, cl, list(cv ORDER BY i) AS c FROM m1 GROUP BY j, cl),
-           |codes AS (SELECT rsub.vec_id, rsub.label, rsub.j,
-           |            CAST(min(${l2("rsub.s", "c1.c")} * 8 + c1.cl) AS BIGINT) % 8 AS code
-           |          FROM rsub JOIN c1 ON c1.j = rsub.j GROUP BY 1, 2, 3),
+        s"""WITH $ivfPqIndexDuck,
            |qp AS (SELECT vec_id AS qid, qe FROM qv WHERE vec_id < 10),
-           |probe AS (SELECT qid, label
-           |          FROM (SELECT qp.qid, cent.label,
-           |                  row_number() OVER (PARTITION BY qp.qid
-           |                    ORDER BY ${l2("qp.qe", "cent.c")}, cent.label) AS pr
-           |                FROM qp, cent) WHERE pr <= 2),
-           |qr0 AS (SELECT probe.qid, probe.label,
-           |          list_transform(list_zip(qp.qe, cent.c), x -> x[1] - x[2]) AS qr
-           |        FROM probe JOIN qp USING (qid) JOIN cent USING (label)),
-           |qrs AS (SELECT qid, label, g.j AS j, qr[(8*g.j+1):(8*g.j+8)] AS qs
-           |        FROM qr0, generate_series(0, 7) g(j)),
-           |lut AS (SELECT qrs.qid, qrs.label, qrs.j, c1.cl,
-           |          CAST(${l2("qrs.qs", "c1.c")} AS BIGINT) AS dist
-           |        FROM qrs JOIN c1 ON c1.j = qrs.j),
-           |adc AS (SELECT lut.qid, codes.vec_id, CAST(sum(lut.dist) AS BIGINT) AS adist
-           |        FROM codes JOIN lut ON lut.label = codes.label
-           |                           AND lut.j = codes.j AND lut.cl = codes.code
-           |        WHERE codes.vec_id <> lut.qid
-           |        GROUP BY 1, 2),
+           |$ivfPqAdcDuck,
            |tpq AS (SELECT qid, vec_id AS neighbor_id, adist, r
            |        FROM (SELECT qid, vec_id, adist,
            |                row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS r
@@ -1308,7 +1377,7 @@ object Similarity {
            |ex AS (SELECT qid, neighbor_id
            |       FROM (SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
            |               row_number() OVER (PARTITION BY a.vec_id
-           |                 ORDER BY ${l2("a.qe", "b.qe")}, b.vec_id) AS r
+           |                 ORDER BY ${pqL2("a.qe", "b.qe")}, b.vec_id) AS r
            |             FROM qv a JOIN qv b ON b.vec_id <> a.vec_id
            |             WHERE a.vec_id < 10) WHERE r <= 5),
            |ov AS (SELECT ex.qid, count(tpq.neighbor_id) AS n_overlap
@@ -1349,5 +1418,63 @@ object Similarity {
             col("adist").as("top1_adist")), "qid")
         .select(col("qid"), col("pq_top1"), col("top1_adist"), col("n_overlap"),
           expr("floor(n_overlap * 1000000.0D / 5) / 1000000.0D").as("recall_at_5"))
+    },
+
+    // ── Semantic gate, batch form (the streaming gate's oracle pin) ────
+    // The r14 streaming semantic gate's threshold semantics — nearest
+    // COMPRESSED neighbor within float-space L2 τ — previously lived
+    // only in StreamingCurationSpec; this registers the identical
+    // decision boundary as a batch query so it is DuckDB-checked at
+    // both SFs (r14 verdict ask #3). One shared implementation:
+    // [[semanticVerdicts]] serves BOTH the per-micro-batch gate
+    // (graft.stream.StreamingCuration delegates here) and this query,
+    // and the oracle SQL composes the SAME [[ivfPqIndexDuck]] +
+    // [[ivfPqAdcDuck]] chains as q174 — neither surface can drift.
+    // Here the corpus gates ITSELF (each doc vs the rest — the batch
+    // re-certification form; the self-match guard makes "vs the rest"
+    // exact), emitting every doc's verdict. The boolean is portable by
+    // construction: adist is an exact integer on both engines, sqrt is
+    // correctly rounded, /2²⁰ is exact.
+    //
+    // Scale: index build is q174's (train on the q164 sample dial at
+    // production SF); the gate pass is ONE scan of the compressed
+    // codes relation restricted to probed partitions — per doc the
+    // candidate set is ~n·nprobe/labels, the IVF restriction that
+    // makes an all-docs certification affordable where brute force
+    // (q39's n² scan) is not. At 100 TB the batch side is the ingest
+    // DELTA, not the corpus — this self-gate form is the one-off
+    // re-certification a threshold change triggers.
+    Q(
+      "q178_semantic_gate", {
+        s"""WITH $ivfPqIndexDuck,
+           |qp AS (SELECT vec_id AS qid, qe FROM qv),
+           |$ivfPqAdcDuck,
+           |top1 AS (SELECT qid, vec_id, adist
+           |         FROM (SELECT qid, vec_id, adist,
+           |                 row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS r
+           |               FROM adc) WHERE r = 1)
+           |SELECT qv.vec_id AS doc_id, top1.vec_id AS nn_vec_id,
+           |  floor(sqrt(CAST(top1.adist AS DOUBLE)) / 1048576.0 * 1000000.0) / 1000000.0
+           |    AS nn_dist,
+           |  coalesce(sqrt(CAST(top1.adist AS DOUBLE)) / 1048576.0 <= $SemanticGateMaxDist,
+           |           false) AS semantic_dup,
+           |  CASE WHEN coalesce(sqrt(CAST(top1.adist AS DOUBLE)) / 1048576.0
+           |              <= $SemanticGateMaxDist, false)
+           |       THEN 'rejected_semantic_dup' ELSE 'accepted' END AS verdict
+           |FROM qv LEFT JOIN top1 ON top1.qid = qv.vec_id""".stripMargin
+      }) { (s, d) =>
+      VectorExpressions.register(s)
+      val qv = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), expr(qeSpark).as("qe"))
+        .transform(CacheScope.scoped) // index build + the gated batch
+      val idx = ivfPqBuild(qv, CacheScope.scoped)
+      val batch = Tables.embeddings(s, d)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      semanticVerdicts(batch, idx, SemanticGateMaxDist)
+        .select(col("doc_id"), col("nn_vec_id"),
+          expr("floor(nn_dist * 1000000.0D) / 1000000.0D").as("nn_dist"),
+          col("semantic_dup"),
+          expr("CASE WHEN semantic_dup THEN 'rejected_semantic_dup'" +
+            " ELSE 'accepted' END").as("verdict"))
     })
 }

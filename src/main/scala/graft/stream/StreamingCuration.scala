@@ -152,38 +152,20 @@ object StreamingCuration {
     Similarity.IvfPqIndex(built.cent, built.codebook, codes)
   }
 
-  /** Per-batch semantic near-dup verdicts against a [[semanticIndex]]:
-    * quantize the batch embeddings (the same 2²⁰ fixed point the index
-    * was built with), ADC-probe for each doc's nearest compressed
-    * neighbor, and flag docs within `maxDist` — float-space L2, i.e.
-    * the comparison is `sqrt(adist)/2²⁰ ≤ maxDist` (adist is integer
-    * L2 in the quantized residual space). Every input doc gets a
-    * verdict row: docs whose probed partitions held no corpus vector
-    * come back `semantic_dup = false` with NULL neighbor. A batch doc
-    * whose id equals a corpus vec_id skips that one corpus vector
-    * (ivfPqTopK's self-match guard — re-ingesting an id is an update,
-    * not its own duplicate).
-    *
-    * Scale: per micro-batch this is two broadcast-sized frames
-    * (probe, LUT) and ONE pass over the compressed codes relation
-    * restricted to probed partitions — the corpus's full vectors are
-    * never touched after index build, which is what makes an ingest
-    * gate against a 100 TB embedding corpus affordable.
+  /** Per-batch semantic near-dup verdicts against a [[semanticIndex]]
+    * — a pure delegation to [[Similarity.semanticVerdicts]], the ONE
+    * definition of the gate's decision boundary (nearest compressed
+    * neighbor, integer adist, √adist/2²⁰ ≤ τ). The same function
+    * backs the registered batch pin q178, whose DuckDB oracle checks
+    * the boundary at both SFs — the stream and batch forms share one
+    * implementation AND one cross-engine certification (r15, the
+    * DriftMonitor/q87 shared-expression pattern).
     */
   def semanticVerdicts(
       batch: DataFrame,
       idx: Similarity.IvfPqIndex,
-      maxDist: Double): DataFrame = {
-    graft.functions.VectorExpressions.register(batch.sparkSession)
-    val qp = batch.select(col("doc_id").as("qid"),
-      expr(Similarity.qeSpark).as("qe"))
-    val top1 = Similarity.ivfPqTopK(qp, idx, k = 1)
-      .select(col("qid").as("doc_id"), col("neighbor_id").as("nn_vec_id"),
-        expr("sqrt(cast(adist as double)) / 1048576.0D").as("nn_dist"))
-    batch.join(top1, Seq("doc_id"), "left")
-      .withColumn("semantic_dup",
-        coalesce(col("nn_dist") <= maxDist, lit(false)))
-  }
+      maxDist: Double): DataFrame =
+    Similarity.semanticVerdicts(batch, idx, maxDist)
 
   /** Deployable semantic gate: verdict-partitioned parquet sink over
     * micro-batches (the [[run]] discipline — downstream consumers

@@ -172,6 +172,34 @@ class StreamingCurationSpec extends AnyFunSuite {
     idx.cent.unpersist(); idx.codebook.unpersist(); idx.codes.unpersist()
   }
 
+  test("streaming gate ≡ registered batch pin q178 on the driver corpus") {
+    // the stream path (semanticIndex's persist-managed build +
+    // semanticVerdicts delegation) and the registered batch query
+    // (CacheScope-managed build + the same shared definition) must
+    // produce the IDENTICAL verdict relation — q178's DuckDB oracle
+    // then certifies that shared boundary cross-engine (r14 ask #3)
+    import graft.ext.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val batchForm = SparkEntry.queries("q178_semantic_gate")(spark, dir)
+      .select("doc_id", "nn_vec_id", "semantic_dup", "verdict")
+    val idx = StreamingCuration.semanticIndex(graft.Tables.embeddings(spark, dir))
+    val streamForm = StreamingCuration.semanticVerdicts(
+        graft.Tables.embeddings(spark, dir)
+          .select(col("vec_id").as("doc_id"), col("embedding")),
+        idx, Similarity.SemanticGateMaxDist)
+      .select(col("doc_id"), col("nn_vec_id"), col("semantic_dup"),
+        expr("CASE WHEN semantic_dup THEN 'rejected_semantic_dup'" +
+          " ELSE 'accepted' END").as("verdict"))
+    assert(streamForm.exceptAll(batchForm).isEmpty &&
+      batchForm.exceptAll(streamForm).isEmpty,
+      "stream and batch semantic-gate forms diverged")
+    val nDup = streamForm.filter(col("semantic_dup")).count()
+    assert(nDup > 0 && nDup < 500,
+      s"fixture must exercise both verdicts, got $nDup/500 dups")
+    idx.cent.unpersist(); idx.codebook.unpersist(); idx.codes.unpersist()
+    CacheScope.drain()
+  }
+
   test("semantic index builds by seed RANK: offset vec_ids still gate (r14 ADVICE)") {
     import spark.implicits._
     // the same 24-vector corpus with every vec_id offset by 100000 — a

@@ -328,6 +328,31 @@ object KnnGraph {
     }
   }
 
+  /** kNN label propagation over a graph relation `g(v, w, ...)` and a
+    * label relation `lab(vec_id, label)`: each node's PREDICTED label
+    * is the majority label among its graph neighbors, ties broken to
+    * the smallest label — fully deterministic, fully integer, so both
+    * engines vote identically. Returns `(v, predicted)`; nodes with no
+    * edges have no vote and drop out (the caller's join decides their
+    * fate). The graph is the dial: propagating over g0 (LSH init) vs
+    * g₍rounds₎ (the shipped graph) gives DIFFERENT predictions —
+    * KnnGraphSpec pins that sensitivity, which is what makes q179 a
+    * real consumer of the descent rather than of any neighbor list.
+    *
+    * Scale: one hash join of the 5n-row edge list with the n-row
+    * label projection (ids only — no vectors), a (v, label) count
+    * aggregate with map-side combine, and a ≤|labels|-per-node rank
+    * window. Nothing here exceeds the graph's own footprint.
+    */
+  private[graft] def propagate(g: DataFrame, lab: DataFrame): DataFrame =
+    g.select("v", "w")
+      .join(lab.select(col("vec_id").as("w"), col("label").as("nl")), "w")
+      .groupBy("v", "nl").agg(count(lit(1)).as("c"))
+      .withColumn("rr", row_number().over(
+        Window.partitionBy("v").orderBy(col("c").desc, col("nl"))))
+      .filter(col("rr") === 1)
+      .select(col("v"), col("nl").as("predicted"))
+
   /** Spark-side sampled-node predicate (the q164 content-hash dial). */
   private def sampSpark(mod: Long) =
     s"${Portable.h60Spark("cast(vec_id as string)")} % $mod = 0"
@@ -484,6 +509,58 @@ object KnnGraph {
           count(expr("CASE WHEN hit = 1 THEN 1 END")).as("n_found"),
           expr("floor(count(CASE WHEN hit = 1 THEN 1 END) * 1000000.0D / count(1)) / 1000000.0D")
             .as("recall"))
+    },
+
+    // ── Graph consumer: kNN label-noise audit (r14 verdict ask #2) ─────
+    // The first REGISTERED consumer of the q175 graph relation — the
+    // cost of building the graph is justified by its consumers
+    // (SemDeDup, HNSW seeding, label propagation), so one of them must
+    // actually run against the oracle: each node's label is voted on
+    // by its k graph neighbors ([[propagate]]) and a node whose own
+    // label loses the vote is flagged label NOISE — the kNN-graph form
+    // of q125's centroid-distance noise audit (Northcutt et al.'s
+    // confident-learning intuition: a mislabeled point sits in a
+    // neighborhood that outvotes it). Output is the per-label audit a
+    // curation pass reads before training: node count, flagged count,
+    // flagged ppm. Integer end-to-end (counts, deterministic
+    // smallest-label tie-break) — hash-exact on both engines.
+    //
+    // Scale: the descent dominates (shared machinery with q175 — at
+    // bench scale this query sits in Bench.IterativeOverheadQueries
+    // with it); the propagation itself is one id-only hash join +
+    // count aggregate over the 5n-row edge list. The graph DIAL moves
+    // the verdict: propagating over the LSH init alone vs the shipped
+    // 2-round graph flags different nodes (KnnGraphSpec pins it).
+    Q(
+      "q179_knn_label_noise",
+      s"""WITH $descentDuck,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |gk AS (SELECT v, w FROM g$Rounds WHERE r <= $K),
+         |votes AS (SELECT gk.v, lab.label AS nl, CAST(count(*) AS BIGINT) AS c
+         |          FROM gk JOIN lab ON lab.vec_id = gk.w GROUP BY 1, 2),
+         |pred AS (SELECT v, nl AS predicted
+         |         FROM (SELECT v, nl,
+         |                 row_number() OVER (PARTITION BY v ORDER BY c DESC, nl) AS rr
+         |               FROM votes) WHERE rr = 1)
+         |SELECT lab.label, CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(count(CASE WHEN pred.predicted <> lab.label THEN 1 END) AS BIGINT)
+         |    AS n_flagged,
+         |  CAST(1000000 * count(CASE WHEN pred.predicted <> lab.label THEN 1 END)
+         |    // count(*) AS BIGINT) AS flagged_ppm
+         |FROM lab JOIN pred ON pred.v = lab.vec_id
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      val e = Similarity.nv(s, d).select("vec_id", "qe", "nrm")
+        .transform(CacheScope.scoped)
+      val g = descend(e, planes = planesFor(e.count()), k = KBuild).last
+        .filter(col("rank") <= K)
+      val lab = graft.Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      lab.join(propagate(g, lab), col("v") === col("vec_id"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n_nodes"),
+          count(when(col("predicted") =!= col("label"), 1)).as("n_flagged"))
+        .select(col("label"), col("n_nodes"), col("n_flagged"),
+          expr("1000000 * n_flagged div n_nodes").as("flagged_ppm"))
     }
   )
 }

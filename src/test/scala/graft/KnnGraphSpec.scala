@@ -193,4 +193,34 @@ class KnnGraphSpec extends AnyFunSuite {
       s"NN-descent must improve on the LSH init on this corpus: $rows")
     CacheScope.drain()
   }
+
+  test("q179 consumes the DESCENT: the graph dial moves the noise verdict") {
+    // the label-noise audit must be a function of WHICH graph it reads
+    // — propagation over the LSH init (g0) vs the shipped 2-round
+    // graph must differ on the driver corpus, otherwise q179 would be
+    // a consumer of any neighbor list, not of the descent (r14 ask #2)
+    import ext.{KnnGraph, Similarity}
+    val dir = "/root/testdata/sf0.001"
+    val e = Similarity.nv(spark, dir).select("vec_id", "qe", "nrm")
+      .transform(CacheScope.scoped)
+    val gs = KnnGraph.descend(
+      e, planes = KnnGraph.planesFor(e.count()), k = KnnGraph.KBuild)
+    val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    def preds(g: DataFrame) =
+      KnnGraph.propagate(g.filter(col("rank") <= KnnGraph.K), lab)
+    val p0 = preds(gs.head)
+    val pN = preds(gs.last)
+    val moved = p0.as("a").join(pN.as("b"), col("a.v") === col("b.v"))
+      .filter(col("a.predicted") =!= col("b.predicted")).count()
+    val coverage = pN.count() - p0.count()
+    assert(moved > 0 || coverage != 0,
+      s"propagation over g0 and g${KnnGraph.Rounds} must differ " +
+        s"(moved=$moved, coverage delta=$coverage) — the consumer is " +
+        "insensitive to the graph dial")
+    // and every vote is cast by a graph edge: predictions only for
+    // nodes the graph covers
+    assert(pN.join(gs.last.select("v").distinct(), Seq("v"), "left_anti")
+      .isEmpty, "a prediction exists for a node with no edges")
+    CacheScope.drain()
+  }
 }

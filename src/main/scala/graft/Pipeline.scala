@@ -1,0 +1,232 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Clustering, Dedup, Portable, Skew}
+import graft.stream.StreamingCuration
+
+/** The production curation DAG end-to-end in ONE session (r14 verdict
+  * ask #6): ~130 of this repo's operators are individually certified,
+  * but a training-data pipeline runs them COMPOSED — ingest/validate →
+  * exact dedup → near-dup canonicals + soft weights → decontaminate →
+  * split → pack/materialize → shard manifest — and the composition has
+  * its own 100 TB failure mode: a naive chain re-reads the corpus text
+  * once per operator. This main runs the chain against a ScaleGen-
+  * scaled corpus and PROVES the scan discipline with task metrics:
+  * per-stage parquet input bytes, printed per stage, show text-bearing
+  * scans ≈ one per stage-FAMILY (three total — enrich, decontaminate,
+  * materialize), everything else running on narrow cached derivations.
+  *
+  * The discipline (the 100 TB design, not a test-scale shortcut):
+  *
+  *  - Stage A reads text ONCE and derives every per-doc column the
+  *    narrow stages need — Gopher verdict (the SAME
+  *    [[StreamingCuration.gate]] the ingest stream runs), token count,
+  *    q88's normalized exact-dup hash, the 128-bit SimHash chunks,
+  *    q60's pack hash/shard, q52's split coin — into a ~100 B/doc
+  *    `meta` relation, cached. Text itself is NOT cached: at 100 TB
+  *    the corpus does not fit any cache tier worth paying for; meta
+  *    does (it is ~0.02 % of corpus bytes... roughly dimension-sized).
+  *  - Stages B (exact dedup), C (near-dup CC + soft weights), E
+  *    (split) run entirely on meta / id-keyed relations — zero text.
+  *  - Stage D (decontamination) and stage F (pack materialization) are
+  *    the two operators whose SEMANTICS need text (shingle overlap;
+  *    the packed output itself) — each re-scans the parquet exactly
+  *    once, joined against the current survivor id set.
+  *
+  * Ledger counts (the q127 shape) are printed per gate so the run is
+  * also a correctness smoke: every stage's kill count is visible, and
+  * the packed output + manifest land under `outDir` as real parquet.
+  *
+  *   runMain graft.Pipeline <docsDir> <outDir> [benchDir] [seqLen]
+  *
+  * Defaults: benchDir=/root/testdata/sf0.001 (the decontamination
+  * benchmark — its distinct 5-gram shingles broadcast, the q50/q102
+  * posture), seqLen=2048 (q60's budget). Env: SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_SHUFFLE (defaults to the soak 2×cores rule),
+  * SPARK_DRIVER_MEM via tools/run_main.sh.
+  */
+object Pipeline {
+  def main(args: Array[String]): Unit = {
+    val docsDir = args(0)
+    val outDir = args(1)
+    val benchDir = args.lift(2).getOrElse("/root/testdata/sf0.001")
+    val seqLen = args.lift(3).map(_.toInt).getOrElse(2048)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.local(cpus)
+    val nCores =
+      if (cpus == "*") Runtime.getRuntime.availableProcessors() else cpus.toInt
+    val nShuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", (2 * nCores).toString)
+    spark.conf.set("spark.sql.shuffle.partitions", nShuffle)
+    graft.functions.VectorExpressions.register(spark)
+
+    // Scale's counter listener: per-stage attribution happens by
+    // resetting around each stage's materialization barrier
+    val inputBytes = new AtomicLong
+    val shufWrite = new AtomicLong
+    val diskSpill = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          inputBytes.addAndGet(m.inputMetrics.bytesRead)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          diskSpill.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
+    val docsMb = {
+      def sz(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(sz).sum else f.length()
+      sz(new java.io.File(docsDir, "documents.parquet")) / 1048576.0
+    }
+    val stageRows = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
+    def stage[T](name: String)(body: => T): T = {
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      inputBytes.set(0); shufWrite.set(0); diskSpill.set(0)
+      val t0 = System.nanoTime()
+      val r = body
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val inMb = inputBytes.get / 1048576.0
+      stageRows += ((name, sec, inMb))
+      println(f"""{"stage":${Json.str(name)},"sec":$sec%.1f,"input_mb":$inMb%.1f,"shuffle_write_mb":${shufWrite.get / 1048576.0}%.1f,"spill_disk_mb":${diskSpill.get / 1048576.0}%.1f}""")
+      r
+    }
+
+    val h = (salt: String) =>
+      Portable.h60Spark(s"concat('$salt|', cast(doc_id as string))")
+
+    // ── A: ingest + validate + enrich — text scan #1 ────────────────────
+    val meta = stage("A_ingest_validate_enrich") {
+      val m = StreamingCuration.gate(Tables.documents(spark, docsDir))
+        .select(col("doc_id"), col("lang"), col("source"), col("quality_pass"),
+          expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"),
+          md5(expr("trim(regexp_replace(regexp_replace(lower(text)," +
+            " '[^a-z0-9 ]', ''), ' +', ' '))")).as("norm_hash"),
+          expr("simhash128(text)").as("fp"),
+          expr(s"${h("pack")} % 8").as("shard"), expr(h("pack")).as("h"),
+          expr(s"CASE WHEN ${h("split")} % 100 < 90 THEN 'train'" +
+            s" WHEN ${h("split")} % 100 < 95 THEN 'val' ELSE 'test' END").as("split"))
+        .select((Seq("doc_id", "lang", "source", "quality_pass", "n_tokens",
+          "norm_hash", "shard", "h", "split").map(col) ++
+          (0 until 4).map(c => col("fp").getItem(c).as(s"c$c"))): _*)
+      CacheScope.eager(m)
+    }
+    val nRaw = meta.count()
+    val quality = meta.filter(col("quality_pass"))
+    val nQuality = quality.count()
+
+    // ── B: exact dedup (q34/q88's decision) — meta only ────────────────
+    val exact = stage("B_exact_dedup") {
+      CacheScope.eager(quality
+        .withColumn("exact_canon",
+          min("doc_id").over(Window.partitionBy("norm_hash")))
+        .filter(col("doc_id") === col("exact_canon"))
+        .drop("exact_canon", "norm_hash", "quality_pass"))
+    }
+    val nExact = exact.count()
+
+    // ── C: near-dup canonicals + soft weights (q167/q168/q172) ─────────
+    // production-width 8×16 banding over the cached chunks; CC over the
+    // pair-participant subgraph only; canonical = component min id;
+    // every survivor carries its q172 soft weight for the trainer
+    val survivors = stage("C_neardup_canonical") {
+      val pairs = Dedup.simhash128Verified(
+        Dedup.simhash128Bands(
+          exact.select("doc_id", "c0", "c1", "c2", "c3"), nBands = 8, bandBits = 16))
+        .transform(CacheScope.scoped)
+      val participants = pairs.select(col("a_id").as("doc_id"))
+        .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+      val cc = Clustering.components(participants, pairs)
+        .withColumn("cluster_size", count(lit(1)).over(
+          Window.partitionBy("cluster_id")))
+      CacheScope.eager(exact
+        .join(cc, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("weight_ppm",
+          expr("1000000L div coalesce(cluster_size, 1L)"))
+        .filter(col("doc_id") === col("cluster_id"))
+        .drop("cluster_size", "c0", "c1", "c2", "c3"))
+    }
+    val nCanon = survivors.count()
+
+    // ── D: decontaminate — text scan #2 (survivor-restricted) ──────────
+    val clean = stage("D_decontaminate") {
+      val bench = Dedup.shinglesOf(Tables.documents(spark, benchDir))
+        .select("sh").distinct()
+      val contaminated = Dedup.shinglesOf(
+          Tables.documents(spark, docsDir)
+            .join(survivors.select("doc_id"), "doc_id")
+            .filter(expr("size(split(text, ' ')) >= 5")))
+        .join(broadcast(bench), Seq("sh"), "left_semi")
+        .select("doc_id").distinct()
+      CacheScope.eager(
+        survivors.join(contaminated, Seq("doc_id"), "left_anti"))
+    }
+    val nClean = clean.count()
+
+    // ── E: split — the q52 coin, already a meta column ──────────────────
+    val train = stage("E_split") {
+      CacheScope.eager(clean.filter(col("split") === "train"))
+    }
+    val nTrain = train.count()
+
+    // ── F: pack + materialize — text scan #3 (train-restricted) ────────
+    // q60's layout (same salt/shard/budget), q81's ordered concat; the
+    // packed text lands shard-partitioned so a trainer reads one
+    // shard's files sequentially; each pack carries its token count
+    // and the token-weighted mean soft weight (q172 → q177's consumer)
+    stage("F_pack_materialize") {
+      val packed = Tables.documents(spark, docsDir)
+        .select("doc_id", "text")
+        .join(train.select("doc_id", "lang", "shard", "h", "n_tokens",
+          "weight_ppm"), "doc_id")
+        .withColumn("cum", sum("n_tokens").over(
+          Window.partitionBy("lang", "shard")
+            .orderBy(col("h"), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("pack_id", expr(s"(cum - n_tokens) div $seqLen"))
+        .groupBy("lang", "shard", "pack_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("pack_tokens"),
+          expr("sum(n_tokens * weight_ppm) div sum(n_tokens)")
+            .as("soft_weight_ppm"),
+          expr("array_join(transform(array_sort(collect_list(" +
+            "struct(h, doc_id, text))), x -> x.text), ' ')").as("pack_text"))
+      packed.write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$outDir/packed")
+    }
+
+    // ── G: shard manifest — aggregate of the materialized packs ────────
+    val manifest = stage("G_shard_manifest") {
+      val m = spark.read.parquet(s"$outDir/packed")
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_packs"),
+          sum("n_docs").as("n_docs"),
+          sum("pack_tokens").as("n_tokens"),
+          expr("sum(pack_tokens * soft_weight_ppm) div sum(pack_tokens)")
+            .as("soft_weight_ppm"))
+      m.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+      m.agg(sum("n_packs"), sum("n_tokens")).collect()(0)
+    }
+    val nPacks = manifest.getLong(0)
+    val nTokens = manifest.getLong(1)
+
+    // the proof line: which stages actually touched the corpus text.
+    // A stage "scans text" when its parquet input is within noise of
+    // the corpus's on-disk size (narrow stages read ~0; benchmark +
+    // manifest reads are ≪ corpus)
+    val textScans = stageRows.count(_._3 > docsMb * 0.5)
+    println(f"""{"metric":"pipeline","docs_dir":${Json.str(docsDir)},"docs_on_disk_mb":$docsMb%.1f,"n_raw":$nRaw,"n_quality":$nQuality,"n_exact_canonical":$nExact,"n_neardup_canonical":$nCanon,"n_decontaminated":$nClean,"n_train":$nTrain,"n_packs":$nPacks,"packed_tokens":$nTokens,"seq_len":$seqLen,"text_bearing_scans":$textScans,"total_input_mb":${stageRows.map(_._3).sum}%.1f,"total_sec":${stageRows.map(_._2).sum}%.1f,"shuffle_partitions":$nShuffle}""")
+    CacheScope.drain()
+    spark.stop()
+  }
+}

@@ -1206,7 +1206,7 @@ object Dedup {
     * [[simhash128Pairs]] and q171's recall audit. Callers must have
     * registered the kernel ([[graft.functions.VectorExpressions]]).
     */
-  private def simhash128Chunks(docs: DataFrame): DataFrame = docs
+  private[graft] def simhash128Chunks(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"), expr("simhash128(text)").as("fp"))
     .filter(col("fp").isNotNull)
     .select(col("doc_id") +: (0 until 4).map(c =>

@@ -102,9 +102,16 @@ object KnnBench {
             s"audits the top-${KnnGraph.K} truncation, which a $kBuild-rank " +
             "graph cannot fill; build at least K neighbors per node")
         val segments = parts.lift(3).map(_.toInt).getOrElse(1)
-        def build(): DataFrame =
-          KnnGraph.descend(e, planes = planes, rounds = rounds, k = kBuild,
-            segments = segments).last
+        // 5th field `sym`: symmetrize the FINAL graph (forward ∪
+        // reverse edges, re-ranked to kBuild) before the audit — the
+        // r14 ask-#5 arm that lifts the floor without touching init
+        // volume (cos re-used, one id-only exchange)
+        val sym = parts.lift(4).contains("sym")
+        def build(): DataFrame = {
+          val g = KnnGraph.descend(e, planes = planes, rounds = rounds,
+            k = kBuild, segments = segments).last
+          if (sym) KnnGraph.symmetrized(g, kBuild) else g
+        }
         var best = Double.MaxValue
         var edges = 0L
         var g: DataFrame = null
@@ -136,7 +143,7 @@ object KnnBench {
         val auditSec = (System.nanoTime() - t1) / 1e9
         CacheScope.drain()
         val recall = math.floor(found * 1e6 / nExact) / 1e6
-        println(f"""{"metric":"knn_bench","dir":"$dir","planes":$planes,"rounds":$rounds,"k_build":$kBuild,"segments":$segments,"sec":$best%.3f,"edges":$edges,"n":$n,"mod":$mod,"audit_sec":$auditSec%.3f,"n_exact":$nExact,"n_found":$found,"recall_at_${KnnGraph.K}":$recall%.6f,"repeats":$repeats,"shuffle_partitions":$nShuffle}""")
+        println(f"""{"metric":"knn_bench","dir":"$dir","planes":$planes,"rounds":$rounds,"k_build":$kBuild,"segments":$segments,"sym":$sym,"sec":$best%.3f,"edges":$edges,"n":$n,"mod":$mod,"audit_sec":$auditSec%.3f,"n_exact":$nExact,"n_found":$found,"recall_at_${KnnGraph.K}":$recall%.6f,"repeats":$repeats,"shuffle_partitions":$nShuffle}""")
       }
       e.unpersist(); ex.unpersist()
     }

@@ -328,6 +328,27 @@ object KnnGraph {
     }
   }
 
+  /** Symmetrized top-k of a built graph `g(v, w, cos, rank)`: each
+    * node re-ranks the union of its FORWARD edges and its REVERSE
+    * edges (nodes that kept v in their lists). Cosine is symmetric,
+    * so the reverse direction re-uses the already-computed score —
+    * the arm costs ONE id-only exchange (union + groupBy + rank
+    * window over ≤ 2·kBuild rows/node) and touches neither the init
+    * volume nor the round machinery. The recall intuition: LSH misses
+    * are asymmetric (w landed in v's probe set but not vice versa),
+    * so a true neighbor absent from v's list is often present in
+    * REVERSE — the final output can harvest it for free. Priced in
+    * KnnBench (the `:sym` arm flag) on both fixtures per the r14
+    * verdict ask #5.
+    */
+  private[graft] def symmetrized(g: DataFrame, k: Int = K): DataFrame =
+    g.select("v", "w", "cos")
+      .unionAll(g.select(col("w").as("v"), col("v").as("w"), col("cos")))
+      .groupBy("v", "w").agg(max("cos").as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("v").orderBy(col("cos").desc, col("w"))))
+      .filter(col("rank") <= k)
+
   /** kNN label propagation over a graph relation `g(v, w, ...)` and a
     * label relation `lab(vec_id, label)`: each node's PREDICTED label
     * is the majority label among its graph neighbors, ties broken to

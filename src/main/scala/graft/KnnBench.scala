@@ -106,11 +106,19 @@ object KnnBench {
         // reverse edges, re-ranked to kBuild) before the audit — the
         // r14 ask-#5 arm that lifts the floor without touching init
         // volume (cos re-used, one id-only exchange)
-        val sym = parts.lift(4).contains("sym")
+        // 5th field: `sym` symmetrizes the final graph; `h2` adds a
+        // hamming-2 probe harvest re-ranked with it — the two r14
+        // ask-#5 recall arms, both leaving init + rounds untouched
+        val finisher = parts.lift(4).getOrElse("")
         def build(): DataFrame = {
           val g = KnnGraph.descend(e, planes = planes, rounds = rounds,
             k = kBuild, segments = segments).last
-          if (sym) KnnGraph.symmetrized(g, kBuild) else g
+          finisher match {
+            case "sym" => KnnGraph.symmetrized(g, kBuild)
+            case "h2" => KnnGraph.h2Rerank(e, g, planes, kBuild)
+            case "" => g
+            case f => throw new IllegalArgumentException(s"unknown finisher '$f'")
+          }
         }
         var best = Double.MaxValue
         var edges = 0L
@@ -143,7 +151,7 @@ object KnnBench {
         val auditSec = (System.nanoTime() - t1) / 1e9
         CacheScope.drain()
         val recall = math.floor(found * 1e6 / nExact) / 1e6
-        println(f"""{"metric":"knn_bench","dir":"$dir","planes":$planes,"rounds":$rounds,"k_build":$kBuild,"segments":$segments,"sym":$sym,"sec":$best%.3f,"edges":$edges,"n":$n,"mod":$mod,"audit_sec":$auditSec%.3f,"n_exact":$nExact,"n_found":$found,"recall_at_${KnnGraph.K}":$recall%.6f,"repeats":$repeats,"shuffle_partitions":$nShuffle}""")
+        println(f"""{"metric":"knn_bench","dir":"$dir","planes":$planes,"rounds":$rounds,"k_build":$kBuild,"segments":$segments,"finisher":${Json.str(finisher)},"sec":$best%.3f,"edges":$edges,"n":$n,"mod":$mod,"audit_sec":$auditSec%.3f,"n_exact":$nExact,"n_found":$found,"recall_at_${KnnGraph.K}":$recall%.6f,"repeats":$repeats,"shuffle_partitions":$nShuffle}""")
       }
       e.unpersist(); ex.unpersist()
     }

@@ -349,6 +349,47 @@ object KnnGraph {
         Window.partitionBy("v").orderBy(col("cos").desc, col("w"))))
       .filter(col("rank") <= k)
 
+  /** Hamming-2 probe harvest on the FINAL re-rank only (the r14 ask-#5
+    * candidate arm, named in the verdict): after the descent, each
+    * node probes the C(planes, 2) buckets at hamming distance 2 from
+    * its own — the shell the init's hamming-1 probes never see — and
+    * the harvested candidates re-rank together with the built graph's
+    * edges. Init and rounds are untouched; the arm's cost is its own
+    * pairing term n · C(p,2) · (n/2^p) — ~C(p,2)/(p+1) times the init's
+    * (×2.1 at p=6, ×7 at p=16), priced in KnnBench (`:h2`). Single-join
+    * discipline throughout (no pair-shaped relation carries a vector
+    * through an exchange — the probes side carries v's vector, the
+    * bucket side w's, cos projected in-stage, WindowGroupLimit before
+    * the rank exchange).
+    */
+  private[graft] def h2Rerank(
+      e: DataFrame, g: DataFrame, planes: Int, k: Int = K): DataFrame = {
+    val masks = (for {
+      i <- 0 until planes; j <- (i + 1) until planes
+    } yield (1L << i) | (1L << j)).mkString(", ")
+    val nb = e.withColumn("bucket", expr(Similarity.lshBucketExpr(planes)))
+      .transform(CacheScope.scoped)
+    val wside = nb.select(col("vec_id").as("w"), col("qe").as("wqe"),
+      col("nrm").as("wnrm"), col("bucket").as("wb"))
+    val probes = nb
+      .select(col("vec_id").as("v"), col("qe").as("vqe"),
+        col("nrm").as("vnrm"),
+        explode(expr(s"transform(array($masks), m -> bucket ^ m)")).as("pb"))
+    val harvested = probes
+      .join(wside, col("wb") === col("pb") && col("w") =!= col("v"))
+      .select(col("v"), col("w"),
+        expr("cast(vec_ldot(vqe, wqe) as double) / (vnrm * wnrm)").as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("v").orderBy(col("cos").desc, col("w"))))
+      .filter(col("rank") <= k)
+      .select("v", "w", "cos")
+    harvested.unionAll(g.select("v", "w", "cos"))
+      .groupBy("v", "w").agg(max("cos").as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("v").orderBy(col("cos").desc, col("w"))))
+      .filter(col("rank") <= k)
+  }
+
   /** kNN label propagation over a graph relation `g(v, w, ...)` and a
     * label relation `lab(vec_id, label)`: each node's PREDICTED label
     * is the majority label among its graph neighbors, ties broken to

@@ -17,10 +17,11 @@ import graft.stream.StreamingCuration
   * split → pack/materialize → shard manifest — and the composition has
   * its own 100 TB failure mode: a naive chain re-reads the corpus text
   * once per operator. This main runs the chain against a ScaleGen-
-  * scaled corpus and PROVES the scan discipline with task metrics:
-  * per-stage parquet input bytes, printed per stage, show text-bearing
-  * scans ≈ one per stage-FAMILY (three total — enrich, decontaminate,
-  * materialize), everything else running on narrow cached derivations.
+  * scaled corpus and PROVES the scan discipline per stage: the
+  * optimized-plan corpus-scan count shows text-bearing scans ≈ one per
+  * stage-FAMILY (three total — enrich, decontaminate, materialize),
+  * everything else running on narrow cached derivations, with task
+  * metrics (shuffle, spill) alongside.
   *
   * The discipline (the 100 TB design, not a test-scale shortcut):
   *
@@ -43,13 +44,30 @@ import graft.stream.StreamingCuration
   * also a correctness smoke: every stage's kill count is visible, and
   * the packed output + manifest land under `outDir` as real parquet.
   *
-  *   runMain graft.Pipeline <docsDir> <outDir> [benchDir] [seqLen]
+  *   runMain graft.Pipeline <docsDir> <outDir> [benchDir] [seqLen] [gateMode]
   *
   * Defaults: benchDir=/root/testdata/sf0.001 (the decontamination
   * benchmark — its distinct 5-gram shingles broadcast, the q50/q102
-  * posture), seqLen=2048 (q60's budget). Env: SPARK_GRAFT_CPUS,
-  * SPARK_GRAFT_SHUFFLE (defaults to the soak 2×cores rule),
-  * SPARK_DRIVER_MEM via tools/run_main.sh.
+  * posture), seqLen=2048 (q60's budget), gateMode=enforce. Env:
+  * SPARK_GRAFT_CPUS, SPARK_GRAFT_SHUFFLE (defaults to the soak
+  * 2×cores rule), SPARK_DRIVER_MEM via tools/run_main.sh.
+  *
+  * `gateMode=annotate` runs the quality gate in SHADOW mode: verdicts
+  * are computed and counted (the ledger still reports n_quality) but
+  * rejects flow through — the posture a deployment uses while tuning
+  * thresholds on a new corpus. It is also what makes the ×300
+  * SCALE run meaningful: ScaleGen copies are vocabulary-disjoint BY
+  * DESIGN (dup structure scales exactly ×copies), which renames the
+  * stopwords the Gopher rules look for, so `enforce` would kill every
+  * copy at stage A and starve the downstream stages of volume — a
+  * fixture artifact (the twin-clique class), not a pipeline property.
+  *
+  * Scan-discipline accounting: each stage line carries
+  * `corpus_text_scans` — the number of documents.parquet scan nodes
+  * in that stage's OPTIMIZED plan (structural, deterministic; see the
+  * docScans note in the body for why byte counters can't serve here) —
+  * plus `input_mb` (Spark's input metric, cache-block reads included)
+  * and shuffle/spill informationally.
   */
 object Pipeline {
   def main(args: Array[String]): Unit = {
@@ -57,6 +75,9 @@ object Pipeline {
     val outDir = args(1)
     val benchDir = args.lift(2).getOrElse("/root/testdata/sf0.001")
     val seqLen = args.lift(3).map(_.toInt).getOrElse(2048)
+    val gateMode = args.lift(4).getOrElse("enforce")
+    require(gateMode == "enforce" || gateMode == "annotate",
+      s"gateMode must be enforce|annotate, got '$gateMode'")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus)
     val nCores =
@@ -85,17 +106,40 @@ object Pipeline {
         if (f.isDirectory) f.listFiles().map(sz).sum else f.length()
       sz(new java.io.File(docsDir, "documents.parquet")) / 1048576.0
     }
-    val stageRows = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
+    // The scan-discipline PROOF is structural, not a byte counter:
+    // count the documents.parquet scan nodes in each stage's OPTIMIZED
+    // plan. Cache substitution (CacheManager.useCachedData) replaces a
+    // cached subtree with InMemoryRelation — a logical LEAF — so a
+    // narrow stage built on the cached meta shows ZERO corpus scans,
+    // and a text-needing stage shows exactly the one scan its
+    // semantics require. (Byte counters can't make this distinction
+    // here: Spark's inputMetrics count cache-block reads as input, and
+    // the local FS's Hadoop Statistics under-report vectorized parquet
+    // reads — both measured misleading on the ×300 run.)
+    val docsPath = s"$docsDir/documents.parquet"
+    def docScans(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+            l.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.exists(_.toString.contains(docsPath)) => l
+      }.size
+    var currentScans = 0
+    def noteScans(dfs: DataFrame*): Unit = currentScans = dfs.map(docScans).sum
+    val stageRows =
+      scala.collection.mutable.ArrayBuffer[(String, Double, Int)]()
     def stage[T](name: String)(body: => T): T = {
       org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       inputBytes.set(0); shufWrite.set(0); diskSpill.set(0)
+      currentScans = 0
       val t0 = System.nanoTime()
       val r = body
       org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       val sec = (System.nanoTime() - t0) / 1e9
-      val inMb = inputBytes.get / 1048576.0
-      stageRows += ((name, sec, inMb))
-      println(f"""{"stage":${Json.str(name)},"sec":$sec%.1f,"input_mb":$inMb%.1f,"shuffle_write_mb":${shufWrite.get / 1048576.0}%.1f,"spill_disk_mb":${diskSpill.get / 1048576.0}%.1f}""")
+      stageRows += ((name, sec, currentScans))
+      println(f"""{"stage":${Json.str(name)},"sec":$sec%.1f,"corpus_text_scans":$currentScans,"input_mb":${inputBytes.get / 1048576.0}%.1f,"shuffle_write_mb":${shufWrite.get / 1048576.0}%.1f,"spill_disk_mb":${diskSpill.get / 1048576.0}%.1f}""")
       r
     }
 
@@ -116,19 +160,24 @@ object Pipeline {
         .select((Seq("doc_id", "lang", "source", "quality_pass", "n_tokens",
           "norm_hash", "shard", "h", "split").map(col) ++
           (0 until 4).map(c => col("fp").getItem(c).as(s"c$c"))): _*)
+      noteScans(m)
       CacheScope.eager(m)
     }
     val nRaw = meta.count()
-    val quality = meta.filter(col("quality_pass"))
-    val nQuality = quality.count()
+    val nQuality = meta.filter(col("quality_pass")).count()
+    // annotate = shadow gate: verdicts counted, rejects flow through
+    val quality =
+      if (gateMode == "enforce") meta.filter(col("quality_pass")) else meta
 
     // ── B: exact dedup (q34/q88's decision) — meta only ────────────────
     val exact = stage("B_exact_dedup") {
-      CacheScope.eager(quality
+      val ex = quality
         .withColumn("exact_canon",
           min("doc_id").over(Window.partitionBy("norm_hash")))
         .filter(col("doc_id") === col("exact_canon"))
-        .drop("exact_canon", "norm_hash", "quality_pass"))
+        .drop("exact_canon", "norm_hash", "quality_pass")
+      noteScans(ex)
+      CacheScope.eager(ex)
     }
     val nExact = exact.count()
 
@@ -146,13 +195,15 @@ object Pipeline {
       val cc = Clustering.components(participants, pairs)
         .withColumn("cluster_size", count(lit(1)).over(
           Window.partitionBy("cluster_id")))
-      CacheScope.eager(exact
+      val sv = exact
         .join(cc, Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
         .withColumn("weight_ppm",
           expr("1000000L div coalesce(cluster_size, 1L)"))
         .filter(col("doc_id") === col("cluster_id"))
-        .drop("cluster_size", "c0", "c1", "c2", "c3"))
+        .drop("cluster_size", "c0", "c1", "c2", "c3")
+      noteScans(sv)
+      CacheScope.eager(sv)
     }
     val nCanon = survivors.count()
 
@@ -166,14 +217,17 @@ object Pipeline {
             .filter(expr("size(split(text, ' ')) >= 5")))
         .join(broadcast(bench), Seq("sh"), "left_semi")
         .select("doc_id").distinct()
-      CacheScope.eager(
-        survivors.join(contaminated, Seq("doc_id"), "left_anti"))
+      val cl = survivors.join(contaminated, Seq("doc_id"), "left_anti")
+      noteScans(cl)
+      CacheScope.eager(cl)
     }
     val nClean = clean.count()
 
     // ── E: split — the q52 coin, already a meta column ──────────────────
     val train = stage("E_split") {
-      CacheScope.eager(clean.filter(col("split") === "train"))
+      val tr = clean.filter(col("split") === "train")
+      noteScans(tr)
+      CacheScope.eager(tr)
     }
     val nTrain = train.count()
 
@@ -200,6 +254,7 @@ object Pipeline {
             .as("soft_weight_ppm"),
           expr("array_join(transform(array_sort(collect_list(" +
             "struct(h, doc_id, text))), x -> x.text), ' ')").as("pack_text"))
+      noteScans(packed)
       packed.write.mode("overwrite").partitionBy("shard")
         .parquet(s"$outDir/packed")
     }
@@ -214,18 +269,18 @@ object Pipeline {
           sum("pack_tokens").as("n_tokens"),
           expr("sum(pack_tokens * soft_weight_ppm) div sum(pack_tokens)")
             .as("soft_weight_ppm"))
+      noteScans(m)
       m.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
       m.agg(sum("n_packs"), sum("n_tokens")).collect()(0)
     }
     val nPacks = manifest.getLong(0)
     val nTokens = manifest.getLong(1)
 
-    // the proof line: which stages actually touched the corpus text.
-    // A stage "scans text" when its parquet input is within noise of
-    // the corpus's on-disk size (narrow stages read ~0; benchmark +
-    // manifest reads are ≪ corpus)
-    val textScans = stageRows.count(_._3 > docsMb * 0.5)
-    println(f"""{"metric":"pipeline","docs_dir":${Json.str(docsDir)},"docs_on_disk_mb":$docsMb%.1f,"n_raw":$nRaw,"n_quality":$nQuality,"n_exact_canonical":$nExact,"n_neardup_canonical":$nCanon,"n_decontaminated":$nClean,"n_train":$nTrain,"n_packs":$nPacks,"packed_tokens":$nTokens,"seq_len":$seqLen,"text_bearing_scans":$textScans,"total_input_mb":${stageRows.map(_._3).sum}%.1f,"total_sec":${stageRows.map(_._2).sum}%.1f,"shuffle_partitions":$nShuffle}""")
+    // the proof line: total corpus-text scan nodes across every
+    // stage's optimized plan — the claim is exactly 3 (enrich,
+    // decontaminate, materialize), whatever the byte counters say
+    val textScans = stageRows.map(_._3).sum
+    println(f"""{"metric":"pipeline","docs_dir":${Json.str(docsDir)},"gate_mode":${Json.str(gateMode)},"docs_on_disk_mb":$docsMb%.1f,"n_raw":$nRaw,"n_quality":$nQuality,"n_exact_canonical":$nExact,"n_neardup_canonical":$nCanon,"n_decontaminated":$nClean,"n_train":$nTrain,"n_packs":$nPacks,"packed_tokens":$nTokens,"seq_len":$seqLen,"text_bearing_scans":$textScans,"total_sec":${stageRows.map(_._2).sum}%.1f,"shuffle_partitions":$nShuffle}""")
     CacheScope.drain()
     spark.stop()
   }

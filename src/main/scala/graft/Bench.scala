@@ -53,9 +53,21 @@ object Bench {
     * (iterative_overhead_sec 10.1–12.0 vs r13's ~11) — the r14
     * descent rework moved soak-scale cost, not the bench-scale
     * scheduling floor.
+    *
+    * Round-15 re-pin for the 173-query registry (q178 semantic-gate
+    * batch pin, ~2–3 s — a full-corpus ADC self-probe; q179 kNN
+    * label-noise audit, ~5–7 s — it rides the q175 descent and joins
+    * IterativeOverheadQueries): clean triplet raw 115.6 / 129.2 /
+    * 133.6 s in 1.005–1.138 windows, loads ≤ 4, zero other JVMs
+    * (BENCH_CLEAN_r15.json). Raw band = the r14 convention (envelope
+    * min × 0.86, median × 1.25): ~99–162. The EX-ITERATIVE normalized
+    * data cost is flat across rounds (~98–101 vs r14's ~100.5 after
+    * subtracting iterative_overhead_sec/host) — the registry growth
+    * is exactly the two new queries plus q179's scheduling floor
+    * (iter overhead 17.2–20.4 vs r14's ~13).
     */
-  val CleanBandSec: (Double, Double) = (88.0, 138.0)
-  val CleanBandQueries = 171
+  val CleanBandSec: (Double, Double) = (99.0, 162.0)
+  val CleanBandQueries = 173
   /** …and only for the SF the band was measured at. */
   val CleanBandSf = "sf0.1"
 
@@ -86,8 +98,13 @@ object Bench {
     * full measured envelope rather than discarding the outlier.
     * Ceiling = 118.3 × 1.064 ≈ 125.9 → 126; floor = envelope min ×
     * 0.89 ≈ 89.
+    *
+    * r15 re-pin (173 queries, q178–q179 added): clean triplet
+    * normalized 115.1 / 117.4 / 119.6 — a tight 3.8 % spread.
+    * Ceiling = 119.6 × 1.064 ≈ 127.3 → 127; floor = envelope min ×
+    * 0.89 ≈ 102.
     */
-  val NormBandSec: (Double, Double) = (89.0, 126.0)
+  val NormBandSec: (Double, Double) = (102.0, 127.0)
 
   /** Measured inter-run residual of the NORMALIZED total across
     * same-code clean runs: the r12 clean triplet's normalized totals

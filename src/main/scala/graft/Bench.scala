@@ -128,7 +128,8 @@ object Bench {
     * — subtract it before comparing data-cost trends across rounds.
     */
   val IterativeOverheadQueries: Seq[String] =
-    Seq("q175_knn_graph", "q176_knn_graph_recall", "q179_knn_label_noise")
+    Seq("q175_knn_graph", "q176_knn_graph_recall", "q179_knn_label_noise",
+      "q180_graph_semdedup")
 
   /** Host-speed anchor for mechanical per-query normalization (r9
     * verdict ask #7: the ±13% clean band swallows real per-query

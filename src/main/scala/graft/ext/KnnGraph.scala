@@ -458,16 +458,26 @@ object KnnGraph {
          |        FROM $candCte c
          |        JOIN qn a ON a.vec_id = c.v
          |        JOIN qn b ON b.vec_id = c.w)) WHERE r <= $KBuild)""".stripMargin
+    // DISTINCT-over-UNION-ALL instead of bare UNION (r15): when a
+    // consumer embeds this chain under `WITH RECURSIVE` (q180's CC
+    // walk), DuckDB treats a CTE whose body is `a UNION b` as a
+    // potential recursive anchor and the UNION loses its dedup —
+    // measured: 555 duplicate (v, w) pairs in g2, each ranked
+    // separately, silently corrupting every downstream rank window.
+    // The wrapped form is semantically identical and parse-safe in
+    // both contexts.
     def bCte(name: String, g: String) =
-      s"""$name AS (SELECT v, w FROM $g
-         |          UNION
+      s"""$name AS (SELECT DISTINCT v, w FROM (
+         |          SELECT v, w FROM $g
+         |          UNION ALL
          |          SELECT rv AS v, rw AS w FROM (
          |            SELECT w AS rv, v AS rw,
          |              row_number() OVER (PARTITION BY w ORDER BY cos DESC, v) AS rr
-         |            FROM $g) WHERE rr <= $KBuild)""".stripMargin
+         |            FROM $g) WHERE rr <= $KBuild))""".stripMargin
     def cCte(name: String, b: String) =
-      s"""$name AS (SELECT x.v, y.w FROM $b x JOIN $b y ON y.v = x.w AND y.w <> x.v
-         |          UNION SELECT v, w FROM $b)""".stripMargin
+      s"""$name AS (SELECT DISTINCT v, w FROM (
+         |          SELECT x.v, y.w FROM $b x JOIN $b y ON y.v = x.w AND y.w <> x.v
+         |          UNION ALL SELECT v, w FROM $b))""".stripMargin
     val rounds = (1 to Rounds).flatMap { r =>
       Seq(bCte(s"b${r - 1}", s"g${r - 1}"),
         cCte(s"c$r", s"b${r - 1}"),
@@ -623,6 +633,81 @@ object KnnGraph {
           count(when(col("predicted") =!= col("label"), 1)).as("n_flagged"))
         .select(col("label"), col("n_nodes"), col("n_flagged"),
           expr("1000000 * n_flagged div n_nodes").as("flagged_ppm"))
+    },
+
+    // ── Graph consumer 2: SemDeDup via the kNN graph (Abbas et al. '23) ─
+    // The second declared consumer registered (with q179's label
+    // propagation, two of the three justifying workloads now run
+    // against the oracle): semantic dedup whose candidate pairs come
+    // from the q175 GRAPH instead of q68's within-IVF-cluster pairs —
+    // the SemDeDup paper's actual shape (kNN edges above a similarity
+    // bar → connected components → one canonical per component). The
+    // bar is q38/q68's established cos ≥ 0.4, so the three semantic-
+    // dedup surfaces (pairwise q38, cluster-scoped q68, graph-driven
+    // q180) share ONE similarity definition and differ only in which
+    // candidate pairs they consider. Edges are canonicalized
+    // (least, greatest) + distinct (a kNN edge may exist in one
+    // direction only); CC is the shared q53/q167 machinery
+    // (participants-only iteration, singletons union in); canonical =
+    // component min id. Honest caveat in the relation itself: the
+    // graph is approximate (q176 prices its recall), so a ≥ 0.4 pair
+    // the descent never surfaced is not deduped here — that
+    // recall-vs-n² trade is the entire reason SemDeDup builds a graph
+    // instead of scoring all pairs.
+    //
+    // Scale: descent as q175 (bench time in IterativeOverheadQueries);
+    // past it everything is id-shaped — threshold filter on the 5n
+    // edge list, CC over the dup-rate-sized participant subgraph, one
+    // cluster-size window.
+    Q(
+      "q180_graph_semdedup",
+      s"""WITH RECURSIVE $descentDuck,
+         |sem AS (SELECT DISTINCT least(v, w) AS a_id, greatest(v, w) AS b_id
+         |        FROM g$Rounds WHERE r <= $K AND cos >= 0.4),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM sem
+         |          UNION ALL SELECT b_id, a_id FROM sem),
+         |walk(id, lbl) AS (
+         |  SELECT vec_id, vec_id FROM qn
+         |  UNION
+         |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
+         |cc AS (SELECT id AS vec_id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+         |SELECT cc.vec_id, cc.cluster_id, sizes.cluster_size,
+         |  cc.vec_id = cc.cluster_id AS is_canonical
+         |FROM cc JOIN sizes USING (cluster_id)""".stripMargin) { (s, d) =>
+      val e = Similarity.nv(s, d).select("vec_id", "qe", "nrm")
+        .transform(CacheScope.scoped)
+      val g = descend(e, planes = planesFor(e.count()), k = KBuild).last
+        .filter(col("rank") <= K)
+      semDedup(e, g, tau = 0.4)
     }
   )
+
+  /** SemDeDup decision relation from a graph `g(v, w, cos, …)` over a
+    * corpus `e(vec_id, …)`: edges at cos ≥ `tau` (canonicalized +
+    * distinct — a kNN edge may exist in one direction only), connected
+    * components over the participant subgraph, singletons unioned in,
+    * canonical = component min id. The graph and the bar are BOTH
+    * dials — q180 pins (shipped graph, q38's τ=0.4); KnnGraphSpec
+    * drives each independently.
+    */
+  private[graft] def semDedup(e: DataFrame, g: DataFrame, tau: Double): DataFrame = {
+    val sem = g.filter(col("cos") >= tau)
+      .select(least(col("v"), col("w")).as("a_id"),
+        greatest(col("v"), col("w")).as("b_id"))
+      .distinct()
+      .transform(CacheScope.scoped) // participants + CC edge passes
+    val participants = sem.select(col("a_id").as("doc_id"))
+      .union(sem.select(col("b_id").as("doc_id"))).distinct()
+    val singletons = e.select(col("vec_id").as("doc_id"))
+      .join(participants, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    graft.ext.Clustering.components(participants, sem)
+      .unionByName(singletons)
+      .withColumn("cluster_size", count(lit(1)).over(
+        Window.partitionBy("cluster_id")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
 }

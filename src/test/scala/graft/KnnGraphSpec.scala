@@ -213,6 +213,50 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(ext.KnnGraph.symmetrized(g, k = 1).count() === 3)
   }
 
+  test("q180 SemDeDup laws: partition of the corpus, min-id canonical, live dials") {
+    import ext.{KnnGraph, Similarity}
+    val dir = "/root/testdata/sf0.001"
+    val e = Similarity.nv(spark, dir).select("vec_id", "qe", "nrm")
+      .transform(CacheScope.scoped)
+    val n = e.count()
+    val g = KnnGraph.descend(e, planes = KnnGraph.planesFor(n), k = KnnGraph.KBuild)
+      .last.filter(col("rank") <= KnnGraph.K)
+      .transform(CacheScope.scoped)
+    // collect the small relations (500 docs at this SF) and assert the
+    // laws on driver arrays — stacking lazy self-joins over the cached
+    // descent here built plan trees whose AQE explain strings blew the
+    // 8 g test heap
+    val dd = KnnGraph.semDedup(e, g, tau = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val semE = g.filter(col("cos") >= 0.4)
+      .select(least(col("v"), col("w")), greatest(col("v"), col("w")))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nDup099 = KnnGraph.semDedup(e, g, tau = 0.99)
+      .filter(!col("is_canonical")).count()
+    CacheScope.drain()
+    // every vector exactly once; cluster_id = component min id;
+    // is_canonical consistent
+    assert(dd.length === n && dd.map(_._1).distinct.length === n)
+    val byCluster = dd.groupBy(_._2)
+    byCluster.foreach { case (cid, ms) =>
+      assert(ms.map(_._1).min === cid, s"cluster $cid: min id is not the label")
+      ms.foreach { case (v, c, sz, canon) =>
+        assert(sz === ms.length, s"member $v carries wrong cluster_size")
+        assert(canon === (v === c))
+      }
+    }
+    // the similarity bar is live: stricter tau dedupes strictly less
+    val nDup04 = dd.count(!_._4)
+    assert(nDup04 > 0, "tau=0.4 must find semantic dups on the driver corpus")
+    assert(nDup099 < nDup04,
+      s"tau=0.99 must dedupe strictly less than tau=0.4 ($nDup099 vs $nDup04)")
+    // no >= tau edge crosses two clusters (CC soundness)
+    val cidOf = dd.map(t => t._1 -> t._2).toMap
+    semE.foreach { case (a, b) =>
+      assert(cidOf(a) === cidOf(b), s">= tau edge ($a, $b) crosses clusters")
+    }
+  }
+
   test("q179 consumes the DESCENT: the graph dial moves the noise verdict") {
     // the label-noise audit must be a function of WHICH graph it reads
     // — propagation over the LSH init (g0) vs the shipped 2-round

@@ -489,13 +489,15 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally CacheScope.drain()
   }
 
-  test("q173/q174 ADC scan builds on the LUT side; the code relation streams") {
+  test("q173/q174/q178 ADC scan builds on the LUT side; the code relation streams") {
     // the asymmetric-distance join must broadcast the lookup table
     // (|Q|·64 rows flat, |Q|·nprobe·64 rows IVF-PQ) onto the corpus
     // code scan — building on the codes side would hash the whole
     // (compressed) corpus per executor, defeating the one-pass scan
-    // PQ exists for
-    for (name <- Seq("q173_pq_adc", "q174_ivfpq_ann")) {
+    // PQ exists for. q178 (the semantic gate's batch pin) probes with
+    // the WHOLE corpus as the query batch, so its LUT is the largest
+    // of the three — the law must hold there most of all
+    for (name <- Seq("q173_pq_adc", "q174_ivfpq_ann", "q178_semantic_gate")) {
       CacheScope.drain()
       try {
         val plan = SparkEntry.queries(name)(spark, sf)

@@ -313,8 +313,20 @@ object KnnGraph {
   }
 
   /** g₀ .. g₍rounds₎ over an nv-shaped relation. Each round is
-    * persisted (query-scoped): g₍ᵣ₋₁₎ feeds BOTH the next round's
-    * expansion and (in q176) the per-round audit union.
+    * localCheckpointed (query-scoped), NOT merely persisted (r15,
+    * measured): a round's logical plan embeds the previous round's
+    * subtree ~6 times (b = g ∪ rev feeds left/right/twoHop/direct), so
+    * under plain persist the plan TREE grows ~6^r and every action
+    * that references a round — the next round's build, q176's
+    * per-round audit union, q179/q180's consumers — re-pays Catalyst
+    * ANALYSIS of the whole nested tree before cache substitution can
+    * even look it up (measured ~15 s per action at sf0.1; q180's CC
+    * loop paid it ~6× = 85 s on a 35-edge relation). The checkpoint
+    * truncates each round to a LogicalRDD leaf: plans stay
+    * constant-size at any round count, execution unchanged (the same
+    * law as components()' label rounds and the segmented init's
+    * passes). g₍ᵣ₋₁₎ still feeds BOTH the next round's expansion and
+    * (in q176) the per-round audit union from memory.
     */
   // `planes` has NO default on purpose (r13 ADVICE): 6 is the exact
   // fixed width measured corpus-quadratic-fatal at ×30 — callers must
@@ -322,9 +334,9 @@ object KnnGraph {
   // configuration stays opt-in, never the silent default.
   private[graft] def descend(e: DataFrame, planes: Int,
       rounds: Int = Rounds, k: Int = K, segments: Int = 1): Seq[DataFrame] = {
-    val g0 = initTopK(e, planes, k, segments).transform(CacheScope.scoped)
+    val g0 = CacheScope.checkpointed(initTopK(e, planes, k, segments))
     (1 to rounds).foldLeft(Vector(g0)) { (gs, _) =>
-      gs :+ roundTopK(e, gs.last, k, segments).transform(CacheScope.scoped)
+      gs :+ CacheScope.checkpointed(roundTopK(e, gs.last, k, segments))
     }
   }
 
@@ -642,10 +654,15 @@ object KnnGraph {
     // from the q175 GRAPH instead of q68's within-IVF-cluster pairs —
     // the SemDeDup paper's actual shape (kNN edges above a similarity
     // bar → connected components → one canonical per component). The
-    // bar is q38/q68's established cos ≥ 0.4, so the three semantic-
-    // dedup surfaces (pairwise q38, cluster-scoped q68, graph-driven
-    // q180) share ONE similarity definition and differ only in which
-    // candidate pairs they consider. Edges are canonicalized
+    // bar sits ABOVE the corpus's random-cosine tail (cos ≥ 0.47 —
+    // p99 of the top-5 edge cosines at both SFs), the same reason
+    // real SemDeDup deploys τ near the duplication point: a bar
+    // inside the random tail (q38's pairwise 0.4 screen, say)
+    // PERCOLATES the kNN graph — at sf0.1 it chains ~1,500 of the
+    // 10,000 edges into one giant high-diameter component, measured
+    // 102 s of CC propagation + star fallback at bench scale — where
+    // the dedup-point bar keeps components clique-shaped and CC
+    // converges in 1–2 rounds. Edges are canonicalized
     // (least, greatest) + distinct (a kNN edge may exist in one
     // direction only); CC is the shared q53/q167 machinery
     // (participants-only iteration, singletons union in); canonical =
@@ -663,7 +680,7 @@ object KnnGraph {
       "q180_graph_semdedup",
       s"""WITH RECURSIVE $descentDuck,
          |sem AS (SELECT DISTINCT least(v, w) AS a_id, greatest(v, w) AS b_id
-         |        FROM g$Rounds WHERE r <= $K AND cos >= 0.4),
+         |        FROM g$Rounds WHERE r <= $K AND cos >= 0.47),
          |edges AS (SELECT a_id AS src, b_id AS dst FROM sem
          |          UNION ALL SELECT b_id, a_id FROM sem),
          |walk(id, lbl) AS (
@@ -679,7 +696,7 @@ object KnnGraph {
         .transform(CacheScope.scoped)
       val g = descend(e, planes = planesFor(e.count()), k = KBuild).last
         .filter(col("rank") <= K)
-      semDedup(e, g, tau = 0.4)
+      semDedup(e, g, tau = 0.47)
     }
   )
 
@@ -692,11 +709,22 @@ object KnnGraph {
     * drives each independently.
     */
   private[graft] def semDedup(e: DataFrame, g: DataFrame, tau: Double): DataFrame = {
-    val sem = g.filter(col("cos") >= tau)
-      .select(least(col("v"), col("w")).as("a_id"),
-        greatest(col("v"), col("w")).as("b_id"))
-      .distinct()
-      .transform(CacheScope.scoped) // participants + CC edge passes
+    // localCheckpoint, not persist (r15, measured): the descent's
+    // logical plan REPLICATES each prior round's subtree ~6× per round
+    // (b = g ∪ rev appears in left/right/twoHop/direct), so every
+    // action that merely REFERENCES the graph re-pays Catalyst
+    // analysis of the whole nested tree — cache substitution happens
+    // only after analysis. CC runs ~10 such actions (seed, per-round
+    // checkpoint + changed-count, final), each read ~15 s of pure
+    // analysis at sf0.1 on a 35-edge relation (85 s total). The
+    // checkpoint truncates the dedup-rate-sized edge list to a
+    // LogicalRDD leaf and every downstream plan goes constant-size —
+    // the same reason components() checkpoints its label rounds.
+    val sem = CacheScope.checkpointed(
+      g.filter(col("cos") >= tau)
+        .select(least(col("v"), col("w")).as("a_id"),
+          greatest(col("v"), col("w")).as("b_id"))
+        .distinct())
     val participants = sem.select(col("a_id").as("doc_id"))
       .union(sem.select(col("b_id").as("doc_id"))).distinct()
     val singletons = e.select(col("vec_id").as("doc_id"))

@@ -529,19 +529,33 @@ class PlanShapeSpec extends AnyFunSuite {
     // arrays aboard (the vectors join in corpus-side, ids travel)
     CacheScope.drain()
     try {
-      val plan = SparkEntry.queries("q175_knn_graph")(spark, sf)
-        .queryExecution.executedPlan
-      val nodes = allNodes(plan)
-      val nonEqui = nodes.filter(n =>
-        n.nodeName.contains("CartesianProduct") ||
-          n.nodeName.contains("BroadcastNestedLoop"))
-      assert(nonEqui.isEmpty, s"non-equi join in the descent:\n$plan")
-      val doubleVec = nodes.collect {
-        case e: ShuffleExchangeExec
-            if Seq("vqe", "wqe").forall(c => e.output.exists(_.name == c)) => e
+      // since the r15 per-round localCheckpoint (descend truncates each
+      // round to a LogicalRDD leaf so consumers stop re-paying the
+      // ~6^r plan analysis), the REGISTERED query's executed plan no
+      // longer contains the descent — the law is pinned on the round
+      // constructors' own plans, which are exactly what executes at
+      // each checkpoint barrier
+      import ext.{KnnGraph, Similarity}
+      val e = Similarity.nv(spark, sf).select("vec_id", "qe", "nrm")
+        .transform(CacheScope.scoped)
+      val planes = KnnGraph.planesFor(e.count())
+      val g0 = KnnGraph.initTopK(e, planes, k = KnnGraph.KBuild)
+      val g1 = KnnGraph.roundTopK(e, g0, k = KnnGraph.KBuild)
+      for ((name, df) <- Seq("initTopK" -> g0, "roundTopK" -> g1)) {
+        val plan = df.queryExecution.executedPlan
+        val nodes = allNodes(plan)
+        val nonEqui = nodes.filter(n =>
+          n.nodeName.contains("CartesianProduct") ||
+            n.nodeName.contains("BroadcastNestedLoop"))
+        assert(nonEqui.isEmpty, s"$name: non-equi join in the descent:\n$plan")
+        val doubleVec = nodes.collect {
+          case ex: ShuffleExchangeExec
+              if Seq("vqe", "wqe").forall(c => ex.output.exists(_.name == c)) ||
+                Seq("xqe", "wqe").forall(c => ex.output.exists(_.name == c)) => ex
+        }
+        assert(doubleVec.isEmpty,
+          s"$name: scored pairs shuffle with both vectors aboard:\n${doubleVec.mkString("\n")}")
       }
-      assert(doubleVec.isEmpty,
-        s"scored pairs shuffle with both vectors aboard:\n${doubleVec.mkString("\n")}")
     } finally CacheScope.drain()
   }
 

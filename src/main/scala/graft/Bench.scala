@@ -54,20 +54,23 @@ object Bench {
     * descent rework moved soak-scale cost, not the bench-scale
     * scheduling floor.
     *
-    * Round-15 re-pin for the 173-query registry (q178 semantic-gate
+    * Round-15 re-pin for the 174-query registry (q178 semantic-gate
     * batch pin, ~2–3 s — a full-corpus ADC self-probe; q179 kNN
-    * label-noise audit, ~5–7 s — it rides the q175 descent and joins
-    * IterativeOverheadQueries): clean triplet raw 115.6 / 129.2 /
-    * 133.6 s in 1.005–1.138 windows, loads ≤ 4, zero other JVMs
-    * (BENCH_CLEAN_r15.json). Raw band = the r14 convention (envelope
-    * min × 0.86, median × 1.25): ~99–162. The EX-ITERATIVE normalized
-    * data cost is flat across rounds (~98–101 vs r14's ~100.5 after
-    * subtracting iterative_overhead_sec/host) — the registry growth
-    * is exactly the two new queries plus q179's scheduling floor
-    * (iter overhead 17.2–20.4 vs r14's ~13).
+    * label-noise audit and q180 graph SemDeDup — both ride the q175
+    * descent and join IterativeOverheadQueries): clean triplet raw
+    * 104.2 / 106.0 / 112.0 s in 0.872–1.003 windows, zero errors,
+    * zero other JVMs (BENCH_CLEAN_r15.json). Raw band = the r14
+    * convention (envelope min × 0.86, median × 1.25): ~90–133. The
+    * triplet was taken AFTER the r15 descent fix (each round
+    * localCheckpointed — the ~6^r nested-plan analysis cost was ~15 s
+    * per referencing action; an interim 173-query triplet before the
+    * fix read 115.6–133.6 raw with q180 at 102 s): the 174-query
+    * registry now runs FASTER than r14's 171 (normalized 111.6–119.5
+    * vs 113.7), with the iterative floor back at 13.3–15.0 s for FOUR
+    * descent queries vs r14's 13.1 for two.
     */
-  val CleanBandSec: (Double, Double) = (99.0, 162.0)
-  val CleanBandQueries = 173
+  val CleanBandSec: (Double, Double) = (90.0, 133.0)
+  val CleanBandQueries = 174
   /** …and only for the SF the band was measured at. */
   val CleanBandSf = "sf0.1"
 
@@ -99,12 +102,12 @@ object Bench {
     * Ceiling = 118.3 × 1.064 ≈ 125.9 → 126; floor = envelope min ×
     * 0.89 ≈ 89.
     *
-    * r15 re-pin (173 queries, q178–q179 added): clean triplet
-    * normalized 115.1 / 117.4 / 119.6 — a tight 3.8 % spread.
-    * Ceiling = 119.6 × 1.064 ≈ 127.3 → 127; floor = envelope min ×
-    * 0.89 ≈ 102.
+    * r15 re-pin (174 queries, q178–q180 added; post-descent-fix
+    * triplet): clean normalized 111.6 / 111.9 / 119.5.
+    * Ceiling = 119.5 × 1.064 ≈ 127.1 → 127; floor = envelope min ×
+    * 0.89 ≈ 99.
     */
-  val NormBandSec: (Double, Double) = (102.0, 127.0)
+  val NormBandSec: (Double, Double) = (99.0, 127.0)
 
   /** Measured inter-run residual of the NORMALIZED total across
     * same-code clean runs: the r12 clean triplet's normalized totals

@@ -132,7 +132,7 @@ object Bench {
     */
   val IterativeOverheadQueries: Seq[String] =
     Seq("q175_knn_graph", "q176_knn_graph_recall", "q179_knn_label_noise",
-      "q180_graph_semdedup")
+      "q180_graph_semdedup", "q181_hnsw_search", "q182_hnsw_recall")
 
   /** Host-speed anchor for mechanical per-query normalization (r9
     * verdict ask #7: the ±13% clean band swallows real per-query
@@ -334,13 +334,23 @@ object Bench {
       s""","clean_band_sec":[${CleanBandSec._1},${CleanBandSec._2}]""" +
       s""","clean_band_queries":$CleanBandQueries,"envelope_verdict":${Json.str(verdict)}""" +
       normField
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.str(sfDir)},"errors":$errs,"action":"noop-sink","repeats":$repeats$warmField$hostField,"note":"per-query time is the MIN over 'repeats' in-JVM runs (contention-robust); r3 switched the action from count() to a noop sink so projections actually evaluate"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.str(sfDir)},"errors":$errs,"action":"noop-sink","repeats":$repeats$warmField$hostField,"note":"per-query time is the MIN over 'repeats' in-JVM runs (contention-robust); r3 switched the action from count() to a noop sink so projections actually evaluate"}"""
+    println(fullLine)
     // The driver stores only the TAIL of stdout (~2000 chars), and the
-    // 139-entry per-query dict pushes the line's leading total out of
-    // it (r5's verdict had to re-run 7 minutes of bench to read one
-    // number). This compact LAST line always fits inside the tail
-    // whole, so the headline survives truncation.
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"sf":${Json.str(sfDir)},"errors":$errs,"repeats":$repeats$warmField$hostField}""")
+    // 174-entry per-query dict pushes the full line's head out of it —
+    // r15's stamped BENCH_r15.json carried an unparseable mid-JSON
+    // fragment. Two mitigations (r15 verdict hygiene ask): the full
+    // line is ALSO written to BENCH_FULL_latest.json in the launch
+    // directory (committed next round, so the per-query map survives
+    // as a file even when the stdout tail truncates), and the compact
+    // LAST line — short enough to always fit inside the tail whole —
+    // names that file so a reader of the stamp knows where to look.
+    val fullPath = try {
+      val p = java.nio.file.Paths.get("BENCH_FULL_latest.json").toAbsolutePath
+      java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
+      p.toString
+    } catch { case e: Exception => s"unwritable: ${e.getMessage}" }
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"sf":${Json.str(sfDir)},"errors":$errs,"repeats":$repeats$warmField$hostField,"full_json":${Json.str(fullPath)}}""")
     spark.stop()
   }
 }

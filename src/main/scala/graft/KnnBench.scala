@@ -102,20 +102,40 @@ object KnnBench {
             s"audits the top-${KnnGraph.K} truncation, which a $kBuild-rank " +
             "graph cannot fill; build at least K neighbors per node")
         val segments = parts.lift(3).map(_.toInt).getOrElse(1)
-        // 5th field `sym`: symmetrize the FINAL graph (forward ∪
-        // reverse edges, re-ranked to kBuild) before the audit — the
-        // r14 ask-#5 arm that lifts the floor without touching init
-        // volume (cos re-used, one id-only exchange)
         // 5th field: `sym` symmetrizes the final graph; `h2` adds a
         // hamming-2 probe harvest re-ranked with it — the two r14
-        // ask-#5 recall arms, both leaving init + rounds untouched
+        // ask-#5 recall arms, both leaving init + rounds untouched;
+        // `auto` runs the r16 clusteredness probe on the init buckets
+        // and picks `h2` or none from the measured occupancy skew
         val finisher = parts.lift(4).getOrElse("")
+        // `auto` resolves to h2-or-none ONCE per (dir, arm) from the
+        // measured init-bucket occupancy skew (the r15 verdict ask #7
+        // probe): uniform-ish corpora (skew below the pinned
+        // threshold) take the +recall h2 harvest, clustered corpora
+        // (where the descent already saturates) skip its ~2× init
+        // term. The probe's own cost is timed and emitted so the
+        // decision rule's overhead is measurable (it reads one
+        // id+bucket aggregate — no vectors move).
+        val tProbe = System.nanoTime()
+        val skew =
+          if (finisher == "auto") KnnGraph.occupancySkew(e, planes) else -1.0
+        val probeSec = (System.nanoTime() - tProbe) / 1e9
+        val resolved =
+          if (finisher == "auto")
+            (if (skew < KnnGraph.H2SkewThreshold) "h2" else "") else finisher
         def build(): DataFrame = {
           val g = KnnGraph.descend(e, planes = planes, rounds = rounds,
             k = kBuild, segments = segments).last
-          finisher match {
-            case "sym" => KnnGraph.symmetrized(g, kBuild)
-            case "h2" => KnnGraph.h2Rerank(e, g, planes, kBuild)
+          // finisher output checkpointed (r15 ADVICE): the edge count
+          // and the audit below both read the built graph, and for
+          // sym/h2 arms only the DESCENT was checkpointed — without
+          // this the finisher windows re-execute once per consumer and
+          // audit_sec stops being the incremental semi-join time
+          resolved match {
+            case "sym" => CacheScope.checkpointed(
+              KnnGraph.symmetrized(g, kBuild))
+            case "h2" => CacheScope.checkpointed(
+              KnnGraph.h2Rerank(e, g, planes, kBuild))
             case "" => g
             case f => throw new IllegalArgumentException(s"unknown finisher '$f'")
           }
@@ -151,7 +171,11 @@ object KnnBench {
         val auditSec = (System.nanoTime() - t1) / 1e9
         CacheScope.drain()
         val recall = math.floor(found * 1e6 / nExact) / 1e6
-        println(f"""{"metric":"knn_bench","dir":"$dir","planes":$planes,"rounds":$rounds,"k_build":$kBuild,"segments":$segments,"finisher":${Json.str(finisher)},"sec":$best%.3f,"edges":$edges,"n":$n,"mod":$mod,"audit_sec":$auditSec%.3f,"n_exact":$nExact,"n_found":$found,"recall_at_${KnnGraph.K}":$recall%.6f,"repeats":$repeats,"shuffle_partitions":$nShuffle}""")
+        val autoFields =
+          if (finisher == "auto")
+            f""","occupancy_skew":$skew%.3f,"probe_sec":$probeSec%.3f,"resolved_finisher":${Json.str(resolved)},"skew_threshold":${KnnGraph.H2SkewThreshold}"""
+          else ""
+        println(f"""{"metric":"knn_bench","dir":"$dir","planes":$planes,"rounds":$rounds,"k_build":$kBuild,"segments":$segments,"finisher":${Json.str(finisher)},"sec":$best%.3f,"edges":$edges,"n":$n,"mod":$mod,"audit_sec":$auditSec%.3f,"n_exact":$nExact,"n_found":$found,"recall_at_${KnnGraph.K}":$recall%.6f,"repeats":$repeats,"shuffle_partitions":$nShuffle$autoFields}""")
       }
       e.unpersist(); ex.unpersist()
     }

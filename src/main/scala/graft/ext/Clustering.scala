@@ -641,12 +641,23 @@ object Clustering {
       // just commented. The 1-row agg reads the just-cached lang-sized
       // m. Production pre-scales masses to ppm-of-corpus first (q89's
       // documented trade), which keeps every mass under 10⁶.
-      val softTot = Option(m.agg(sum("w_soft")).first().get(0))
-        .fold(0L)(_.asInstanceOf[Long])
-      require(softTot <= Long.MaxValue / 1000000L,
-        s"q177: total soft ppm-mass $softTot overflows the BIGINT " +
-          "Hamilton quotient (limit ~9.2e18/1e6 ≈ 9.2e12, i.e. ~9.2M " +
-          "corpus tokens at full ppm weight) — pre-scale masses to " +
+      // The check itself runs in DECIMAL(38,0) (r15 ADVICE): a BIGINT
+      // sum of per-lang masses can wrap ~1e6× past the guarded limit
+      // and make the guard pass on garbage; and ALL THREE policy
+      // masses are guarded, not just soft — a degenerate corpus
+      // (one >1e6-member cluster zeroing every soft weight) can make
+      // w_none the overflowing maximum while w_soft reads tiny.
+      val totRow = m.agg(
+        sum(col("w_none").cast("decimal(38,0)")).as("tn"),
+        sum(col("w_hard").cast("decimal(38,0)")).as("th"),
+        sum(col("w_soft").cast("decimal(38,0)")).as("ts")).first()
+      val maxTot = (0 to 2)
+        .map(i => Option(totRow.getDecimal(i)).fold(BigDecimal(0))(BigDecimal(_)))
+        .max
+      require(maxTot <= BigDecimal(Long.MaxValue / 1000000L),
+        s"q177: max policy mass $maxTot overflows the BIGINT Hamilton " +
+          "quotient (limit ~9.2e18/1e6 ≈ 9.2e12, i.e. ~9.2M corpus " +
+          "tokens at full ppm weight) — pre-scale masses to " +
           "ppm-of-corpus before apportioning (q89)")
       m.join(hamilton(m, "w_none", "alloc_none"), "lang")
         .join(hamilton(m, "w_hard", "alloc_hard"), "lang")

@@ -402,6 +402,284 @@ object KnnGraph {
       .filter(col("rank") <= k)
   }
 
+  /** Init-bucket occupancy skew — the r15 verdict ask-#7 clusteredness
+    * probe behind the `auto` recall-arm selection: the mean bucket
+    * occupancy a random node EXPERIENCES (Σc²/n over bucket sizes c)
+    * divided by the uniform-multinomial expectation n/2^planes. A
+    * uniform corpus hashes near the expectation (skew ≈ 1–2, measured
+    * 1.41 on the sf0.1 driver corpus); a clustered mixture
+    * concentrates whole clusters into shared sign-buckets (skew ≫ 1,
+    * measured 21.8 on the ClusteredGen 600k fixture) — and the
+    * h2 harvest only pays on the UNIFORM side (KnnBench r15: +0.154
+    * recall uniform vs +0.012 clustered at ~2× the init term). One
+    * (bucket → count) aggregate over ids; no vectors move, and the
+    * buckets are the SAME relation the init pass computes anyway — as
+    * a standalone probe it costs one corpus scan of the qe column
+    * (measured 0.5 s at 600k vectors, noise against the 100+ s build).
+    */
+  private[graft] def occupancySkew(e: DataFrame, planes: Int): Double = {
+    val row = e.withColumn("bucket", expr(Similarity.lshBucketExpr(planes)))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * c")).as("ss"), sum(col("c")).as("n")).first()
+    val ss = row.getLong(0).toDouble
+    val n = row.getLong(1).toDouble
+    (ss / n) / (n / (1L << planes).toDouble)
+  }
+
+  /** Skew bar for the `auto` arm: below it the corpus reads as
+    * uniform-ish (h2 pays), above it as clustered (h2 is ×2 init cost
+    * for +0.01 recall — skip). Pinned at the geometric midpoint of the
+    * two measured fixtures (1.41 uniform, 21.8 clustered — a 15×
+    * gap, so any bar in [2, 10] makes the same calls; 5.5 ≈
+    * √(1.41·21.8) sits maximally far from both).
+    */
+  val H2SkewThreshold = 5.5
+
+  // ── HNSW-style layered index (r15 verdict ask #2: the third declared
+  // consumer of the kNN graph — q181 search + q182 recall audit) ──────
+  //
+  // Layout (Malkov & Yashunin '16, re-expressed for a relational
+  // engine): a fixed THREE upper layers over the base graph, members
+  // drawn by deterministic hash so both engines agree — node v is in
+  // layer l iff h60(v) % fanout^l == 0, giving nested layers of
+  // ~n/f, n/f², n/f³ nodes. The fanout is corpus-derived
+  // ([[fanoutFor]]) so the TOP layer stays ~64 nodes at every corpus
+  // size: fixed layer COUNT + adaptive fanout is what keeps the
+  // oracle SQL's CTE structure static while the dial moves (the
+  // planesFor precedent — a data-dependent layer count would need a
+  // data-dependent CTE chain, which a static oracle string cannot
+  // express).
+  //
+  // Layer graphs: the BASE layer is the shipped q175 descent output
+  // (the "graph-seeded" part — the index consumes the NN-descent
+  // graph as its layer 0). Upper layers are LSH-init top-k graphs
+  // within the layer's members, at the layer's own adaptive width
+  // (planesFor of the MEMBER count — buckets stay ~32 at every layer).
+  // The alternative — coarsening upper layers from the base graph's
+  // 2-hop balls restricted to members — was considered and rejected
+  // for scale: member density is 1/f, a 2-hop ball holds ~(2k)² ≈ 100
+  // nodes, and at the ×1000 fanout (f = 54) that leaves ~2 member
+  // candidates per node — near-empty routing layers exactly when the
+  // index matters most. The per-layer init is the scale-safe form:
+  // total extra build cost Σ n/f^l ≈ n/(f−1) scored-pair volume, a
+  // vanishing fraction of the base descent's as f grows.
+  //
+  // Search (bounded beam, deterministic): queries enter at the top
+  // layer by scoring ALL its ~64 members (n/f³ is held ~64 by the
+  // fanout — a bounded broadcast-scale scan, not a corpus scan), keep
+  // top-[[HnswEf]]; each lower layer expands the beam through that
+  // layer's edges a FIXED [[HnswHopsUpper]] times (re-rank to ef after
+  // each hop); the base layer runs [[HnswHops0]] hops at [[HnswEf0]]
+  // and the final top-[[K]] is the answer. Fixed hop counts (not
+  // iterate-to-convergence) keep the plan bounded and BOTH engines
+  // bit-identical; the recall audit (q182) prices what the truncation
+  // costs. Per-hop candidate sets only ever GROW a query's scored
+  // pool, and top-ef of a superset dominates, so beam quality is
+  // monotone non-decreasing in hops (KnnGraphSpec pins the law).
+  //
+  // Scale: the beam relations are query-batch-sized (|Q| · ef rows of
+  // ids — the q40 probe-batch posture, never corpus-shaped); rescoring
+  // joins the id-pairs to the corpus on vec_id (ids shuffle, qe arrays
+  // stream on the corpus side); the only corpus-sized work is the
+  // layer-graph builds, each the established init/descent machinery.
+
+  /** Upper-layer / entry beam width. */
+  val HnswEf = 8
+
+  /** Base-layer beam width (≥ [[K]] — the final answer truncates it). */
+  val HnswEf0 = 96
+
+  /** Beam hops through each upper layer's graph. */
+  val HnswHopsUpper = 2
+
+  /** Beam hops through the base (descent) graph. */
+  val HnswHops0 = 8
+
+  /** Symmetrized expansion edges of a ranked graph `g(v, w, …)` — the
+    * beam moves through edges in BOTH directions (HNSW links are
+    * bidirectional by construction; a kNN edge exists in one). With
+    * forward-only moves the beam measured recall 0.205 at sf0.1 vs
+    * 0.459 for the static graph — navigation kept dead-ending in
+    * low-out-degree regions; symmetrizing the move set (one id-only
+    * distinct over the 5n edge list, built once per layer) is what
+    * makes the layered routing actually converge.
+    */
+  private def symEdges(g: DataFrame): DataFrame =
+    g.select("v", "w")
+      .union(g.select(col("w").as("v"), col("v").as("w")))
+      .distinct()
+
+  /** Inter-layer fanout for corpus size n: smallest f ≥ 2 with
+    * 64·f³ ≥ n, so the top of the three hash-nested layers holds ~64
+    * nodes at every corpus size (sf0.01 → 3, sf0.1 → 6, ×1000/10M →
+    * 54). Integer search over a bounded range — trivially identical in
+    * both engines (the oracle derives it with the same inequality over
+    * generate_series).
+    */
+  def fanoutFor(n: Long): Long =
+    (2L to 4096L).find(f => 64L * f * f * f >= n).getOrElse(4096L)
+
+  /** Bounded layered beam search. `queries` is `(qid, qqe, qnrm)`
+    * (probe-batch-sized); `top` is the top layer's member relation
+    * (nv-shaped); `layers` runs top-to-base as (graph, ef, hops).
+    * Returns the last beam `(qid, w, cos, rank)`, rank ≤ the base ef.
+    * Hint-free joins: the query side is batch-sized, so AQE broadcasts
+    * it while it fits and degrades to hash beyond — the
+    * StreamingCuration.run posture.
+    */
+  private[graft] def hnswSearch(
+      e: DataFrame,
+      queries: DataFrame,
+      top: DataFrame,
+      layers: Seq[(DataFrame, Int, Int)]): DataFrame = {
+    def rescore(cand: DataFrame, ef: Int): DataFrame = cand
+      .join(queries, "qid")
+      .join(e.select(col("vec_id").as("w"), col("qe").as("wqe"),
+        col("nrm").as("wnrm")), "w")
+      .filter(col("w") =!= col("qid"))
+      .select(col("qid"), col("w"),
+        expr("cast(vec_ldot(qqe, wqe) as double) / (qnrm * wnrm)").as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("w"))))
+      .filter(col("rank") <= ef)
+    val entry = CacheScope.checkpointed(rescore(
+      queries.select("qid").crossJoin(top.select(col("vec_id").as("w"))),
+      layers.head._2))
+    layers.foldLeft(entry) { case (beam0, (g, ef, hops)) =>
+      (1 to hops).foldLeft(beam0) { (beam, _) =>
+        // per-hop checkpoint: beam hops nest the previous hop's plan
+        // inside two consumers (the carry-over union and the
+        // expansion join) — the descent's 6^r analysis blowup in
+        // miniature, truncated the same way
+        val cand = beam.select("qid", "w")
+          .union(beam.select(col("qid"), col("w").as("v"))
+            .join(g.select("v", "w"), "v")
+            .select("qid", "w"))
+          .distinct()
+        CacheScope.checkpointed(rescore(cand, ef))
+      }
+    }
+  }
+
+  /** DuckDB mirror of the layered index + beam search: CTE chain
+    * appended after [[descentDuck]] (expects nn/planes/qn/g[[Rounds]]
+    * in scope; ends without trailing comma, leaving `fin` as the final
+    * beam). Generated from the same constants the Spark side folds
+    * over — retuning ef/hops/fanout moves both engines together.
+    */
+  private[graft] def hnswDuck: String = {
+    val h60v = Portable.h60Duck("CAST(vec_id AS VARCHAR)")
+    def layerInit(l: Int) =
+      s"""nnl$l AS (SELECT GREATEST(6, CASE WHEN ((count(*) + 31) // 32) <= 1 THEN 1
+         |                  ELSE length(bin((count(*) + 31) // 32 - 1)) END) AS np FROM m$l),
+         |bk$l AS (SELECT v.vec_id,
+         |          (SUM(CASE WHEN ${Similarity.idotD("v.qe", "p.pvec")} >= 0
+         |                    THEN (1::BIGINT << p.j) ELSE 0 END))::BIGINT AS bucket
+         |        FROM m$l v, planes p WHERE p.j < (SELECT np FROM nnl$l) GROUP BY v.vec_id),
+         |pp$l AS (SELECT b.vec_id AS v,
+         |         unnest(list_transform(range(0, (SELECT np + 1 FROM nnl$l)),
+         |           t -> CASE WHEN t = 0 THEN bucket ELSE xor(bucket, (1::BIGINT << (t - 1))) END)) AS pb
+         |       FROM bk$l b),
+         |cd$l AS (SELECT p.v, eb.vec_id AS w FROM pp$l p
+         |        JOIN bk$l eb ON eb.bucket = p.pb AND eb.vec_id <> p.v),
+         |lr$l AS (SELECT v, w FROM (
+         |  SELECT v, w, row_number() OVER (PARTITION BY v ORDER BY cos DESC, w) AS r
+         |  FROM (SELECT c.v, c.w,
+         |          CAST(${Similarity.idotD("a.qe", "b.qe")} AS DOUBLE) / (a.nrm * b.nrm) AS cos
+         |        FROM cd$l c JOIN qn a ON a.vec_id = c.v
+         |        JOIN qn b ON b.vec_id = c.w)) WHERE r <= $K),
+         |lg$l AS MATERIALIZED (SELECT DISTINCT v, w FROM (
+         |  SELECT v, w FROM lr$l UNION ALL SELECT w AS v, v AS w FROM lr$l))""".stripMargin
+    def hopChain(graph: String, first: String, tag: String, ef: Int,
+        nHops: Int): (String, String) = {
+      var cur = first
+      val sb = new StringBuilder
+      for (i <- 1 to nHops) {
+        val x = s"x$tag$i"; val sN = s"s$tag$i"
+        if (sb.nonEmpty) sb.append(",\n")
+        // MATERIALIZED is load-bearing, not a hint (r16, measured):
+        // each hop references the previous beam TWICE (carry-over +
+        // expansion), and DuckDB's default CTE inlining makes the
+        // expanded tree grow 2^hops — at 8 base hops that is ~4096
+        // copies of the entry subtree, each re-opening the parquet
+        // scan ("Too many open files" before it even runs). The
+        // oracle-side analog of the Spark side's per-hop
+        // localCheckpoint.
+        sb.append(
+          s"""$x AS MATERIALIZED (SELECT DISTINCT qid, w FROM (
+             |  SELECT qid, w FROM $cur
+             |  UNION ALL SELECT p.qid, g.w FROM $cur p JOIN $graph g ON g.v = p.w)),
+             |$sN AS MATERIALIZED (SELECT qid, w, cos FROM (
+             |  SELECT qid, w, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, w) AS r
+             |  FROM (SELECT x.qid, x.w,
+             |          CAST(${Similarity.idotD("q.qqe", "b.qe")} AS DOUBLE) / (q.qnrm * b.nrm) AS cos
+             |        FROM $x x JOIN qq q ON q.qid = x.qid
+             |        JOIN qn b ON b.vec_id = x.w AND b.vec_id <> x.qid))
+             |  WHERE r <= $ef)""".stripMargin)
+        cur = sN
+      }
+      (sb.toString, cur)
+    }
+    val (hops2, last2) = hopChain("lg2", "ent", "a", HnswEf, HnswHopsUpper)
+    val (hops1, last1) = hopChain("lg1", last2, "b", HnswEf, HnswHopsUpper)
+    val (hops0, last0) = hopChain("gk", last1, "c", HnswEf0, HnswHops0)
+    s"""fo AS (SELECT CAST(min(f) AS BIGINT) AS f FROM generate_series(2, 4096) t(f)
+       |       WHERE 64 * f * f * f >= (SELECT count(*) FROM embeddings)),
+       |m1 AS MATERIALIZED (SELECT q.vec_id, q.qe, q.nrm FROM qn q
+       |       WHERE $h60v % (SELECT f FROM fo) = 0),
+       |m2 AS (SELECT * FROM m1 WHERE $h60v % (SELECT f * f FROM fo) = 0),
+       |m3 AS (SELECT * FROM m1 WHERE $h60v % (SELECT f * f * f FROM fo) = 0),
+       |${layerInit(1)},
+       |${layerInit(2)},
+       |gr AS (SELECT v, w FROM g$Rounds WHERE r <= $K),
+       |gk AS MATERIALIZED (SELECT DISTINCT v, w FROM (
+       |  SELECT v, w FROM gr UNION ALL SELECT w AS v, v AS w FROM gr)),
+       |qs AS (SELECT vec_id FROM qn
+       |       WHERE $h60v % (SELECT md FROM nn) = 0),
+       |qq AS MATERIALIZED (SELECT q.vec_id AS qid, q.qe AS qqe, q.nrm AS qnrm
+       |       FROM qn q JOIN qs ON qs.vec_id = q.vec_id),
+       |ent AS MATERIALIZED (SELECT qid, w, cos FROM (
+       |  SELECT qid, w, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, w) AS r
+       |  FROM (SELECT q.qid, m.vec_id AS w,
+       |          CAST(${Similarity.idotD("q.qqe", "m.qe")} AS DOUBLE) / (q.qnrm * m.nrm) AS cos
+       |        FROM qq q, m3 m WHERE m.vec_id <> q.qid)) WHERE r <= $HnswEf),
+       |$hops2,
+       |$hops1,
+       |$hops0,
+       |fin AS (SELECT qid, w, cos FROM $last0)""".stripMargin
+  }
+
+  /** The q181 Spark build+search, shared with the q182 audit: returns
+    * (final beam `(qid, w, cos, rank)`, the query relation).
+    */
+  private[graft] def hnswBeam(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val e = Similarity.nv(s, d).select("vec_id", "qe", "nrm")
+      .transform(CacheScope.scoped)
+    val n = e.count()
+    val f = fanoutFor(n)
+    val g0 = descend(e, planes = planesFor(n), k = KBuild).last
+      .filter(col("rank") <= K)
+    val m1 = e.filter(expr(sampSpark(f))).transform(CacheScope.scoped)
+    val m2 = m1.filter(expr(sampSpark(f * f))).transform(CacheScope.scoped)
+    val m3 = m1.filter(expr(sampSpark(f * f * f)))
+    // layer dials are 1-row driver decisions off the cached member
+    // counts (the planesFor precedent); the oracle re-derives each
+    // from its own count(*)
+    val g1 = CacheScope.checkpointed(initTopK(m1, planesFor(m1.count()), K))
+    val g2 = CacheScope.checkpointed(initTopK(m2, planesFor(m2.count()), K))
+    val queries = e.filter(expr(sampSpark(modFor(n))))
+      .select(col("vec_id").as("qid"), col("qe").as("qqe"),
+        col("nrm").as("qnrm"))
+      .transform(CacheScope.scoped)
+    val beam = hnswSearch(e, queries, m3, Seq(
+      (symEdges(g2), HnswEf, HnswHopsUpper),
+      (symEdges(g1), HnswEf, HnswHopsUpper),
+      (symEdges(g0), HnswEf0, HnswHops0)))
+    (beam, queries)
+  }
+
   /** kNN label propagation over a graph relation `g(v, w, ...)` and a
     * label relation `lab(vec_id, label)`: each node's PREDICTED label
     * is the majority label among its graph neighbors, ties broken to
@@ -428,14 +706,14 @@ object KnnGraph {
       .select(col("v"), col("nl").as("predicted"))
 
   /** Spark-side sampled-node predicate (the q164 content-hash dial). */
-  private def sampSpark(mod: Long) =
+  private[graft] def sampSpark(mod: Long) =
     s"${Portable.h60Spark("cast(vec_id as string)")} % $mod = 0"
 
   /** DuckDB mirror of [[planesFor]]/[[modFor]]: CTE `nn(np, md)` —
     * pure integer math (bit length via `bin()`, integer division), so
     * both engines pick the identical dial at every corpus size.
     */
-  private val nnDuck =
+  private[graft] val nnDuck =
     """nn AS (SELECT
       |         GREATEST(6, CASE WHEN ((count(*) + 31) // 32) <= 1 THEN 1
       |                          ELSE length(bin((count(*) + 31) // 32 - 1)) END) AS np,
@@ -461,7 +739,7 @@ object KnnGraph {
     * hard-coded g0/b0/c1/... chain desyncs silently when Rounds
     * changes, surfacing only as a confusing oracle row mismatch).
     */
-  private def descentDuck: String = {
+  private[graft] def descentDuck: String = {
     def gCte(name: String, candCte: String) =
       s"""$name AS (SELECT v, w, cos, r FROM (
          |  SELECT v, w, cos, row_number() OVER (PARTITION BY v ORDER BY cos DESC, w) AS r
@@ -697,6 +975,77 @@ object KnnGraph {
       val g = descend(e, planes = planesFor(e.count()), k = KBuild).last
         .filter(col("rank") <= K)
       semDedup(e, g, tau = 0.47)
+    },
+
+    // ── Graph consumer 3: HNSW-style layered beam search (q181) ────────
+    // The third declared consumer (SURVEY §8's q175 row: SemDeDup,
+    // label propagation, HNSW seeding — q180/q179/q181 now all
+    // registered): the descent graph as the base layer of a layered
+    // index, three hash-nested routing layers above it, bounded
+    // deterministic beam search for the sampled query batch. See the
+    // layered-index block comment above [[fanoutFor]] for the design
+    // and its scale argument; q182 prices the truncation.
+    Q(
+      "q181_hnsw_search",
+      s"""WITH $descentDuck,
+         |$hnswDuck
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT qid AS query_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, w) AS rank,
+         |    w AS neighbor_id,
+         |    floor(cos * 1000000.0) / 1000000.0 AS cosine
+         |  FROM fin) WHERE rank <= $K""".stripMargin) { (s, d) =>
+      val (beam, _) = hnswBeam(s, d)
+      beam.filter(col("rank") <= K)
+        .select(col("qid").as("query_id"), col("rank"),
+          col("w").as("neighbor_id"),
+          expr("floor(cos * 1000000.0D) / 1000000.0D").as("cosine"))
+    },
+
+    // ── q182: HNSW beam recall audit (the q176 pattern) ────────────────
+    // Exact top-K ground truth for the SAME query sample vs the beam's
+    // top-K — what the layered routing + bounded hops give up against
+    // the exact answer, the number an operator tunes ef/hops against.
+    // The exact stage is |Q|·n ≈ 500·n scored pairs (the automatic
+    // modulus), never n².
+    Q(
+      "q182_hnsw_recall",
+      s"""WITH $descentDuck,
+         |$hnswDuck,
+         |bt AS (SELECT qid, w FROM (
+         |  SELECT qid, w, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, w) AS r
+         |  FROM fin) WHERE r <= $K),
+         |ex AS (SELECT v, w FROM (
+         |  SELECT q.qid AS v, b.vec_id AS w,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY CAST(${Similarity.idotD("q.qqe", "b.qe")} AS DOUBLE) / (q.qnrm * b.nrm) DESC,
+         |               b.vec_id) AS r
+         |  FROM qq q JOIN qn b ON b.vec_id <> q.qid) WHERE r <= $K)
+         |SELECT CAST(count(DISTINCT ex.v) AS BIGINT) AS n_queries,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(bt.w) AS BIGINT) AS n_found,
+         |  floor(count(bt.w) * 1000000.0 / count(*)) / 1000000.0 AS recall
+         |FROM ex LEFT JOIN bt ON bt.qid = ex.v AND bt.w = ex.w""".stripMargin) { (s, d) =>
+      val (beam, queries) = hnswBeam(s, d)
+      val e = Similarity.nv(s, d).select("vec_id", "qe", "nrm")
+      val bt = beam.filter(col("rank") <= K).select("qid", "w")
+      val ex = queries
+        .join(e.select(col("vec_id").as("w"), col("qe").as("wqe"),
+          col("nrm").as("wnrm")), col("w") =!= col("qid"))
+        .select(col("qid").as("v"), col("w"),
+          expr("cast(vec_ldot(qqe, wqe) as double) / (qnrm * wnrm)").as("cos"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("v").orderBy(col("cos").desc, col("w"))))
+        .filter(col("r") <= K)
+        .select("v", "w")
+      ex.join(bt.withColumn("hit", lit(1)),
+          col("qid") === col("v") && bt("w") === ex("w"), "left")
+        .agg(
+          countDistinct(col("v")).as("n_queries"),
+          count(lit(1)).as("n_exact"),
+          count(col("hit")).as("n_found"),
+          expr("floor(count(hit) * 1000000.0D / count(1)) / 1000000.0D")
+            .as("recall"))
     }
   )
 
@@ -705,8 +1054,11 @@ object KnnGraph {
     * distinct — a kNN edge may exist in one direction only), connected
     * components over the participant subgraph, singletons unioned in,
     * canonical = component min id. The graph and the bar are BOTH
-    * dials — q180 pins (shipped graph, q38's τ=0.4); KnnGraphSpec
-    * drives each independently.
+    * dials — q180 pins (shipped graph, τ=0.47, the dedup-point bar
+    * above the random-cosine tail's p99; q38's pairwise 0.4 screen is
+    * rejected there because a bar inside the tail percolates the
+    * graph — see the q180 registration comment); KnnGraphSpec drives
+    * each dial independently, including the 0.4 setting.
     */
   private[graft] def semDedup(e: DataFrame, g: DataFrame, tau: Double): DataFrame = {
     // localCheckpoint, not persist (r15, measured): the descent's

@@ -286,4 +286,87 @@ class KnnGraphSpec extends AnyFunSuite {
       .isEmpty, "a prediction exists for a node with no edges")
     CacheScope.drain()
   }
+
+  test("hnsw dial law: fanoutFor holds the top layer ~64 at every corpus size") {
+    import ext.KnnGraph.fanoutFor
+    // pins at the corpus sizes the gates and soaks use
+    assert(fanoutFor(1000) === 3L)      // sf0.01 → layers 333/111/37
+    assert(fanoutFor(10000) === 6L)     // sf0.1  → 1666/277/46
+    assert(fanoutFor(10000000) === 54L) // ×1000  → 185k/3.4k/63
+    // the law: smallest f ≥ 2 with 64·f³ ≥ n
+    for (n <- Seq(1L, 64L, 511L, 512L, 513L, 100000L, 999983L, 1000000000L)) {
+      val f = fanoutFor(n)
+      assert(64L * f * f * f >= n, s"n=$n: top layer bigger than 64 at f=$f")
+      if (f > 2) assert(64L * (f - 1) * (f - 1) * (f - 1) < n,
+        s"n=$n: fanout $f not tight")
+    }
+  }
+
+  test("hnsw layers are hash-nested and the base beam is monotone in hops") {
+    import ext.{KnnGraph, Similarity}
+    val dir = "/root/testdata/sf0.001"
+    val e = Similarity.nv(spark, dir).select("vec_id", "qe", "nrm")
+      .transform(CacheScope.scoped)
+    val n = e.count()
+    val f = KnnGraph.fanoutFor(n)
+    def mem(mod: Long) = e.filter(expr(KnnGraph.sampSpark(mod)))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val (m1, m2, m3) = (mem(f), mem(f * f), mem(f * f * f))
+    assert(m3.nonEmpty && m3.subsetOf(m2) && m2.subsetOf(m1),
+      s"layers must nest: |m1|=${m1.size} |m2|=${m2.size} |m3|=${m3.size}")
+    // beam monotone law: each hop's candidate pool contains the
+    // previous beam, and top-ef of a superset dominates — so the
+    // summed kept cosine per query never degrades as base hops grow
+    val g0 = KnnGraph.descend(e, planes = KnnGraph.planesFor(n),
+      k = KnnGraph.KBuild).last.filter(col("rank") <= KnnGraph.K)
+    val queries = e.filter(expr(KnnGraph.sampSpark(KnnGraph.modFor(n))))
+      .select(col("vec_id").as("qid"), col("qe").as("qqe"),
+        col("nrm").as("qnrm"))
+    val top = e.filter(expr(KnnGraph.sampSpark(f * f * f)))
+    def quality(hops0: Int): Map[Long, Double] =
+      KnnGraph.hnswSearch(e, queries, top,
+          Seq((g0.select("v", "w")
+            .union(g0.select(col("w").as("v"), col("v").as("w"))).distinct(),
+            KnnGraph.HnswEf0, hops0)))
+        .filter(col("rank") <= KnnGraph.K)
+        .groupBy("qid").agg(sum("cos").as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val q1 = quality(1)
+    val q3 = quality(3)
+    assert(q1.keySet === q3.keySet)
+    q1.foreach { case (qid, s1) =>
+      assert(q3(qid) >= s1 - 1e-12,
+        s"query $qid degraded with more hops: $s1 -> ${q3(qid)}")
+    }
+    assert(q3.values.sum > q1.values.sum,
+      "3 hops must strictly improve SOME query on this corpus")
+    CacheScope.drain()
+  }
+
+  test("occupancySkew separates clustered from uniform; the h2 auto bar sits between") {
+    import spark.implicits._
+    import ext.KnnGraph
+    // deterministic fixtures, 2000 vectors × 64 dims at the q47 width
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    val uniform = (0 until 2000).map(i => (i.toLong, vec()))
+    val cents = Array.fill(4)(vec())
+    val clustered = (0 until 2000).map { i =>
+      val c = cents(i % 4)
+      (i.toLong, c.map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat))
+    }
+    functions.VectorExpressions.register(spark)
+    def skewOf(rows: Seq[(Long, Array[Float])]): Double = {
+      val df = rows.toDF("vec_id", "embedding")
+        .select(col("vec_id"), expr(ext.Similarity.qeSpark).as("qe"))
+      KnnGraph.occupancySkew(df, planes = 6)
+    }
+    val su = skewOf(uniform)
+    val sc = skewOf(clustered)
+    assert(su < KnnGraph.H2SkewThreshold,
+      s"uniform corpus must read uniform: skew $su")
+    assert(sc > KnnGraph.H2SkewThreshold,
+      s"4-cluster corpus must read clustered: skew $sc")
+    assert(sc > 2 * su, s"separation collapsed: uniform $su vs clustered $sc")
+  }
 }

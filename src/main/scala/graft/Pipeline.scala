@@ -76,10 +76,24 @@ object Pipeline {
     val benchDir = args.lift(2).getOrElse("/root/testdata/sf0.001")
     val seqLen = args.lift(3).map(_.toInt).getOrElse(2048)
     val gateMode = args.lift(4).getOrElse("enforce")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.local(cpus)
+    run(spark, docsDir, outDir, benchDir, seqLen, gateMode)
+    CacheScope.drain()
+    spark.stop()
+  }
+
+  /** The DAG body, callable in-session (r15 verdict ask #4 — the
+    * streaming→batch composition probe [[LakePipeline]] runs this over
+    * the parquet its streaming phase just landed). Returns the ledger
+    * counts so a composing caller can reconcile them against its own.
+    */
+  def run(spark: org.apache.spark.sql.SparkSession, docsDir: String,
+      outDir: String, benchDir: String, seqLen: Int,
+      gateMode: String): Map[String, Long] = {
     require(gateMode == "enforce" || gateMode == "annotate",
       s"gateMode must be enforce|annotate, got '$gateMode'")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.local(cpus)
     val nCores =
       if (cpus == "*") Runtime.getRuntime.availableProcessors() else cpus.toInt
     val nShuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", (2 * nCores).toString)
@@ -281,7 +295,11 @@ object Pipeline {
     // decontaminate, materialize), whatever the byte counters say
     val textScans = stageRows.map(_._3).sum
     println(f"""{"metric":"pipeline","docs_dir":${Json.str(docsDir)},"gate_mode":${Json.str(gateMode)},"docs_on_disk_mb":$docsMb%.1f,"n_raw":$nRaw,"n_quality":$nQuality,"n_exact_canonical":$nExact,"n_neardup_canonical":$nCanon,"n_decontaminated":$nClean,"n_train":$nTrain,"n_packs":$nPacks,"packed_tokens":$nTokens,"seq_len":$seqLen,"text_bearing_scans":$textScans,"total_sec":${stageRows.map(_._2).sum}%.1f,"shuffle_partitions":$nShuffle}""")
-    CacheScope.drain()
-    spark.stop()
+    Map(
+      "n_raw" -> nRaw, "n_quality" -> nQuality,
+      "n_exact_canonical" -> nExact, "n_neardup_canonical" -> nCanon,
+      "n_decontaminated" -> nClean, "n_train" -> nTrain,
+      "n_packs" -> nPacks, "packed_tokens" -> nTokens,
+      "text_bearing_scans" -> textScans.toLong)
   }
 }

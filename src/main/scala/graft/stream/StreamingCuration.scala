@@ -152,6 +152,23 @@ object StreamingCuration {
     Similarity.IvfPqIndex(built.cent, built.codebook, codes)
   }
 
+  /** Corpus-derived gate threshold for a built [[semanticIndex]] —
+    * the deployment-facing wrapper over
+    * [[Similarity.calibratedGateTau]] (r15 verdict ask #3): τ = the
+    * p20 nearest-compressed-neighbor distance of a bounded ~500-doc
+    * sample of the corpus probed against its own index, so the gate's
+    * notion of "unusually close" comes from THIS corpus's distance
+    * distribution instead of a constant calibrated on another one.
+    * Run once at index build/refresh, alongside [[semanticIndex]];
+    * falls back to [[Similarity.SemanticGateMaxDist]] when the sample
+    * has no index hits.
+    */
+  def calibratedTau(emb: DataFrame, idx: Similarity.IvfPqIndex): Double = {
+    graft.functions.VectorExpressions.register(emb.sparkSession)
+    Similarity.calibratedGateTau(
+      emb.select(col("vec_id"), expr(Similarity.qeSpark).as("qe")), idx)
+  }
+
   /** Per-batch semantic near-dup verdicts against a [[semanticIndex]]
     * — a pure delegation to [[Similarity.semanticVerdicts]], the ONE
     * definition of the gate's decision boundary (nearest compressed

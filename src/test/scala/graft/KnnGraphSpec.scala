@@ -343,6 +343,28 @@ class KnnGraphSpec extends AnyFunSuite {
     CacheScope.drain()
   }
 
+  test("derivedCosBar is the exact p99 edge cosine and tracks the graph (r15 ask #3)") {
+    import spark.implicits._
+    import ext.KnnGraph
+    // 300 edges with distinct cosines i/1000: ne=300 → k99=3 → the
+    // bar is the 3rd-highest μcos = floor(0.298·2²⁰)/2²⁰
+    val g = (1 to 300).map(i => (i.toLong, (i + 1000).toLong, i / 1000.0))
+      .toDF("v", "w", "cos").withColumn("rank", lit(1))
+    val bar = KnnGraph.derivedCosBar(g, k = 1)
+    assert(bar === math.floor(298 / 1000.0 * 1048576.0) / 1048576.0,
+      s"bar must be the exact 3rd-highest quantized cosine, got $bar")
+    // keeps AT MOST ~1% of edges — the percolation bound the frozen
+    // constant never gave
+    assert(g.filter(col("cos") >= bar).count() === 3L)
+    // tracking: shift every cosine up and the bar follows exactly
+    val g2 = g.withColumn("cos", col("cos") + 0.5)
+    val bar2 = KnnGraph.derivedCosBar(g2, k = 1)
+    assert(bar2 === math.floor((298 / 1000.0 + 0.5) * 1048576.0) / 1048576.0,
+      s"shifted graph must shift the bar, got $bar2")
+    // fallback on an empty graph: the frozen fixture constant
+    assert(KnnGraph.derivedCosBar(g.filter(col("cos") > 9.0), k = 1) === 0.47)
+  }
+
   test("occupancySkew separates clustered from uniform; the h2 auto bar sits between") {
     import spark.implicits._
     import ext.KnnGraph

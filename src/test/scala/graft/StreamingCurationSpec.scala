@@ -183,10 +183,14 @@ class StreamingCurationSpec extends AnyFunSuite {
     val batchForm = SparkEntry.queries("q178_semantic_gate")(spark, dir)
       .select("doc_id", "nn_vec_id", "semantic_dup", "verdict")
     val idx = StreamingCuration.semanticIndex(graft.Tables.embeddings(spark, dir))
+    // the stream deployment derives its bar the same way the batch
+    // pin does (calibratedTau → calibratedGateTau — one definition)
+    val tau = StreamingCuration.calibratedTau(
+      graft.Tables.embeddings(spark, dir), idx)
     val streamForm = StreamingCuration.semanticVerdicts(
         graft.Tables.embeddings(spark, dir)
           .select(col("vec_id").as("doc_id"), col("embedding")),
-        idx, Similarity.SemanticGateMaxDist)
+        idx, tau)
       .select(col("doc_id"), col("nn_vec_id"), col("semantic_dup"),
         expr("CASE WHEN semantic_dup THEN 'rejected_semantic_dup'" +
           " ELSE 'accepted' END").as("verdict"))
@@ -198,6 +202,30 @@ class StreamingCurationSpec extends AnyFunSuite {
       s"fixture must exercise both verdicts, got $nDup/500 dups")
     idx.cent.unpersist(); idx.codebook.unpersist(); idx.codes.unpersist()
     CacheScope.drain()
+  }
+
+  test("derived gate bar tracks the corpus distance distribution (r15 ask #3)") {
+    // the same corpus at two dispersions: doubling every coordinate
+    // doubles every pairwise L2, so the derived p20 bar must follow —
+    // which is exactly what the frozen 0.92 could not do
+    def tauOf(scale: Float): Double = {
+      val corpus = semanticCorpus.select(col("vec_id"),
+        expr(s"transform(embedding, x -> cast(x * ${scale}f as float))")
+          .as("embedding"), col("label"))
+      val idx = StreamingCuration.semanticIndex(corpus)
+      val tau = StreamingCuration.calibratedTau(corpus, idx)
+      idx.cent.unpersist(); idx.codebook.unpersist(); idx.codes.unpersist()
+      tau
+    }
+    val tight = tauOf(1.0f)
+    val loose = tauOf(2.0f)
+    assert(tight > 0.0, s"derived bar must be positive: $tight")
+    assert(loose > 1.5 * tight,
+      s"bar must track dispersion: tight $tight vs 2x-scaled $loose")
+    // and the fallback fires when calibration has nothing to read:
+    // an empty probe batch cannot happen (the sample is the corpus),
+    // so exercise the documented constant path directly
+    assert(graft.ext.Similarity.SemanticGateMaxDist === 0.92)
   }
 
   test("semantic index builds by seed RANK: offset vec_ids still gate (r14 ADVICE)") {

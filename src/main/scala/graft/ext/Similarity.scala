@@ -172,6 +172,85 @@ object Similarity {
     IvfPqIndex(cent, c1, assign(c1))
   }
 
+  /** Coarse-cell width for the CELLED IVF layout (r16 — the gate's
+    * 100 TB fix): the label-coarse index probes nprobe whole labels,
+    * and with a FIXED label count the per-doc ADC scan grows linearly
+    * with the corpus — measured fatal at ×300 (≈2.4M candidate rows
+    * PER DOC filled the scratch disk inside the composed LakePipeline
+    * run). The celled layout sub-partitions each label by the
+    * deterministic sign-bucket of the vector at width p, the smallest
+    * p with L·[[CellTarget]]·2^p ≥ n — mean cell size stays
+    * ~[[CellTarget]] at every corpus size, so the per-doc probe cost
+    * is CONSTANT (nprobe·cellsize·8 rows) and only the broadcast
+    * centroid frame grows (linearly, ~n/64 rows — hash-join fallback
+    * territory past ~10M cells, noted in SCALE.md). Integer
+    * bit-length math, same derivation in the oracle's `cw` CTE. At
+    * p = 0 (corpus smaller than L·target) the cell IS the label and
+    * the celled index is bit-identical to the classic layout —
+    * which is how the sf0.01 oracle covers the degenerate case while
+    * sf0.1 (p = 2) covers the live one.
+    */
+  val CellTarget = 64L
+
+  private[graft] def cellWidthFor(n: Long, labels: Long): Int = {
+    val b = (n + labels * CellTarget - 1) / (labels * CellTarget)
+    if (b <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(b - 1)
+  }
+
+  /** Relabel a `(vec_id, label, qe)` relation with its coarse CELL:
+    * label·2^p + sign-bucket(qe) at width p. p = 0 is the identity
+    * (no bucket term, labels untouched).
+    */
+  private[graft] def celled(qv: DataFrame, p: Int): DataFrame =
+    if (p == 0) qv
+    else qv.withColumn("label",
+      expr(s"label * ${1L << p}L + (${lshBucketExpr(p)})"))
+
+  /** [[ivfPqBuild]] on the celled relabeling, dial derived from the
+    * corpus (count + distinct labels — two 1-row driver decisions).
+    * Returns the index plus the width so incremental encoders can
+    * freeze the same dial. The build machinery is UNCHANGED — cells
+    * ride the opaque `label` key through centroids, residuals, codes,
+    * and the probe.
+    */
+  private[graft] def ivfPqBuildCelled(
+      qv: DataFrame, cache: DataFrame => DataFrame): (IvfPqIndex, Int) = {
+    val n = qv.count()
+    val labels = qv.select("label").distinct().count()
+    val p = cellWidthFor(n, labels)
+    (ivfPqBuild(celled(qv, p), cache), p)
+  }
+
+  /** Encode NEW vectors into an existing index's FIXED coarse
+    * centroids and PQ codebooks — the incremental-refresh path (r15
+    * verdict ask #8): one broadcast-joined pass over the new chunk
+    * (residual against the frozen per-label centroid, per-subspace
+    * nearest-codeword assignment — the same `key` arithmetic
+    * [[ivfPqBuild]]'s assign uses, so a vector present at build time
+    * encodes to the identical codes). Returns codes rows
+    * `(vec_id, label, j, code)` to union onto `idx.codes`. What this
+    * does NOT do is move the centroids or codewords — that is the
+    * point: the refresh-cadence experiment (CurationStreamBench
+    * `refresh` arm) prices exactly the drift this freezing causes
+    * against the full-rebuild cost it saves.
+    */
+  private[graft] def ivfPqEncode(qv: DataFrame, idx: IvfPqIndex): DataFrame = {
+    val rsub = qv.join(broadcast(idx.cent), "label")
+      .select(col("vec_id"), col("label"),
+        expr("zip_with(qe, c, (a, b) -> a - b)").as("r"))
+      .select(col("vec_id"), col("label"),
+        explode(expr("sequence(0, 7)")).as("j"), col("r"))
+      .select(col("vec_id"), col("label"), col("j"),
+        expr("slice(r, 8 * j + 1, 8)").as("s"))
+    rsub.join(broadcast(idx.codebook), "j")
+      .select(col("vec_id"), col("label"), col("j"), expr(
+        "(vec_ldot(s, s) - 2 * vec_ldot(s, c) + vec_ldot(c, c)) * 8 + cl")
+        .as("key"))
+      .groupBy("vec_id", "label", "j").agg(min("key").as("k"))
+      .select(col("vec_id"), col("label"), col("j"),
+        expr("k % 8").as("code"))
+  }
+
   /** ADC top-k of a query batch `qp(qid, qe)` against an
     * [[IvfPqIndex]]: nprobe-probe coarse search (|Q|·|labels| tiny
     * frames, both broadcast), per-(query, probed partition) residual
@@ -238,7 +317,16 @@ object Similarity {
   private def ivfPqIndexDuck: String =
     s"""qv AS (SELECT vec_id, label, list_transform(embedding, x -> ${qD("x")}) AS qe
        |            FROM embeddings),
-       |$labelCentroidsDuck,
+       |$ivfPqCoreDuck""".stripMargin
+
+  /** The build chain AFTER `qv` (centroids → residuals → seeds → PQ
+    * codebook → codes) — shared verbatim by the label-coarse chain
+    * ([[ivfPqIndexDuck]]) and the celled chain
+    * ([[ivfPqCellIndexDuck]]): the cell rides the opaque `label` key,
+    * so ONE definition covers both layouts.
+    */
+  private def ivfPqCoreDuck: String =
+    s"""$labelCentroidsDuck,
        |rv AS (SELECT qv.vec_id, qv.label,
        |         list_transform(list_zip(qv.qe, cent.c), x -> x[1] - x[2]) AS r
        |       FROM qv JOIN cent USING (label)),
@@ -260,6 +348,35 @@ object Similarity {
        |codes AS (SELECT rsub.vec_id, rsub.label, rsub.j,
        |            CAST(min(${pqL2("rsub.s", "c1.c")} * 8 + c1.cl) AS BIGINT) % 8 AS code
        |          FROM rsub JOIN c1 ON c1.j = rsub.j GROUP BY 1, 2, 3)""".stripMargin
+
+  /** DuckDB mirror of [[ivfPqBuildCelled]]: derives the cell width
+    * from the corpus (`cw` — [[cellWidthFor]]'s integer math), buckets
+    * each vector on the first p hyperplanes of the q47 md5 family, and
+    * feeds `qv` relabeled with `label·2^p + bucket` into the SAME core
+    * chain as the classic layout. LEFT-JOIN + COALESCE on the planes
+    * table so p = 0 (no planes) degenerates to the identity relabel.
+    */
+  private def ivfPqCellIndexDuck: String =
+    s"""qv0 AS (SELECT vec_id, label, list_transform(embedding, x -> ${qD("x")}) AS qe
+       |             FROM embeddings),
+       |nl AS (SELECT count(*) AS n, count(DISTINCT label) AS nlab FROM qv0),
+       |cw AS (SELECT CASE WHEN (n + nlab * $CellTarget - 1) // (nlab * $CellTarget) <= 1 THEN 0
+       |              ELSE length(bin((n + nlab * $CellTarget - 1) // (nlab * $CellTarget) - 1)) END AS p
+       |       FROM nl),
+       |cplanes AS (
+       |  SELECT j, list((('0x' || substr(md5(concat('plane|', j, '|', i)), 1, 15))::BIGINT % 2001 - 1000) ORDER BY i) AS pvec
+       |  FROM generate_series(0, 63) g(j), generate_series(1, 64) gi(i), cw
+       |  WHERE j < cw.p
+       |  GROUP BY j),
+       |cbkt AS (SELECT v.vec_id,
+       |          COALESCE((SUM(CASE WHEN ${idotD("v.qe", "p.pvec")} >= 0
+       |                    THEN (1::BIGINT << p.j) ELSE 0 END))::BIGINT, 0) AS bucket
+       |        FROM qv0 v LEFT JOIN cplanes p ON true GROUP BY v.vec_id),
+       |qv AS (SELECT qv0.vec_id,
+       |         qv0.label * (1::BIGINT << (SELECT p FROM cw)) + cbkt.bucket AS label,
+       |         qv0.qe
+       |       FROM qv0 JOIN cbkt ON cbkt.vec_id = qv0.vec_id),
+       |$ivfPqCoreDuck""".stripMargin
 
   /** DuckDB mirror of [[ivfPqTopK]]'s probe + ADC scan, ending in
     * `adc(qid, vec_id, adist)` (self-matches excluded). Expects
@@ -1504,8 +1621,11 @@ object Similarity {
         // selection (k-th smallest adist by (adist, qid)) over the
         // modFor sample, so this chain derives the IDENTICAL bar the
         // Spark side does; the fallback constant appears only in the
-        // empty-sample branch
-        s"""WITH $ivfPqIndexDuck,
+        // empty-sample branch. The index is the CELLED layout (r16's
+        // scale fix — label-coarse probing is corpus-linear per doc):
+        // sf0.01 resolves to p = 0 (cells ≡ labels, the degenerate
+        // pin), sf0.1 to p = 2 (live cells) — both covered.
+        s"""WITH $ivfPqCellIndexDuck,
            |qp AS (SELECT vec_id AS qid, qe FROM qv),
            |$ivfPqAdcDuck,
            |top1 AS MATERIALIZED (SELECT qid, vec_id, adist
@@ -1537,7 +1657,7 @@ object Similarity {
       val qv = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), expr(qeSpark).as("qe"))
         .transform(CacheScope.scoped) // index build + the gated batch
-      val idx = ivfPqBuild(qv, CacheScope.scoped)
+      val (idx, _) = ivfPqBuildCelled(qv, CacheScope.scoped)
       val tau = calibratedGateTau(qv, idx)
       val batch = Tables.embeddings(s, d)
         .select(col("vec_id").as("doc_id"), col("embedding"))
@@ -1547,5 +1667,39 @@ object Similarity {
           col("semantic_dup"),
           expr("CASE WHEN semantic_dup THEN 'rejected_semantic_dup'" +
             " ELSE 'accepted' END").as("verdict"))
+    },
+
+    // ── q183: celled coarse-layout certification (r16) ─────────────────
+    // The dial that makes the semantic gate corpus-constant per doc
+    // (see [[CellTarget]]) certified cross-engine: corpus size, label
+    // count, the derived width p, and the realized cell-occupancy
+    // envelope (count/max/min). sf0.01 pins the degenerate p = 0 case
+    // (cells ≡ labels), sf0.1 the live p = 2 split — the same pair of
+    // postures q178's gate rides on.
+    Q(
+      "q183_cell_stats", {
+        s"""WITH $ivfPqCellIndexDuck
+           |SELECT (SELECT n FROM nl) AS n_vectors,
+           |  (SELECT nlab FROM nl) AS n_labels,
+           |  (SELECT CAST(p AS BIGINT) FROM cw) AS cell_width,
+           |  CAST(count(*) AS BIGINT) AS n_cells,
+           |  CAST(max(c) AS BIGINT) AS max_cell,
+           |  CAST(min(c) AS BIGINT) AS min_cell
+           |FROM (SELECT label, count(*) AS c FROM qv GROUP BY label)""".stripMargin
+      }) { (s, d) =>
+      VectorExpressions.register(s)
+      val qv = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), expr(qeSpark).as("qe"))
+        .transform(CacheScope.scoped)
+      val n = qv.count()
+      val labels = qv.select("label").distinct().count()
+      val p = cellWidthFor(n, labels)
+      celled(qv, p)
+        .groupBy("label").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_cells"), max("c").as("max_cell"),
+          min("c").as("min_cell"))
+        .select(lit(n).as("n_vectors"), lit(labels).as("n_labels"),
+          lit(p.toLong).as("cell_width"), col("n_cells"),
+          col("max_cell"), col("min_cell"))
     })
 }

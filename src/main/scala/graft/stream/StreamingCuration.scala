@@ -140,7 +140,13 @@ object StreamingCuration {
     val cache = (df: DataFrame) => { df.persist(); buildScoped += df; df }
     val qv = cache(emb.select(col("vec_id"), col("label"),
       expr(Similarity.qeSpark).as("qe")))
-    val built = Similarity.ivfPqBuild(qv, cache)
+    // CELLED coarse layout (r16): label-coarse probing is
+    // corpus-linear per doc — at ×300 one micro-batch's ADC scan
+    // filled the scratch disk inside LakePipeline. Cells hold the
+    // per-doc probe cost constant at every corpus size; on the spec
+    // fixtures (n < labels·64) the width is 0 and the index is
+    // bit-identical to the classic layout.
+    val built = Similarity.ivfPqBuildCelled(qv, cache)._1
     val codes = built.codes.persist()
     // materialize the long-lived probe relations, then drop the
     // build-time intermediates (cent/codebook were cached by the

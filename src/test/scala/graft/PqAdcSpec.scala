@@ -116,4 +116,36 @@ class PqAdcSpec extends AnyFunSuite {
       s"the probe miss must show as a recall deficit (exact top-5 contains 30): $out")
     CacheScope.drain()
   }
+
+  test("celled coarse layout: width law, identity at p=0, constant cell envelope (r16)") {
+    import ext.Similarity
+    // the dial law: smallest p with labels·64·2^p ≥ n — and p = 0
+    // whenever the corpus fits its labels (the spec fixtures, sf0.01)
+    assert(Similarity.cellWidthFor(500, 10) === 0)
+    assert(Similarity.cellWidthFor(640, 10) === 0)
+    assert(Similarity.cellWidthFor(641, 10) === 1)
+    assert(Similarity.cellWidthFor(2000, 10) === 2)
+    assert(Similarity.cellWidthFor(1500000, 10) === 12) // the ×300 fix
+    for (n <- Seq(1L, 64L, 1000L, 999983L, 100000000L); l <- Seq(1L, 8L, 40L)) {
+      val p = Similarity.cellWidthFor(n, l)
+      assert(l * 64L * (1L << p) >= n, s"n=$n l=$l: cells too big at p=$p")
+      if (p > 0)
+        assert(l * 64L * (1L << (p - 1)) < n, s"n=$n l=$l: width $p not tight")
+    }
+    // p = 0 is the identity relabel — the degenerate pin the sf0.01
+    // oracle covers
+    functions.VectorExpressions.register(spark)
+    val qv = ext.Similarity.nv(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), lit(1L).as("label"), col("qe"))
+    assert(Similarity.celled(qv, 0) eq qv)
+    // live split: every cell's label decodes back to a real source
+    // label, and occupancy is bounded by construction of the bucket
+    val p = 3
+    val c = Similarity.celled(qv, p)
+    assert(c.select(expr(s"label div ${1L << p}")).distinct().count() === 1L,
+      "cell ids must decode to the source label")
+    assert(c.select("label").distinct().count() > 1L,
+      "p=3 must actually split the single source label")
+    CacheScope.drain()
+  }
 }

@@ -264,12 +264,27 @@ object Similarity {
   private[graft] def ivfPqTopK(
       qp: DataFrame, idx: IvfPqIndex, k: Int = 5, nprobe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val probe = broadcast(qp).crossJoin(broadcast(idx.cent))
-      .select(col("qid"), col("label"), col("qe"), col("c"),
+    // Single-join discipline in the COARSE step too (r16, measured):
+    // scoring the qp × cent cross join with qe AND c attached sends
+    // ~1.1 KB rows into the sort feeding WindowGroupLimit — at 60k
+    // probes × 5k cells that is ~340 GB of sort spill (it filled this
+    // host's disk inside the refresh-cadence arm, at cross-join
+    // parallelism 2). The scored stream now carries (qid, label,
+    // cdist) ONLY — ids + one long through the sort — and the ≤nprobe
+    // winners re-attach their vectors by two narrow joins (qid unique
+    // in qp, label unique in cent, so the rejoin reproduces the exact
+    // winner rows). Same rank order, same output — the oracle chain
+    // is untouched.
+    val pro = qp.crossJoin(broadcast(idx.cent))
+      .select(col("qid"), col("label"),
         expr("vec_ldot(qe, qe) - 2 * vec_ldot(qe, c) + vec_ldot(c, c)").as("cdist"))
       .withColumn("pr", row_number().over(
         Window.partitionBy("qid").orderBy(col("cdist"), col("label"))))
       .filter(col("pr") <= nprobe)
+      .select("qid", "label")
+    val probe = pro
+      .join(qp, "qid")
+      .join(broadcast(idx.cent), "label")
       .select(col("qid"), col("label"),
         expr("zip_with(qe, c, (a, b) -> a - b)").as("qr"))
     val lut = probe

@@ -193,7 +193,7 @@ object CurationStreamBench {
       val kept = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
       val keep = (df: org.apache.spark.sql.DataFrame) => { df.persist(); kept += df; df }
       val t = System.nanoTime()
-      val (idx, p) = Similarity.ivfPqBuildCelled(corpus, keep)
+      val (idx, p, _) = Similarity.ivfPqBuildCelled(corpus, keep)
       val codes = idx.codes.persist()
       codes.count(); idx.cent.count(); idx.codebook.count()
       val tau = Similarity.calibratedGateTau(corpus, idx)

@@ -52,6 +52,17 @@ object GraftSession {
           sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "6g"))
       else builder0
     val spark = builder
+      // Codegen class cache (STATIC conf — only effective here, before
+      // the session exists; r16 opt round): the default cache holds 100
+      // generated classes, and a 177-query registry emits far more
+      // WholeStageCodegen/expression spans than that, so back-to-back
+      // queries (and Bench's in-JVM repeats) evicted and re-compiled
+      // the same Janino sources every run — pure fixed overhead at any
+      // scale (compilation happens on the driver/executor regardless of
+      // data size). 4096 entries keeps every registry span resident;
+      // the cache stores compiled classes, so the cost is a few tens of
+      // MB of metaspace, not data memory.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.shuffle.partitions", nShuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -62,23 +62,41 @@ object Clustering {
     // whose members already hold the component minimum converges on
     // the first loop round (the round only confirms) — one fewer
     // join+checkpoint+count cycle on the common shape, same fixpoint.
-    var labels = nodes.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
-      .union(edges.groupBy(col("dst").as("id")).agg(min("src").as("lbl")))
-      .groupBy("id").agg(min("lbl").as("lbl"))
-      .transform(CacheScope.checkpointed)
+    // Convergence detection rides the round's OWN materialization
+    // (r16 opt round): per-id labels are monotone non-increasing (each
+    // round takes a min with the incoming labels over the same id
+    // set), so Σ lbl strictly decreases until fixpoint and two equal
+    // consecutive sums prove convergence — no joined next-vs-old count
+    // job per round. The sum is collected by an `observe` aggregate
+    // DURING the eager checkpoint pass (DECIMAL(38,0): exact, no
+    // silent BIGINT wrap on large id spaces), so each round is exactly
+    // ONE driver action where it was two — and the removed action was
+    // the worst one at 100 TB: a full self-join of the n-row label map
+    // (2 exchanges of corpus-id-sized relations per round) that
+    // existed only to produce a 1-row yes/no.
+    def ckptWithSum(df: DataFrame): (DataFrame, Option[BigDecimal]) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = CacheScope.checkpointed(
+        df.observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("s")))
+      val s = obs.get.get("s").flatMap(v =>
+        Option(v.asInstanceOf[java.math.BigDecimal]).map(BigDecimal(_)))
+      (out, s)
+    }
+    var (labels, lblSum) = ckptWithSum(
+      nodes.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+        .union(edges.groupBy(col("dst").as("id")).agg(min("src").as("lbl")))
+        .groupBy("id").agg(min("lbl").as("lbl")))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < propagationRounds) {
       val prop = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
-      val next = labels.union(prop)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .transform(CacheScope.checkpointed)
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .count()
+      val (next, nextSum) = ckptWithSum(
+        labels.union(prop)
+          .groupBy("id").agg(min("lbl").as("lbl")))
+      changed = if (nextSum == lblSum) 0L else 1L
       labels = next
+      lblSum = nextSum
       rounds += 1
     }
     // Restrict to `nodes` so both algorithm paths honor the documented

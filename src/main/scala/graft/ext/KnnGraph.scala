@@ -542,21 +542,31 @@ object KnnGraph {
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("w"))))
       .filter(col("rank") <= ef)
-    val entry = CacheScope.checkpointed(rescore(
+    val entry = rescore(
       queries.select("qid").crossJoin(top.select(col("vec_id").as("w"))),
-      layers.head._2))
+      layers.head._2)
     layers.foldLeft(entry) { case (beam0, (g, ef, hops)) =>
-      (1 to hops).foldLeft(beam0) { (beam, _) =>
-        // per-hop checkpoint: beam hops nest the previous hop's plan
-        // inside two consumers (the carry-over union and the
-        // expansion join) — the descent's 6^r analysis blowup in
-        // miniature, truncated the same way
+      (1 to hops).foldLeft(beam0) { (beam, i) =>
+        // Checkpoint every SECOND hop (and the layer's last), not every
+        // hop (r16 opt round, measured): a hop references the previous
+        // beam twice (carry-over union + expansion join), so plans
+        // between checkpoints grow 2^hops — but at depth ≤ 2 that is a
+        // ≤ 4-leaf tree whose duplicated subtrees share their Exchange
+        // nodes (ReuseExchange/AQE stage cache dedups identical
+        // exchanges, so the doubled branches re-run only the cheap
+        // window-over-exchange tail). Each checkpoint is its own
+        // driver action (~5 AQE stage jobs at bench scale); halving
+        // the checkpoints halved the beam's job count (q181 153 → ~90
+        // jobs) without changing any hop's dataflow. The analysis
+        // blowup the old per-hop comment feared starts at uncapped
+        // depth; depth 2 is bounded by construction.
         val cand = beam.select("qid", "w")
           .union(beam.select(col("qid"), col("w").as("v"))
             .join(g.select("v", "w"), "v")
             .select("qid", "w"))
           .distinct()
-        CacheScope.checkpointed(rescore(cand, ef))
+        val hop = rescore(cand, ef)
+        if (i % 2 == 0 || i == hops) CacheScope.checkpointed(hop) else hop
       }
     }
   }
@@ -673,10 +683,16 @@ object KnnGraph {
       .select(col("vec_id").as("qid"), col("qe").as("qqe"),
         col("nrm").as("qnrm"))
       .transform(CacheScope.scoped)
+    // symEdges per layer is CACHED (r16 opt round): each beam hop's
+    // plan embeds its layer's expansion edges, so an uncached symEdges
+    // re-ran its union+distinct exchange once per hop (8× for the base
+    // layer). One persist each makes every hop after the first a pure
+    // cache reader — same relation, 7 fewer distinct-exchanges on the
+    // base layer alone.
     val beam = hnswSearch(e, queries, m3, Seq(
-      (symEdges(g2), HnswEf, HnswHopsUpper),
-      (symEdges(g1), HnswEf, HnswHopsUpper),
-      (symEdges(g0), HnswEf0, HnswHops0)))
+      (CacheScope.scoped(symEdges(g2)), HnswEf, HnswHopsUpper),
+      (CacheScope.scoped(symEdges(g1)), HnswEf, HnswHopsUpper),
+      (CacheScope.scoped(symEdges(g0)), HnswEf0, HnswHops0)))
     (beam, queries)
   }
 

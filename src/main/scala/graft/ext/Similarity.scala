@@ -214,11 +214,17 @@ object Similarity {
     * and the probe.
     */
   private[graft] def ivfPqBuildCelled(
-      qv: DataFrame, cache: DataFrame => DataFrame): (IvfPqIndex, Int) = {
-    val n = qv.count()
-    val labels = qv.select("label").distinct().count()
+      qv: DataFrame, cache: DataFrame => DataFrame): (IvfPqIndex, Int, Long) = {
+    // one fused driver decision (r16 opt round): count + distinct-label
+    // count in a single aggregate job (count_distinct plans as one
+    // expand + two-phase aggregate) instead of two separate actions —
+    // same two exact integers, one fewer full pass over the corpus
+    // relation at any scale
+    val r = qv.agg(count(lit(1)), countDistinct(col("label"))).first()
+    val n = r.getLong(0)
+    val labels = r.getLong(1)
     val p = cellWidthFor(n, labels)
-    (ivfPqBuild(celled(qv, p), cache), p)
+    (ivfPqBuild(celled(qv, p), cache), p, n)
   }
 
   /** Encode NEW vectors into an existing index's FIXED coarse
@@ -461,28 +467,32 @@ object Similarity {
     * [[SemanticGateMaxDist]] when the sample has no index hits.
     */
   private[graft] def calibratedGateTau(
-      corpus: DataFrame, idx: IvfPqIndex): Double = {
+      corpus: DataFrame, idx: IvfPqIndex, nOpt: Option[Long] = None): Double = {
     import org.apache.spark.sql.expressions.Window
-    val n = corpus.count()
+    // `nOpt` lets a caller that already counted the corpus (q178's
+    // celled build does) skip the recount action (r16 opt round)
+    val n = nOpt.getOrElse(corpus.count())
     val samp = corpus.filter(expr(KnnGraph.sampSpark(KnnGraph.modFor(n))))
       .select(col("vec_id").as("qid"), col("qe"))
     val cal = ivfPqTopK(samp, idx, k = 1)
       .filter(col("adist").isNotNull)
       .select(col("qid"), col("adist"))
-      .transform(CacheScope.scoped)
-    val m = cal.count()
-    if (m == 0) SemanticGateMaxDist
-    else {
-      val kth = math.max(1L, SemanticGatePct * m / 100L)
-      // single-partition window over the ≤ ~500-row sample — a 1-row
-      // driver decision (the BPE-argmax / planesFor precedent)
-      val bar = cal
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("adist"), col("qid"))))
-        .filter(col("rn") === kth)
-        .select("adist").first().getLong(0)
-      math.sqrt(bar.toDouble) / 1048576.0
-    }
+    // ONE single-partition window pass over the ≤ ~500-row sample — a
+    // 1-row driver decision (the BPE-argmax / planesFor precedent).
+    // The sample count m rides the same window frame as the rank, so
+    // the k-th-smallest selection no longer needs its own count()
+    // action first (r16 opt round); empty sample → no row → fallback.
+    // Exact integer selection, identical to the old two-action form.
+    val w = Window.orderBy(col("adist"), col("qid"))
+    val sel = cal
+      .withColumn("rn", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("rn") === greatest(lit(1L),
+        expr(s"$SemanticGatePct * m div 100")))
+      .select("adist").collect()
+    if (sel.isEmpty) SemanticGateMaxDist
+    else math.sqrt(sel(0).getLong(0).toDouble) / 1048576.0
   }
 
   /** Per-doc semantic near-dup verdicts against an [[IvfPqIndex]] —
@@ -1672,8 +1682,8 @@ object Similarity {
       val qv = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), expr(qeSpark).as("qe"))
         .transform(CacheScope.scoped) // index build + the gated batch
-      val (idx, _) = ivfPqBuildCelled(qv, CacheScope.scoped)
-      val tau = calibratedGateTau(qv, idx)
+      val (idx, _, n) = ivfPqBuildCelled(qv, CacheScope.scoped)
+      val tau = calibratedGateTau(qv, idx, Some(n))
       val batch = Tables.embeddings(s, d)
         .select(col("vec_id").as("doc_id"), col("embedding"))
       semanticVerdicts(batch, idx, tau)

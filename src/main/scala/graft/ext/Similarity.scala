@@ -169,7 +169,12 @@ object Similarity {
       s"ivfPqBuild: PQ codebook covers $cbSubspaces/8 subspaces — a " +
         "missing subspace would silently drop its distance term from " +
         "every ADC probe; refusing to serve a structurally broken index")
-    IvfPqIndex(cent, c1, assign(c1))
+    // codes rides the caller's cache too (r16 opt round): every probe
+    // scans it, and a multi-probe consumer (q178 calibrates THEN
+    // self-gates; the streaming gate probes per micro-batch) was
+    // re-running the whole encode pass (rsub ⋈ codebook + argmin +
+    // groupBy) once per probe when it was left uncached.
+    IvfPqIndex(cent, c1, cache(assign(c1)))
   }
 
   /** Coarse-cell width for the CELLED IVF layout (r16 — the gate's

@@ -147,13 +147,16 @@ object StreamingCuration {
     // fixtures (n < labels·64) the width is 0 and the index is
     // bit-identical to the classic layout.
     val built = Similarity.ivfPqBuildCelled(qv, cache)._1
-    val codes = built.codes.persist()
+    // codes is persisted by the builder's cache since r16 — keep the
+    // same Dataset (re-persisting it would only warn)
+    val codes = built.codes
     // materialize the long-lived probe relations, then drop the
-    // build-time intermediates (cent/codebook were cached by the
-    // builder — keep those two, release the rest)
+    // build-time intermediates (cent/codebook/codes were cached by the
+    // builder — keep those three, release the rest)
     codes.count(); built.cent.count(); built.codebook.count()
     buildScoped
-      .filterNot(d => (d eq built.cent) || (d eq built.codebook))
+      .filterNot(d => (d eq built.cent) || (d eq built.codebook) ||
+        (d eq codes))
       .foreach(_.unpersist(blocking = false))
     Similarity.IvfPqIndex(built.cent, built.codebook, codes)
   }

@@ -677,9 +677,9 @@ object Clustering {
           "quotient (limit ~9.2e18/1e6 ≈ 9.2e12, i.e. ~9.2M corpus " +
           "tokens at full ppm weight) — pre-scale masses to " +
           "ppm-of-corpus before apportioning (q89)")
-      m.join(hamilton(m, "w_none", "alloc_none"), "lang")
-        .join(hamilton(m, "w_hard", "alloc_hard"), "lang")
-        .join(hamilton(m, "w_soft", "alloc_soft"), "lang")
+      m.join(hamilton3(m, Seq(
+          ("w_none", "alloc_none"), ("w_hard", "alloc_hard"),
+          ("w_soft", "alloc_soft"))), "lang")
         .select(col("lang"),
           col("w_none").as("tokens_none"), col("w_hard").as("tokens_hard"),
           expr("w_soft div 1000000").as("tokens_soft"),
@@ -687,26 +687,46 @@ object Clustering {
     })
 
   /** Hamilton largest-remainder allocation of a fixed 10⁶ budget over a
-    * (lang, `massCol`) aggregate — q89's machinery parameterized on the
-    * mass column so q177's three retention policies share one
-    * implementation. `m` is lang-cardinality; the ranking window runs
-    * over that aggregate (q89's documented single-partition posture)
-    * and both one-row totals broadcast.
+    * (lang, mass) aggregate, for SEVERAL mass columns in one pass —
+    * q177's three retention policies stacked as (lang, policy, mass)
+    * rows so one window partitioning serves every policy's total,
+    * leftover and remainder rank. `m` is lang-cardinality; each
+    * policy's window is |langs|-sized (q89's documented
+    * single-partition posture, ×policies rows).
     */
-  private def hamilton(m: DataFrame, massCol: String, out: String): DataFrame = {
+  private def hamilton3(m: DataFrame, cols: Seq[(String, String)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tot = m.agg(sum(massCol).as("tw"))
-    val base = m.crossJoin(broadcast(tot))
-      .select(col("lang"),
-        expr(s"(1000000 * $massCol) div tw").as("b"),
-        expr(s"(1000000 * $massCol) % tw").as("rem"))
-    val lo = base.agg(expr("1000000 - sum(b)").as("leftover"))
-    base
+    // All policies in ONE unpivoted pass (r16 opt round): the old
+    // per-policy chain (1-row total agg + broadcast + leftover agg +
+    // broadcast + ranking window, ×3, then 3 joins) ran ~9 exchanges
+    // where the stacked form runs 2 — explode to (lang, policy, mass),
+    // derive tw/b/rem/leftover with window aggregates partitioned by
+    // policy (all four share ONE partitioning with the ranking window,
+    // so Spark establishes it once), and pivot back with a lang
+    // aggregate. Same integer arithmetic per policy — quotient,
+    // remainder, largest-remainder rank, +1 cutoff — so every alloc is
+    // bit-identical to the chained form (the oracle's per-policy CTEs
+    // are untouched). The per-policy window is |langs|-sized, exactly
+    // the old single-partition ranking posture.
+    val wp = Window.partitionBy("p")
+    val stacked = m.select(col("lang"), explode(array(cols.map {
+        case (mc, _) => struct(lit(mc).as("p"), col(mc).as("w"))
+      }: _*)).as("x"))
+      .select(col("lang"), col("x.p").as("p"), col("x.w").as("w"))
+    val ranked = stacked
+      .withColumn("tw", sum("w").over(wp))
+      .select(col("lang"), col("p"),
+        expr("(1000000 * w) div tw").as("b"),
+        expr("(1000000 * w) % tw").as("rem"))
+      .withColumn("leftover", lit(1000000L) - sum("b").over(wp))
       .withColumn("rk", row_number().over(
-        Window.orderBy(col("rem").desc, col("lang"))))
-      .crossJoin(broadcast(lo))
-      .select(col("lang"),
-        expr("b + CASE WHEN rk <= leftover THEN 1L ELSE 0L END").as(out))
+        wp.orderBy(col("rem").desc, col("lang"))))
+      .select(col("lang"), col("p"),
+        expr("b + CASE WHEN rk <= leftover THEN 1L ELSE 0L END").as("alloc"))
+    val aggs = cols.map { case (mc, out) =>
+      max(when(col("p") === mc, col("alloc"))).as(out)
+    }
+    ranked.groupBy("lang").agg(aggs.head, aggs.tail: _*)
   }
 
   /** One row per (triangle, member) — every triangle's three corners —

@@ -664,7 +664,7 @@ object KnnGraph {
     */
   private[graft] def hnswBeam(
       s: org.apache.spark.sql.SparkSession,
-      d: String): (DataFrame, DataFrame) = {
+      d: String): (DataFrame, DataFrame, DataFrame) = {
     val e = Similarity.nv(s, d).select("vec_id", "qe", "nrm")
       .transform(CacheScope.scoped)
     val n = e.count()
@@ -693,7 +693,9 @@ object KnnGraph {
       (CacheScope.scoped(symEdges(g2)), HnswEf, HnswHopsUpper),
       (CacheScope.scoped(symEdges(g1)), HnswEf, HnswHopsUpper),
       (CacheScope.scoped(symEdges(g0)), HnswEf0, HnswHops0)))
-    (beam, queries)
+    // e returned so q182's exact-truth arm reuses the CACHED corpus
+    // projection instead of re-quantizing it (r16 opt round)
+    (beam, queries, e)
   }
 
   /** kNN label propagation over a graph relation `g(v, w, ...)` and a
@@ -1030,7 +1032,7 @@ object KnnGraph {
          |    w AS neighbor_id,
          |    floor(cos * 1000000.0) / 1000000.0 AS cosine
          |  FROM fin) WHERE rank <= $K""".stripMargin) { (s, d) =>
-      val (beam, _) = hnswBeam(s, d)
+      val (beam, _, _) = hnswBeam(s, d)
       beam.filter(col("rank") <= K)
         .select(col("qid").as("query_id"), col("rank"),
           col("w").as("neighbor_id"),
@@ -1061,8 +1063,7 @@ object KnnGraph {
          |  CAST(count(bt.w) AS BIGINT) AS n_found,
          |  floor(count(bt.w) * 1000000.0 / count(*)) / 1000000.0 AS recall
          |FROM ex LEFT JOIN bt ON bt.qid = ex.v AND bt.w = ex.w""".stripMargin) { (s, d) =>
-      val (beam, queries) = hnswBeam(s, d)
-      val e = Similarity.nv(s, d).select("vec_id", "qe", "nrm")
+      val (beam, queries, e) = hnswBeam(s, d)
       val bt = beam.filter(col("rank") <= K).select("qid", "w")
       val ex = queries
         .join(e.select(col("vec_id").as("w"), col("qe").as("wqe"),
@@ -1104,18 +1105,22 @@ object KnnGraph {
     * frozen 0.47 on an empty graph.
     */
   private[graft] def derivedCosBar(g: DataFrame, k: Int = K): Double = {
+    // ONE action (r16 opt round): the edge total Σc rides the same
+    // single-partition window pass as the descending cumulative count,
+    // so the p99 selection no longer needs its own count() job first.
+    // Exact integers throughout — identical bar to the two-action form
+    // (k99 = (Σc + 99) div 100 over the same value histogram); an
+    // empty graph yields a NULL max → the 0.47 fallback.
     val mu = g.filter(col("rank") <= k)
       .select(expr("cast(floor(cos * 1048576.0D) as bigint)").as("m"))
-    val ne = mu.count()
-    if (ne == 0) 0.47
-    else {
-      val k99 = (ne + 99) / 100
-      val barMu = mu.groupBy("m").agg(count(lit(1)).as("c"))
-        .withColumn("cc", sum("c").over(Window.orderBy(col("m").desc)))
-        .filter(col("cc") >= k99)
-        .agg(max("m")).first().getLong(0)
-      barMu / 1048576.0
-    }
+    val row = mu.groupBy("m").agg(count(lit(1)).as("c"))
+      .withColumn("cc", sum("c").over(Window.orderBy(col("m").desc)))
+      .withColumn("tot", sum("c").over(
+        Window.orderBy(col("m").desc).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("cc") >= expr("(tot + 99) div 100"))
+      .agg(max("m")).first()
+    if (row.isNullAt(0)) 0.47 else row.getLong(0) / 1048576.0
   }
 
   /** SemDeDup decision relation from a graph `g(v, w, cos, …)` over a

@@ -218,9 +218,14 @@ object Clustering {
       .union(pairs.select(col("b_id").as("doc_id")))
       .distinct()
     val docs = Tables.documents(s, d).select("doc_id")
-    val singletons = docs.join(participants, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-    components(participants, pairs).unionByName(singletons)
+    // Singletons by LEFT JOIN + coalesce instead of anti-join + union
+    // (r16 opt round): one probe of the participant-sized label map
+    // against the doc spine replaces two passes (the anti-join and the
+    // union's second scan) — same rows exactly (participants carry
+    // their fixpoint label, every other doc is its own cluster).
+    docs.join(components(participants, pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   /** 60-bit SimHash cluster map — q53/q67/q160's registered form. */
